@@ -1,0 +1,22 @@
+"""ab_line_classifier_tpu — a TPU-native (JAX/Flax/XLA/Pallas) lung-ultrasound
+A-line vs B-line classification framework.
+
+This is a from-scratch, TPU-first rebuild with the capabilities of the
+reference TensorFlow/Keras project (gchetty/ab-line-classifier): the same
+config.yml-driven public API (reference ``config.yml:1-197``), the same model
+zoo semantics (reference ``src/models/models.py``), the same experiment types
+(``single_train`` / ``cross_validation`` / ``hparam_search``, reference
+``src/train.py:343-371``), and the same prediction / metrics / results-file
+contracts (reference ``src/predict.py``), re-designed for TPU hardware:
+
+* all compute paths are jit-compiled XLA programs (no eager hot loops),
+* the image preprocessing hot path is a fused Pallas kernel,
+* clip-level inference is one batched device sweep with on-device aggregation,
+* Grad-CAM is a single fused forward+gradient compiled pass,
+* data-parallel training and fold/trial parallelism run over a
+  ``jax.sharding.Mesh`` (ICI collectives inserted by XLA).
+"""
+
+__version__ = "0.1.0"
+
+from ab_line_classifier_tpu.config import load_config, Config  # noqa: F401

@@ -1,0 +1,171 @@
+"""Shared model-zoo infrastructure: ModelSpec, training phases, heads.
+
+A :class:`ModelSpec` is the framework's answer to the reference's
+``model_def(hparams, input_shape, metrics, n_classes, ...) -> compiled Model``
+contract (reference ``src/models/models.py:51-100`` etc.): it bundles the layer
+graph, the preprocessing mode, the optimizer plan (one phase for most models,
+two for CutoffVGG16's extract->finetune schedule, reference
+``models.py:423-434``), per-layer trainability, and activity regularizers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ab_line_classifier_tpu import graph as G
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainPhase:
+    """One stage of the optimizer plan.
+
+    ``epochs`` is the number of epochs this phase runs (None = all remaining).
+    ``trainable`` maps parameterized layer name -> bool; frozen layers get
+    zero updates (their state is carried but untouched).
+    """
+
+    name: str
+    tx_factory: Callable[[], optax.GradientTransformation]
+    trainable: Dict[str, bool]
+    epochs: Optional[int] = None
+
+    def make_tx(self) -> optax.GradientTransformation:
+        """Optimizer with the trainability mask applied (frozen layers get
+        ``set_to_zero``) — the functional equivalent of Keras
+        ``layer.trainable = False`` + recompile (reference models.py:424-431).
+        """
+        label_of = {name: ("train" if t else "freeze")
+                    for name, t in self.trainable.items()}
+
+        def labels(params):
+            return {k: label_of.get(k, "train") for k in params}
+
+        return optax.multi_transform(
+            {"train": self.tx_factory(), "freeze": optax.set_to_zero()},
+            labels,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """A fully-specified zoo model."""
+
+    name: str
+    graph: G.LayerGraph
+    preprocess_mode: str
+    phases: Tuple[TrainPhase, ...]
+    input_shape: Tuple[int, int, int]
+    n_classes: int
+    # layer name -> l2 lambda for activity regularization (reference applies
+    # keras ``activity_regularizer=l2(...)`` on dense layers, models.py:89,286).
+    activity_regularizers: Dict[str, float] = dataclasses.field(default_factory=dict)
+    logits_layer: str = "logits"
+    output_layer: str = "output"
+
+    def module(self, capture: Tuple[str, ...] = ()) -> G.GraphModule:
+        return G.GraphModule(graph=self.graph, capture=capture)
+
+    def logits_module(self, capture: Tuple[str, ...] = ()) -> G.GraphModule:
+        """Module whose output is the pre-softmax logits (loss is computed
+        from logits for numerical stability; the reference trains on softmax
+        probabilities with categorical_crossentropy)."""
+        g = dataclasses.replace(self.graph, output=self.logits_layer)
+        return G.GraphModule(graph=g, capture=capture)
+
+    def init_variables(self, rng: jax.Array, batch_size: int = 1):
+        module = self.module()
+        x = jnp.zeros((batch_size,) + tuple(self.input_shape), jnp.float32)
+        return module.init({"params": rng, "dropout": rng}, x, train=False)
+
+    @property
+    def last_conv_layer(self) -> str:
+        return self.graph.last_layer_of_kind(G.KIND_CONV)
+
+
+def output_bias_init(output_bias: Optional[np.ndarray]) -> Optional[Callable]:
+    """Keras ``bias_initializer=Constant(log_odds)`` equivalent (reference
+    train.py:71-81 computes the log-odds prior; models pass it to the final
+    Dense, e.g. models.py:91)."""
+    if output_bias is None:
+        return None
+    arr = np.asarray(output_bias, dtype=np.float32)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.broadcast_to(jnp.asarray(arr, dtype), shape).astype(dtype)
+
+    return init
+
+
+def he_uniform():
+    return jax.nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+def glorot_uniform():
+    return jax.nn.initializers.glorot_uniform()
+
+
+def classifier_head(
+    backbone: G.LayerGraph,
+    *,
+    n_classes: int,
+    dropout: float,
+    output_bias: Optional[np.ndarray] = None,
+    fc0_nodes: Optional[int] = None,
+    fc0_l2: float = 0.0,
+    fc0_kernel_init: Optional[Callable] = None,
+    double_dropout: bool = False,
+    dtype=None,
+) -> Tuple[G.LayerGraph, Dict[str, float]]:
+    """Append the standard head the reference puts on every backbone:
+    GAP -> Dropout [-> Dense(fc0, relu) (-> Dropout)] -> Dense(n_classes) ->
+    softmax (reference models.py:87-92 for the fc0 variant, :140-143 without).
+
+    Returns the new graph and the activity-regularizer map.
+    """
+    src = backbone.output
+    specs: List[G.LayerSpec] = []
+    activity_regs: Dict[str, float] = {}
+
+    specs.append(G.global_avg_pool("global_avgpool", src))
+    specs.append(G.dropout("dropout_head", "global_avgpool", dropout))
+    prev = "dropout_head"
+
+    if fc0_nodes:
+        specs.append(G.dense("fc0_dense", prev, fc0_nodes,
+                             kernel_init=fc0_kernel_init, dtype=dtype))
+        specs.append(G.relu("fc0", "fc0_dense"))
+        if fc0_l2:
+            activity_regs["fc0"] = fc0_l2
+        prev = "fc0"
+        if double_dropout:
+            specs.append(G.dropout("dropout_head1", prev, dropout))
+            prev = "dropout_head1"
+
+    specs.append(G.dense("logits", prev, n_classes,
+                         bias_init=output_bias_init(output_bias), dtype=dtype))
+    specs.append(G.softmax("output", "logits"))
+
+    return backbone.append(specs, output="output"), activity_regs
+
+
+def single_phase(graph: G.LayerGraph, freeze_idx: int, lr: float,
+                 optimizer: str = "adam") -> Tuple[TrainPhase, ...]:
+    """The one-phase Adam plan used by every model except CutoffVGG16
+    (reference models.py compiles each with ``Adam(learning_rate=lr)``)."""
+    trainable = graph.trainable_mask(freeze_idx)
+
+    def tx_factory():
+        if optimizer == "adam":
+            return optax.adam(lr)
+        if optimizer == "rmsprop":
+            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum.
+            return optax.rmsprop(lr, decay=0.9, eps=1e-7)
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+
+    return (TrainPhase(name="train", tx_factory=tx_factory, trainable=trainable),)
