@@ -19,4 +19,20 @@ contracts (reference ``src/predict.py``), re-designed for TPU hardware:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles on this TPU backend go
+# through a remote compiler and are slow; the cache makes every subsequent
+# process start fast. Env vars win if already set.
+try:  # pragma: no cover - environment dependent
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/ablc_jax_cache")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 from ab_line_classifier_tpu.config import load_config, Config  # noqa: F401

@@ -1,0 +1,176 @@
+"""Host-side input pipeline: frames CSV -> decoded uint8 batches -> device.
+
+Replaces the reference's tf.data pipeline (reference
+``src/data/preprocessor.py:36-80``) with an explicit, dependency-free loader:
+
+* **Host** (this module): CSV table -> JPEG decode (PIL; cv2 deadlocks
+  against XLA in this environment) -> nearest-neighbor resize to IMG_DIM with
+  the same index map as the device kernel -> static-shape uint8 batches with
+  a validity mask (partial final batch is padded, never dynamically shaped —
+  XLA recompiles on shape changes, masks are free) -> background-thread
+  prefetch pipelined with device compute.
+* **Device** (``ops.preprocess_pallas`` / ``ops.image``): normalization (and
+  resize, when frames arrive at native resolution), augmentation, model.
+
+The host stays intentionally thin: one CPU feeds the chip, so all per-pixel
+math beyond decode lives on the TPU.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from ab_line_classifier_tpu.ops.image import nearest_indices
+
+FRAME_PATH = "Frame Path"
+CLASS = "Class"
+
+
+@dataclass
+class Batch:
+    """A static-shape host batch."""
+
+    images: np.ndarray   # uint8 [B, H, W, 3]
+    labels: np.ndarray   # int32 [B]
+    mask: np.ndarray     # float32 [B]; 0 marks padding rows
+    indices: np.ndarray  # int32 [B] row indices into the source table (-1 pad)
+
+
+def decode_jpeg(path: str) -> np.ndarray:
+    """Decode one image file to uint8 RGB HWC."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def _resize_nearest_np(img: np.ndarray, out_hw: Tuple[int, int],
+                       mode: str = "tf") -> np.ndarray:
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return img
+    ridx = nearest_indices(h, oh, mode)
+    cidx = nearest_indices(w, ow, mode)
+    return img[ridx][:, cidx]
+
+
+class FrameDataset:
+    """A frames table bound to an image directory.
+
+    Expects the reference's frames-table schema (columns ``Frame Path``,
+    ``Class``, and optionally ``patient_id`` / ``Class Name`` / ``id``,
+    reference ``src/data/ab_line_dataset_creator.py:70-72``).
+    """
+
+    def __init__(self, frames_df: pd.DataFrame, frames_dir: str,
+                 img_dim: Tuple[int, int] = (128, 128),
+                 resize_mode: str = "tf"):
+        self.df = frames_df.reset_index(drop=True)
+        self.frames_dir = frames_dir
+        self.img_dim = tuple(img_dim)
+        self.resize_mode = resize_mode
+
+    @classmethod
+    def from_csv(cls, csv_path: str, frames_dir: str, **kw) -> "FrameDataset":
+        return cls(pd.read_csv(csv_path), frames_dir, **kw)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self.df[CLASS].to_numpy().astype(np.int32)
+
+    @property
+    def paths(self) -> Sequence[str]:
+        return [os.path.join(self.frames_dir, p) for p in self.df[FRAME_PATH]]
+
+    def n_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
+        n = len(self)
+        return n // batch_size if drop_remainder else -(-n // batch_size)
+
+    def load_frame(self, row_idx: int) -> np.ndarray:
+        img = decode_jpeg(self.paths[row_idx])
+        return _resize_nearest_np(img, self.img_dim, self.resize_mode)
+
+    # ------------------------------------------------------------------
+    def batches(self, batch_size: int, *, shuffle: bool = False,
+                seed: int = 0, drop_remainder: bool = False,
+                prefetch: int = 2) -> Iterator[Batch]:
+        """Iterate static-shape batches, decoding on a background thread."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        if drop_remainder:
+            order = order[: (len(order) // batch_size) * batch_size]
+
+        def make_batch(idxs: np.ndarray) -> Batch:
+            b = len(idxs)
+            h, w = self.img_dim
+            images = np.zeros((batch_size, h, w, 3), np.uint8)
+            labels = np.zeros((batch_size,), np.int32)
+            mask = np.zeros((batch_size,), np.float32)
+            indices = np.full((batch_size,), -1, np.int32)
+            lab = self.labels
+            for j, ri in enumerate(idxs):
+                images[j] = self.load_frame(int(ri))
+                labels[j] = lab[ri]
+                mask[j] = 1.0
+                indices[j] = ri
+            return Batch(images, labels, mask, indices)
+
+        chunks = [order[i:i + batch_size]
+                  for i in range(0, len(order), batch_size)]
+        if prefetch <= 0:
+            for c in chunks:
+                yield make_batch(c)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for c in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(make_batch(c))
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    # ------------------------------------------------------------------
+    def load_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode the full dataset into one array (small-dataset eval path)."""
+        h, w = self.img_dim
+        images = np.zeros((len(self), h, w, 3), np.uint8)
+        for i in range(len(self)):
+            images[i] = self.load_frame(i)
+        return images, self.labels
+
+
+def class_distribution(frames_df: pd.DataFrame) -> np.ndarray:
+    """Class histogram (reference ``np.bincount(train_df['Class'])``,
+    train.py:49)."""
+    return np.bincount(frames_df[CLASS].to_numpy().astype(int))

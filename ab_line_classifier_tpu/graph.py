@@ -184,9 +184,20 @@ class GraphModule(nn.Module):
     capture: Tuple[str, ...] = ()
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 overrides: Optional[Dict[str, Any]] = None):
+        """``overrides`` injects activations by layer name: the node's
+        computation is skipped and the given array used instead. This is how
+        Grad-CAM differentiates the output w.r.t. an intermediate activation
+        inside one compiled program (``jax.vjp`` over the injected value);
+        upstream work not needed by any downstream consumer is dead-code
+        eliminated by XLA."""
         acts: Dict[str, Any] = {INPUT: x}
+        overrides = overrides or {}
         for spec in self.graph.layers[1:]:
+            if spec.name in overrides:
+                acts[spec.name] = overrides[spec.name]
+                continue
             ins = [acts[n] for n in spec.inputs]
             if spec.module_fn is not None:
                 mod = spec.module_fn(name=spec.name)
@@ -222,7 +233,7 @@ def conv2d(name: str, inp: str, features: int, kernel: Tuple[int, int],
                       feature_group_count=groups, dtype=dtype)
         if kernel_init is not None:
             kwargs["kernel_init"] = kernel_init
-        return nn.Conv(**kwargs)
+        return nn.Conv(**kwargs, name=name)
     return LayerSpec(name=name, kind=KIND_CONV, inputs=(inp,), module_fn=factory,
                      post_fn=act)
 
@@ -234,7 +245,7 @@ def depthwise_conv2d(name: str, inp: str, channels: int,
     def factory(name: str):
         return nn.Conv(features=channels, kernel_size=kernel, strides=strides,
                        padding=padding, use_bias=use_bias,
-                       feature_group_count=channels, dtype=dtype)
+                       feature_group_count=channels, dtype=dtype, name=name)
     return LayerSpec(name=name, kind=KIND_DEPTHWISE, inputs=(inp,), module_fn=factory)
 
 
@@ -271,7 +282,7 @@ def separable_conv2d(name: str, inp: str, features: int,
     def factory(name: str):
         return SeparableConv(features=features, kernel_size=kernel,
                              strides=strides, padding=padding,
-                             use_bias=use_bias, dtype=dtype)
+                             use_bias=use_bias, dtype=dtype, name=name)
     # kind=conv so Grad-CAM's last-conv scan matches SeparableConv2D layers,
     # as the reference's _keras_api_names 'Conv' scan does (gradcam.py:33-38).
     return LayerSpec(name=name, kind=KIND_CONV, inputs=(inp,), module_fn=factory)
@@ -283,7 +294,7 @@ def batch_norm(name: str, inp: str, momentum: float = 0.99,
     # Keras BatchNormalization defaults: momentum 0.99, epsilon 1e-3.
     def factory(name: str):
         return nn.BatchNorm(momentum=momentum, epsilon=epsilon, use_scale=scale,
-                            dtype=dtype)
+                            dtype=dtype, name=name)
     return LayerSpec(name=name, kind=KIND_BN, inputs=(inp,), module_fn=factory)
 
 
@@ -297,14 +308,14 @@ def dense(name: str, inp: str, features: int, use_bias: bool = True,
             kwargs["kernel_init"] = kernel_init
         if bias_init is not None:
             kwargs["bias_init"] = bias_init
-        return nn.Dense(**kwargs)
+        return nn.Dense(**kwargs, name=name)
     return LayerSpec(name=name, kind=KIND_DENSE, inputs=(inp,), module_fn=factory,
                      post_fn=act)
 
 
 def dropout(name: str, inp: str, rate: float) -> LayerSpec:
     def factory(name: str):
-        return nn.Dropout(rate=rate)
+        return nn.Dropout(rate=rate, name=name)
     return LayerSpec(name=name, kind=KIND_DROPOUT, inputs=(inp,), module_fn=factory)
 
 

@@ -31,7 +31,8 @@ class TrainPhase:
     """
 
     name: str
-    tx_factory: Callable[[], optax.GradientTransformation]
+    optimizer: str               # 'adam' | 'rmsprop' | 'sgd'
+    lr: float
     trainable: Dict[str, bool]
     epochs: Optional[int] = None
 
@@ -39,6 +40,11 @@ class TrainPhase:
         """Optimizer with the trainability mask applied (frozen layers get
         ``set_to_zero``) — the functional equivalent of Keras
         ``layer.trainable = False`` + recompile (reference models.py:424-431).
+
+        The learning rate is injected as a runtime hyperparameter
+        (``optax.inject_hyperparams``) so ReduceLROnPlateau can halve it
+        *in-place in the optimizer state* without retracing the train step —
+        the jitted program never changes shape.
         """
         label_of = {name: ("train" if t else "freeze")
                     for name, t in self.trainable.items()}
@@ -46,10 +52,41 @@ class TrainPhase:
         def labels(params):
             return {k: label_of.get(k, "train") for k in params}
 
+        if self.optimizer == "adam":
+            base = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
+        elif self.optimizer == "rmsprop":
+            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum.
+            base = optax.inject_hyperparams(optax.rmsprop)(
+                learning_rate=self.lr, decay=0.9, eps=1e-7)
+        elif self.optimizer == "sgd":
+            base = optax.inject_hyperparams(optax.sgd)(learning_rate=self.lr)
+        else:
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+
         return optax.multi_transform(
-            {"train": self.tx_factory(), "freeze": optax.set_to_zero()},
-            labels,
-        )
+            {"train": base, "freeze": optax.set_to_zero()}, labels)
+
+
+def scale_learning_rate(opt_state, factor: float):
+    """Multiply every injected ``learning_rate`` hyperparameter in an
+    optimizer state pytree (ReduceLROnPlateau's in-place halving)."""
+    def fn(path, leaf):
+        if any(getattr(k, "key", None) == "learning_rate" for k in path):
+            return leaf * factor
+        return leaf
+    return jax.tree_util.tree_map_with_path(fn, opt_state)
+
+
+def get_learning_rate(opt_state) -> Optional[float]:
+    """Read the current injected learning rate (first one found)."""
+    found = []
+
+    def fn(path, leaf):
+        if any(getattr(k, "key", None) == "learning_rate" for k in path):
+            found.append(leaf)
+        return leaf
+    jax.tree_util.tree_map_with_path(fn, opt_state)
+    return float(found[0]) if found else None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,14 +195,5 @@ def single_phase(graph: G.LayerGraph, freeze_idx: int, lr: float,
                  optimizer: str = "adam") -> Tuple[TrainPhase, ...]:
     """The one-phase Adam plan used by every model except CutoffVGG16
     (reference models.py compiles each with ``Adam(learning_rate=lr)``)."""
-    trainable = graph.trainable_mask(freeze_idx)
-
-    def tx_factory():
-        if optimizer == "adam":
-            return optax.adam(lr)
-        if optimizer == "rmsprop":
-            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum.
-            return optax.rmsprop(lr, decay=0.9, eps=1e-7)
-        raise ValueError(f"unknown optimizer {optimizer!r}")
-
-    return (TrainPhase(name="train", tx_factory=tx_factory, trainable=trainable),)
+    return (TrainPhase(name="train", optimizer=optimizer, lr=lr,
+                       trainable=graph.trainable_mask(freeze_idx)),)

@@ -174,7 +174,7 @@ def efficientnet_backbone(variant: str = "b7",
                     specs.append(G.LayerSpec(
                         name=f"{b}_drop", kind=G.KIND_DROPOUT, inputs=(out,),
                         module_fn=lambda name, rate=rate: nn.Dropout(
-                            rate=rate, broadcast_dims=(1, 2, 3))))
+                            rate=rate, name=name, broadcast_dims=(1, 2, 3))))
                     out = f"{b}_drop"
                 specs.append(G.add(f"{b}_add", out, prev))
                 out = f"{b}_add"

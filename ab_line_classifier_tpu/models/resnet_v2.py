@@ -117,7 +117,7 @@ def build_custom_resnetv2(hparams: Dict[str, Any],
     # broadcast over the spatial dims.
     specs.append(G.LayerSpec(
         name="spatial_dropout", kind=G.KIND_DROPOUT, inputs=(x,),
-        module_fn=lambda name: nn.Dropout(rate=dropout1,
+        module_fn=lambda name: nn.Dropout(rate=dropout1, name=name,
                                           broadcast_dims=(1, 2))))
     specs.append(G.global_avg_pool("global_avgpool", "spatial_dropout"))
     specs.append(G.dense("logits", "global_avgpool", n_classes,

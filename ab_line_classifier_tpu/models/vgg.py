@@ -23,7 +23,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import numpy as np
-import optax
 
 from ab_line_classifier_tpu import graph as G
 from ab_line_classifier_tpu.models import common as C
@@ -121,12 +120,9 @@ def build_cutoffvgg16(hparams: Dict[str, Any], input_shape: Tuple[int, int, int]
         finetune_epochs = max(0, int(total_epochs) - extract_epochs + 1)
 
     phases = (
-        C.TrainPhase(name="extract",
-                     tx_factory=lambda: optax.adam(lr_extract),
+        C.TrainPhase(name="extract", optimizer="adam", lr=lr_extract,
                      trainable=extract_trainable, epochs=extract_epochs),
-        C.TrainPhase(name="finetune",
-                     tx_factory=lambda: optax.rmsprop(lr_finetune, decay=0.9,
-                                                      eps=1e-7),
+        C.TrainPhase(name="finetune", optimizer="rmsprop", lr=lr_finetune,
                      trainable=finetune_trainable, epochs=finetune_epochs),
     )
 

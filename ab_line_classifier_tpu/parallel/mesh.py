@@ -1,0 +1,76 @@
+"""Device-mesh construction and sharding layouts.
+
+The reference is single-device (its only device code is GPU memory-growth
+setup, reference ``src/train.py:37-38,184-189``); parallel execution here is
+new, TPU-native capability. The mesh has two logical axes:
+
+* ``data``  — batch (data-parallel) axis: batches shard across it, params
+  replicate, XLA inserts the psum gradient reduction over ICI.
+* ``trial`` — experiment axis: independent k-fold folds / sweep trials map
+  onto mesh slices (reference experiments run *serially* through a W&B sweep
+  agent, ``train.py:364-368``).
+
+All layouts are expressed with ``jax.sharding.NamedSharding``; jit partitions
+the programs, so the same train step runs unmodified on 1 chip or a pod
+slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TRIAL_AXIS = "trial"
+
+
+def make_mesh(n_data: int = -1, n_trial: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ``(trial, data)`` mesh. ``n_data=-1`` uses all remaining
+    devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_trial <= 0:
+        n_trial = 1
+    if n_data == -1:
+        if n % n_trial:
+            raise ValueError(f"{n} devices not divisible by trial={n_trial}")
+        n_data = n // n_trial
+    if n_trial * n_data > n:
+        raise ValueError(
+            f"mesh {n_trial}x{n_data} needs {n_trial * n_data} devices, "
+            f"have {n}")
+    arr = np.asarray(devices[: n_trial * n_data]).reshape(n_trial, n_data)
+    return Mesh(arr, (TRIAL_AXIS, DATA_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def trial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[trial, batch, ...] arrays: trial axis over 'trial', batch over
+    'data'."""
+    return NamedSharding(mesh, P(TRIAL_AXIS, DATA_AXIS))
+
+
+def trial_replicated(mesh: Mesh) -> NamedSharding:
+    """Per-trial params: leading trial axis sharded, rest replicated."""
+    return NamedSharding(mesh, P(TRIAL_AXIS))
+
+
+def shard_batch(mesh: Optional[Mesh], *arrays):
+    """Device-put arrays with the batch sharding (no-op without a mesh)."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -1,0 +1,251 @@
+"""Inference: frame predictions, clip predictions, metrics/CSV contracts.
+
+Reference semantics preserved (``src/predict.py``):
+
+* ``restore_model`` loads a serialized checkpoint by path (reference :39-51;
+  ours are Orbax dirs with self-describing metadata instead of .h5).
+* Frame classification threshold: B-line probability >= threshold -> class 1
+  (reference :82-86 via the class-index map round-trip).
+* ``compute_clip_predictions`` / ``compute_frame_predictions`` write the same
+  metrics-JSON and predictions-CSV shapes into ``results/metrics`` /
+  ``results/predictions`` with timestamped names (reference :173-188,
+  :210-222).
+* Frames belong to a clip by clip-name substring match on ``Frame Path``
+  (reference :152).
+
+TPU-native redesign of the hot path: the reference rebuilds a tf.data
+pipeline and calls ``model.predict`` *per clip* (reference :148-156). Here
+every frame in the dataset is pushed through ONE batched device sweep
+(static-shape chunks, bf16 compute), and all clips aggregate **on device** in
+a single compiled call over a padded ``[n_clips, max_frames, C]`` tensor
+(``ops.clip_aggregation``) — the north-star "one batched device loop over all
+frames of a clip".
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ab_line_classifier_tpu.config import Config
+from ab_line_classifier_tpu.data.pipeline import FrameDataset
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.models.common import ModelSpec
+from ab_line_classifier_tpu.ops import clip_aggregation as agg
+from ab_line_classifier_tpu.ops.image import fused_preprocess
+from ab_line_classifier_tpu.predict.metrics import compute_metrics
+from ab_line_classifier_tpu.utils import checkpoint as ckpt
+
+FRAME_PATH = "Frame Path"
+
+
+def _timestamp() -> str:
+    return datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+
+
+def load_class_idx_map(cfg: Config) -> Dict[str, int]:
+    """Class name -> probability-column index (the reference deserializes a
+    pickled map, predict.py:31; ours is JSON with a config-order fallback)."""
+    path = cfg["PATHS"].get("CLASS_NAME_MAP", "")
+    if path and os.path.isfile(path) and path.endswith(".json"):
+        with open(path) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+    return {c: i for i, c in enumerate(cfg.classes)}
+
+
+class Predictor:
+    """A restored model bound to a jitted batched forward pass."""
+
+    def __init__(self, spec: ModelSpec, variables: Dict, *,
+                 batch_size: int = 64, compute_dtype=jnp.bfloat16):
+        self.spec = spec
+        self.variables = variables
+        self.batch_size = batch_size
+        self.compute_dtype = compute_dtype
+        module = spec.module()
+
+        def forward(variables, frames_u8):
+            x = fused_preprocess(
+                frames_u8, out_hw=tuple(spec.input_shape[:2]),
+                preprocess_mode=spec.preprocess_mode,
+                out_dtype=compute_dtype)
+            return module.apply(variables, x, train=False).astype(jnp.float32)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def restore(cls, model_path: str, *, batch_size: int = 64,
+                compute_dtype=jnp.bfloat16) -> "Predictor":
+        """``restore_model`` equivalent (reference predict.py:39-51)."""
+        variables, meta = ckpt.load_model(model_path)
+        spec = build_model(meta["model_name"], meta["hparams"],
+                           tuple(meta["input_shape"]), int(meta["n_classes"]),
+                           mixed_precision=bool(meta.get("mixed_precision",
+                                                         False)))
+        return cls(spec, variables, batch_size=batch_size,
+                   compute_dtype=compute_dtype)
+
+    # ------------------------------------------------------------------
+    def predict_probs(self, frames_u8: np.ndarray) -> np.ndarray:
+        """Probabilities for a uint8 [N, H, W, 3] frame array, swept in
+        static-shape chunks."""
+        n = len(frames_u8)
+        bs = self.batch_size
+        out = np.zeros((n, self.spec.n_classes), np.float32)
+        for i in range(0, n, bs):
+            chunk = frames_u8[i:i + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            probs = self._forward(self.variables, jnp.asarray(chunk))
+            out[i:i + bs] = np.asarray(probs)[: bs - pad]
+        return out
+
+    def predict_dataset(self, ds: FrameDataset) -> np.ndarray:
+        """Decode + predict a frames table (one device sweep, pipelined with
+        host decode)."""
+        out = np.zeros((len(ds), self.spec.n_classes), np.float32)
+        for batch in ds.batches(self.batch_size):
+            probs = np.asarray(self._forward(self.variables,
+                                             jnp.asarray(batch.images)))
+            valid = batch.mask > 0
+            out[batch.indices[valid]] = probs[valid]
+        return out
+
+
+def predict_set(predictor: Predictor, frames_df: pd.DataFrame,
+                frames_dir: str, cfg: Config,
+                threshold: float = 0.5) -> Tuple[List[int], np.ndarray]:
+    """Reference ``predict_set`` (predict.py:54-87): returns (predicted class
+    ids in DATA.CLASSES order, probability array)."""
+    ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
+    probs = predictor.predict_dataset(ds)
+    idx_map = load_class_idx_map(cfg)
+    preds = (probs[:, idx_map["b_lines"]] >= threshold).astype(int)
+    idx_class = {v: k for k, v in idx_map.items()}
+    classes = cfg.classes
+    pred_ids = [classes.index(idx_class[int(p)]) for p in preds]
+    return pred_ids, probs
+
+
+# ----------------------------------------------------------------------
+def group_clip_probs(frames_df: pd.DataFrame, probs: np.ndarray,
+                     clip_names: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack per-frame probs into a padded [n_clips, max_frames, C] tensor +
+    mask, grouping frames by clip-name substring match (reference
+    predict.py:152), frames in table order."""
+    paths = frames_df[FRAME_PATH].astype(str)
+    groups = []
+    for clip_name in clip_names:
+        idx = np.nonzero(paths.str.contains(clip_name, regex=False).to_numpy())[0]
+        groups.append(idx)
+    max_frames = max((len(g) for g in groups), default=1) or 1
+    n_clips = len(clip_names)
+    c = probs.shape[1]
+    padded = np.zeros((n_clips, max_frames, c), np.float32)
+    mask = np.zeros((n_clips, max_frames), np.float32)
+    for i, g in enumerate(groups):
+        padded[i, :len(g)] = probs[g]
+        mask[i, :len(g)] = 1.0
+    return padded, mask
+
+
+def compute_clip_predictions(cfg: Config, frames_table_path: str,
+                             clips_table_path: str, class_thresh: float = 0.5,
+                             clip_algorithm: str = "contiguous",
+                             calculate_metrics: bool = True,
+                             predictor: Optional[Predictor] = None,
+                             frames_dir: Optional[str] = None) -> pd.DataFrame:
+    """Reference ``compute_clip_predictions`` (predict.py:125-188), as one
+    batched device sweep + one compiled aggregation call."""
+    if predictor is None:
+        predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
+                                      batch_size=cfg.batch_size)
+    frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
+    set_name = os.path.basename(frames_table_path).split(".")[0] + "_clips"
+
+    frames_df = pd.read_csv(frames_table_path)
+    clips_df = pd.read_csv(clips_table_path)
+    clip_names = clips_df["filename"].astype(str).tolist()
+    print(f"Found {len(clip_names)} clips. Determining clip predictions "
+          f"with {clip_algorithm} algorithm.")
+
+    # ONE sweep over every frame, then one compiled aggregation.
+    ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
+    frame_probs = predictor.predict_dataset(ds)
+    padded, mask = group_clip_probs(frames_df, frame_probs, clip_names)
+    clip_probs = np.asarray(agg.aggregate_clips(
+        jnp.asarray(padded), jnp.asarray(mask), algorithm=clip_algorithm,
+        classification_threshold=class_thresh,
+        contiguity_threshold=int(cfg["CLIP_PREDICTION"]["CONTIGUITY_THRESHOLD"]),
+        window=int(cfg["CLIP_PREDICTION"]["SLIDING_WINDOW"])))
+
+    idx_map = load_class_idx_map(cfg)
+    clip_pred_classes = (clip_probs[:, idx_map["b_lines"]]
+                         >= class_thresh).astype(int)
+
+    if calculate_metrics:
+        clip_labels = clips_df["class"].to_numpy()
+        # The reference skips AUC for the contiguous algorithm's hard
+        # pseudo-probabilities (predict.py:175-178).
+        probs_arg = None if clip_algorithm == "contiguous" else clip_probs
+        metrics = compute_metrics(cfg.classes, clip_labels, clip_pred_classes,
+                                  probs_arg, idx_map)
+        out = os.path.join(cfg["PATHS"]["METRICS"],
+                           f"clips_{set_name}{_timestamp()}.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(metrics, f)
+
+    pred_probs_df = pd.DataFrame(clip_probs, columns=cfg.classes)
+    pred_probs_df.insert(0, "filename", clips_df["filename"])
+    pred_probs_df.insert(1, "class", clips_df["class"])
+    os.makedirs(cfg["PATHS"]["BATCH_PREDS"], exist_ok=True)
+    pred_probs_df.to_csv(os.path.join(
+        cfg["PATHS"]["BATCH_PREDS"],
+        f"{set_name}_predictions{_timestamp()}.csv"))
+    return pred_probs_df
+
+
+def compute_frame_predictions(cfg: Config, dataset_files_path: str,
+                              class_thresh: float = 0.5,
+                              calculate_metrics: bool = True,
+                              predictor: Optional[Predictor] = None,
+                              frames_dir: Optional[str] = None) -> pd.DataFrame:
+    """Reference ``compute_frame_predictions`` (predict.py:191-222)."""
+    if predictor is None:
+        predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
+                                      batch_size=cfg.batch_size)
+    frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
+    set_name = os.path.basename(dataset_files_path).split(".")[0] + "_frames"
+
+    files_df = pd.read_csv(dataset_files_path)
+    pred_classes, pred_probs = predict_set(
+        predictor, files_df, frames_dir, cfg, threshold=class_thresh)
+
+    if calculate_metrics:
+        frame_labels = files_df["Class"].to_numpy()
+        metrics = compute_metrics(cfg.classes, frame_labels,
+                                  np.asarray(pred_classes), pred_probs,
+                                  load_class_idx_map(cfg))
+        out = os.path.join(cfg["PATHS"]["METRICS"],
+                           f"frames_{_timestamp()}.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(metrics, f)
+
+    pred_probs_df = pd.DataFrame(pred_probs, columns=cfg.classes)
+    pred_probs_df.insert(0, FRAME_PATH, files_df[FRAME_PATH])
+    pred_probs_df.insert(1, "Class", files_df["Class"])
+    os.makedirs(cfg["PATHS"]["BATCH_PREDS"], exist_ok=True)
+    pred_probs_df.to_csv(os.path.join(
+        cfg["PATHS"]["BATCH_PREDS"], f"_predictions{_timestamp()}.csv"))
+    return pred_probs_df

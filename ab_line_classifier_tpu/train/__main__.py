@@ -1,0 +1,29 @@
+"""CLI entry point: ``python -m ab_line_classifier_tpu.train``.
+
+Mirrors ``python src/train.py`` in the reference (``src/train.py:374-375``):
+runs TRAIN.EXPERIMENT_TYPE from ``config.yml`` and saves weights.
+"""
+
+import argparse
+
+from ab_line_classifier_tpu.config import load_config
+from ab_line_classifier_tpu.train.experiment import train_experiment
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train the A/B-line classifier")
+    p.add_argument("--config", default=None, help="path to config.yml")
+    p.add_argument("--experiment", default=None,
+                   choices=["single_train", "cross_validation",
+                            "hparam_search"],
+                   help="override TRAIN.EXPERIMENT_TYPE")
+    p.add_argument("--no-save-weights", action="store_true")
+    args = p.parse_args()
+
+    cfg = load_config(args.config)
+    train_experiment(cfg, experiment=args.experiment,
+                     save_weights=not args.no_save_weights)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Class-imbalance handling: loss weights and output-bias prior.
+
+Formulas match the reference exactly:
+
+* class weights ``w_i = (1/n_classes) * N / n_i`` from the training-set class
+  histogram (reference ``src/train.py:41-68``);
+* output bias = per-class log-odds prior ``log(n_i / (N - n_i))`` used to
+  initialize the final Dense bias (reference ``src/train.py:71-81``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+
+def class_histogram(train_df: pd.DataFrame, class_key: str = "Class") -> np.ndarray:
+    return np.bincount(train_df[class_key].to_numpy().astype(int))
+
+
+def compute_class_weight(train_df: pd.DataFrame,
+                         class_key: str = "Class") -> Dict[int, float]:
+    hist = class_histogram(train_df, class_key)
+    total = hist.sum()
+    n = len(hist)
+    return {i: float((1.0 / n) * total / hist[i]) for i in range(n)}
+
+
+def compute_output_bias(train_df: pd.DataFrame,
+                        class_key: str = "Class") -> np.ndarray:
+    hist = class_histogram(train_df, class_key).astype(np.float64)
+    total = hist.sum()
+    return np.log(hist / (total - hist)).astype(np.float32)

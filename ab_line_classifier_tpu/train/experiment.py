@@ -1,0 +1,303 @@
+"""Experiment orchestration: single_train / cross_validation / hparam_search.
+
+The reference's ``train_experiment`` (``src/train.py:343-371``) dispatches to
+``perform_single_run`` either directly or through a W&B sweep agent (grid over
+FOLD_ID for cross-validation, bayes/grid over HPARAM_SEARCH for tuning), with
+datasets fetched as W&B artifacts (``src/train_utils.py:18-46,192-235``).
+
+Here the same experiment types run against local data and the local sweep
+controllers (``train.sweep``): hyperparameters resolve as config defaults
+overridden by sweep values (reference train.py:198-200), fold assembly
+matches ``get_fold_artifact`` (test = fold k, val = grouped split of the
+rest), and every run logs through the pluggable tracker. Cross-validation
+additionally writes the legacy-style mean/std summary CSV (reference
+``src/train_legacy.py:417-509``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ab_line_classifier_tpu.config import Config, ensure_output_dirs
+from ab_line_classifier_tpu.data.pipeline import FrameDataset
+from ab_line_classifier_tpu.data import splits as S
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.predict.metrics import compute_metrics
+from ab_line_classifier_tpu.predict.predict import Predictor
+from ab_line_classifier_tpu.train.class_balance import (
+    compute_class_weight, compute_output_bias)
+from ab_line_classifier_tpu.train.loop import Trainer
+from ab_line_classifier_tpu.train.sweep import make_controller, space_from_config
+from ab_line_classifier_tpu.train.tracker import make_tracker
+from ab_line_classifier_tpu.utils import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class RunResult:
+    test_metrics: Dict[str, Any]
+    history: List
+    model_dir: Optional[str]
+    best_val: Dict[str, float]
+
+
+def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
+                     ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, str]:
+    """Produce (train_df, val_df, test_df, frames_dir).
+
+    Resolution order mirrors the reference's artifact lineage with a local
+    backend: pre-materialized partition CSVs under ``PATHS.PARTITIONS`` win
+    (the TrainValTest artifact contract, reference artifact_logging.py:240-246);
+    otherwise the frames table is split on the fly with ``ARTIFACT_SEED`` —
+    same split function, same seed, same folds.
+    """
+    paths = cfg["PATHS"]
+    frames_dir = paths["FRAMES"]
+    seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
+
+    if fold_id is not None:
+        folds_root = paths.get("K_FOLDS_SPLIT_PATH", "")
+        fold_csv = os.path.join(folds_root, f"fold_{fold_id}", "frames.csv")
+        if os.path.isfile(fold_csv):
+            n_folds = int(cfg["TRAIN"]["N_FOLDS"])
+            folds = []
+            for i in range(n_folds):
+                p = os.path.join(folds_root, f"fold_{i}", "frames.csv")
+                folds.append(pd.read_csv(p))
+        else:
+            frames_df = pd.read_csv(paths["FRAME_TABLE"])
+            folds = S.k_fold_splits(frames_df, int(cfg["TRAIN"]["N_FOLDS"]),
+                                    random_seed=seed)
+        train_df, val_df, test_df = S.fold_train_val_test(
+            folds, fold_id, float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"]),
+            random_seed=seed)
+        return train_df, val_df, test_df, frames_dir
+
+    part_frames = os.path.join(paths.get("PARTITIONS", ""), "frames")
+    train_csv = os.path.join(part_frames, "train.csv")
+    if os.path.isfile(train_csv):
+        return (pd.read_csv(train_csv),
+                pd.read_csv(os.path.join(part_frames, "val.csv")),
+                pd.read_csv(os.path.join(part_frames, "test.csv")),
+                frames_dir)
+
+    frames_df = pd.read_csv(paths["FRAME_TABLE"])
+    train_df, val_df, test_df = S.train_val_test_split(
+        frames_df, float(cfg["DATA"]["VAL_SPLIT"]),
+        float(cfg["DATA"]["TEST_SPLIT"]), random_seed=seed)
+    return train_df, val_df, test_df, frames_dir
+
+
+def generate_classification_test_results(predictor: Predictor,
+                                         test_df: pd.DataFrame,
+                                         frames_dir: str, cfg: Config,
+                                         tracker=None) -> Dict[str, Any]:
+    """Test-set evaluation (reference train_utils.py:92-122): exact sklearn
+    metrics + ROC / confusion-matrix plots, logged via the tracker."""
+    ds = FrameDataset(test_df, frames_dir, img_dim=cfg.img_dim)
+    probs = predictor.predict_dataset(ds)
+    labels = test_df["Class"].to_numpy()
+    preds = (probs[:, 1] >= 0.5).astype(int)
+    metrics = compute_metrics(cfg.classes, labels, preds, probs)
+    if tracker is not None:
+        tracker.log_metrics("test", metrics)
+    try:
+        from ab_line_classifier_tpu.viz.visualization import (
+            plot_confusion_matrix, plot_roc)
+        os.makedirs(cfg["PATHS"]["IMAGES"], exist_ok=True)
+        plot_roc("test", labels, probs, cfg.classes,
+                 dir_path=cfg["PATHS"]["IMAGES"])
+        plot_confusion_matrix(labels, preds, cfg.classes,
+                              dir_path=cfg["PATHS"]["IMAGES"])
+    except Exception as e:  # plots must never fail a run
+        print(f"(plotting skipped: {e})")
+    return metrics
+
+
+def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
+                       fold_id: Optional[int] = None,
+                       save_weights: bool = False, tracker=None,
+                       group: Optional[str] = None,
+                       verbose: bool = True) -> RunResult:
+    """One training run (reference ``perform_single_run``, train.py:171-246):
+    resolve data -> class weights + output bias -> build model -> fit through
+    the phase plan -> checkpoint -> test-set evaluation."""
+    ensure_output_dirs(cfg)
+    model_name = cfg.model_name
+    experiment = cfg["TRAIN"]["EXPERIMENT_TYPE"]
+    own_tracker = tracker is None
+    if own_tracker:
+        tracker = make_tracker(cfg, group=group, job_type=experiment)
+
+    # Config-default hparams overridden by sweep values (train.py:198-200).
+    hparams = cfg.model_hparams()
+    if hparam_overrides:
+        hparams.update(hparam_overrides)
+    tracker.log_config({"HPARAMS": hparams, "TRAIN": dict(cfg["TRAIN"]),
+                        "DATA": {"IMG_DIM": list(cfg.img_dim)},
+                        "FOLD_ID": fold_id})
+
+    train_df, val_df, test_df, frames_dir = resolve_datasets(cfg, fold_id)
+    class_weight = compute_class_weight(train_df)
+    output_bias = compute_output_bias(train_df)
+
+    mixed = bool(cfg["TRAIN"].get("MIXED_PRECISION", False))
+    build_kwargs: Dict[str, Any] = {}
+    if model_name == "cutoffvgg16":
+        build_kwargs["total_epochs"] = int(cfg["TRAIN"]["EPOCHS"])
+    spec = build_model(model_name, hparams, cfg.img_dim + (3,),
+                       cfg.n_classes, mixed_precision=mixed,
+                       output_bias=output_bias, **build_kwargs)
+
+    pretrained = None
+    if cfg["TRAIN"].get("USE_PRETRAINED", False):
+        try:
+            pretrained, _ = ckpt.load_model(cfg["PATHS"]["PRETRAINED_WEIGHTS"])
+        except FileNotFoundError:
+            print("USE_PRETRAINED set but no checkpoint found; training "
+                  "from scratch")
+
+    trainer = Trainer(
+        spec, class_weight=class_weight, class_names=cfg.classes,
+        aug_config=dict(cfg["TRAIN"]["DATA_AUG"]),
+        seed=int(cfg["TRAIN"]["SEED"]),
+        compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
+    train_ds = FrameDataset(train_df, frames_dir, img_dim=cfg.img_dim)
+    val_ds = FrameDataset(val_df, frames_dir, img_dim=cfg.img_dim)
+
+    best_vars, history = trainer.fit(
+        train_ds, val_ds, batch_size=cfg.batch_size,
+        epochs=int(cfg["TRAIN"]["EPOCHS"]),
+        patience=int(cfg["TRAIN"]["PATIENCE"]),
+        variables=pretrained, tracker=tracker, verbose=verbose)
+
+    model_dir = None
+    if save_weights:
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        model_dir = os.path.join(cfg["PATHS"]["MODEL_WEIGHTS"], f"model{ts}")
+        ckpt.save_model(model_dir, best_vars, meta={
+            "model_name": model_name, "hparams": hparams,
+            "input_shape": list(cfg.img_dim) + [3],
+            "n_classes": cfg.n_classes, "classes": cfg.classes,
+            "preprocess_mode": spec.preprocess_mode,
+            "mixed_precision": mixed,
+        })
+
+    predictor = Predictor(spec, {"params": best_vars["params"],
+                                 **({"batch_stats": best_vars["batch_stats"]}
+                                    if best_vars.get("batch_stats") else {})},
+                          batch_size=cfg.batch_size,
+                          compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
+    test_metrics: Dict[str, Any] = {}
+    if test_df is not None and len(test_df):
+        test_metrics = generate_classification_test_results(
+            predictor, test_df, frames_dir, cfg, tracker)
+
+    best_val = {}
+    if history:
+        with_val = [h for h in history if h.val]
+        if with_val:
+            best = min(with_val, key=lambda h: h.val["loss"])
+            best_val = {f"val_{k}": v for k, v in best.val.items()}
+    if own_tracker:
+        tracker.finish({**{f"test/{k}": v for k, v in test_metrics.items()
+                           if not isinstance(v, list)}, **best_val})
+    return RunResult(test_metrics=test_metrics, history=history,
+                     model_dir=model_dir, best_val=best_val)
+
+
+def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
+    """Extract the sweep objective (METRIC_NAME, e.g. 'epoch/val_auc')."""
+    key = metric_name.split("/")[-1]
+    if key.startswith("val_"):
+        value = result.best_val.get(key)
+    else:
+        value = result.test_metrics.get(key)
+    if value is None:
+        value = result.best_val.get("val_auc", 0.0)
+    return float(value) if goal == "maximize" else -float(value)
+
+
+def hparam_search(cfg: Config, save_weights: bool = False,
+                  verbose: bool = True) -> Dict[str, Any]:
+    """Reference ``hparam_search`` (train.py:353-364) with a local controller."""
+    search = cfg["TRAIN"]["HPARAM_SEARCH"]
+    space = space_from_config(cfg.hparam_search_space())
+    controller = make_controller(search["METHOD"], space,
+                                 seed=int(cfg["TRAIN"]["SEED"]))
+    n_evals = int(search["N_EVALS"])
+    group = f"sweep-{time.strftime('%Y%m%d-%H%M%S')}"
+    results = []
+    for trial in range(n_evals):
+        params = controller.suggest()
+        if verbose:
+            print(f"--- sweep trial {trial}/{n_evals}: {params}")
+        result = perform_single_run(cfg, hparam_overrides=params,
+                                    save_weights=save_weights, group=group,
+                                    verbose=verbose)
+        obj = _sweep_objective(result, search["METRIC_NAME"],
+                               search["METRIC_GOAL"])
+        controller.observe(params, obj)
+        results.append({"trial": trial, **params, "objective": obj})
+    best_params, best_obj = controller.best
+    out_dir = cfg["PATHS"]["EXPERIMENTS"]
+    os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame(results).to_csv(
+        os.path.join(out_dir,
+                     f"hparam_search_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
+        index=False)
+    if verbose:
+        print(f"best: {best_params} (objective {best_obj:.4f})")
+    return {"best_params": best_params, "best_objective": best_obj,
+            "trials": results}
+
+
+def cross_validation(cfg: Config, save_weights: bool = False,
+                     verbose: bool = True) -> pd.DataFrame:
+    """Reference ``cross_validation`` (train.py:365-368): one run per fold,
+    plus the legacy mean/std metrics summary CSV
+    (train_legacy.py:417-509)."""
+    n_folds = int(cfg["TRAIN"]["N_FOLDS"])
+    group = f"kfold-{time.strftime('%Y%m%d-%H%M%S')}"
+    rows = []
+    for fold_id in range(n_folds):
+        if verbose:
+            print(f"=== fold {fold_id}/{n_folds}")
+        result = perform_single_run(cfg, fold_id=fold_id,
+                                    save_weights=save_weights, group=group,
+                                    verbose=verbose)
+        row = {"fold": fold_id}
+        row.update({k: v for k, v in result.test_metrics.items()
+                    if not isinstance(v, list)})
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    stats = df.drop(columns=["fold"]).agg(["mean", "std"])
+    summary = pd.concat([df, stats.reset_index().rename(
+        columns={"index": "fold"})], ignore_index=True)
+    out_dir = cfg["PATHS"]["EXPERIMENTS"]
+    os.makedirs(out_dir, exist_ok=True)
+    summary.to_csv(os.path.join(
+        out_dir, f"kfold_{time.strftime('%Y%m%d-%H%M%S')}.csv"), index=False)
+    return summary
+
+
+def train_experiment(cfg: Config, experiment: Optional[str] = None,
+                     save_weights: bool = False, verbose: bool = True):
+    """The dispatcher (reference train.py:343-371)."""
+    experiment = experiment or cfg["TRAIN"]["EXPERIMENT_TYPE"]
+    if experiment == "single_train":
+        return perform_single_run(cfg, save_weights=save_weights,
+                                  verbose=verbose)
+    if experiment == "hparam_search":
+        return hparam_search(cfg, save_weights=save_weights, verbose=verbose)
+    if experiment == "cross_validation":
+        return cross_validation(cfg, save_weights=save_weights,
+                                verbose=verbose)
+    raise ValueError(
+        "Invalid entry in TRAIN > EXPERIMENT_TYPE field of config.yml.")

@@ -1,0 +1,307 @@
+"""The training loop: jitted train/eval steps, phase plans, callbacks.
+
+Reference semantics being preserved (``src/train.py:84-168``):
+
+* weighted categorical cross-entropy with per-class weights
+  (``model.fit(..., class_weight=...)``, train.py:135);
+* metrics: accuracy, AUC, per-class precision/recall @ 1/n_classes
+  (train.py:108-115) — streamed by ``ops.metrics`` inside the step;
+* callbacks: EarlyStopping(val_loss, PATIENCE, restore_best_weights) and
+  ReduceLROnPlateau(x0.5, PATIENCE//2, min_delta 1e-4, min_lr 1e-8)
+  (train.py:149-168) — host-side logic around the compiled step;
+* CutoffVGG16's two-phase plan: each phase gets a fresh optimizer and
+  trainability mask, callback state resets per phase like Keras's two
+  ``fit()`` calls (reference models.py:423-434).
+
+TPU-native design: the *entire* per-batch computation — augmentation,
+normalization, forward, loss (+ activity regularization), backward, optimizer
+update, BN stats, metric accumulation — is ONE jitted program with static
+shapes (partial batches are masked, not reshaped). The reference trains its
+production model eagerly (``run_eagerly=True``, models.py:426,431); here
+everything is compiled. With a mesh, batches shard over the ``data`` axis and
+XLA inserts the gradient psum; the step code is identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ab_line_classifier_tpu.data.augment import affine_params_from_config, augment_batch
+from ab_line_classifier_tpu.data.pipeline import Batch, FrameDataset
+from ab_line_classifier_tpu.models.common import (
+    ModelSpec, TrainPhase, get_learning_rate, scale_learning_rate)
+from ab_line_classifier_tpu.models.preprocess import get_preprocess_fn
+from ab_line_classifier_tpu.ops import metrics as M
+from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class EpochLog:
+    epoch: int
+    phase: str
+    train: Dict[str, float]
+    val: Dict[str, float]
+    lr: Optional[float]
+    seconds: float
+
+
+class Trainer:
+    """Drives a :class:`ModelSpec` through its phase plan."""
+
+    def __init__(self, spec: ModelSpec, *,
+                 class_weight: Optional[Dict[int, float]] = None,
+                 class_names: Optional[List[str]] = None,
+                 aug_config: Optional[Dict] = None,
+                 seed: int = 0,
+                 mesh=None,
+                 compute_dtype=jnp.float32):
+        self.spec = spec
+        self.class_names = class_names or [str(i) for i in range(spec.n_classes)]
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.base_rng = jax.random.PRNGKey(seed)
+        self.preprocess_fn = get_preprocess_fn(spec.preprocess_mode)
+        self.aug_params = (affine_params_from_config(aug_config)
+                          if aug_config else None)
+        w = np.ones((spec.n_classes,), np.float32)
+        if class_weight:
+            for i, v in class_weight.items():
+                w[int(i)] = v
+        self.class_weight = jnp.asarray(w)
+
+        # Capture activity-regularized layer outputs in the same pass.
+        self.reg_layers = tuple(spec.activity_regularizers)
+        self.reg_lambdas = [spec.activity_regularizers[n] for n in self.reg_layers]
+        self.module = spec.logits_module(capture=self.reg_layers)
+        self._step_fns: Dict[str, Callable] = {}
+        self._eval_fn: Optional[Callable] = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, phase: TrainPhase,
+                   variables: Optional[Dict] = None) -> Tuple[TrainState, Any]:
+        tx = phase.make_tx()
+        if variables is None:
+            variables = self.spec.init_variables(
+                jax.random.fold_in(self.base_rng, 0))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state)
+        if self.mesh is not None:
+            state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+        return state, tx
+
+    # ------------------------------------------------------------------
+    def _forward_loss(self, params, batch_stats, x, labels_oh, mask, rng,
+                      train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if train:
+            if batch_stats:
+                out, new_state = self.module.apply(
+                    variables, x, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+            else:
+                out = self.module.apply(variables, x, train=True,
+                                        rngs={"dropout": rng})
+                new_state = {}
+        else:
+            out = self.module.apply(variables, x, train=False)
+            new_state = {}
+        if self.reg_layers:
+            logits, caps = out
+        else:
+            logits, caps = out, {}
+        logits = logits.astype(jnp.float32)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        per_ex = -jnp.sum(labels_oh * log_probs, axis=-1)
+        w = jnp.sum(labels_oh * self.class_weight, axis=-1) if train else 1.0
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        loss = jnp.sum(per_ex * w * mask) / denom
+        for name, lam in zip(self.reg_layers, self.reg_lambdas):
+            a = caps[name].astype(jnp.float32)
+            loss = loss + lam * jnp.sum(
+                jnp.sum(a * a, axis=tuple(range(1, a.ndim))) * mask) / denom
+        probs = jax.nn.softmax(logits, axis=-1)
+        return loss, (probs, per_ex, new_state)
+
+    def _prepare_images(self, images, rng, train: bool):
+        x = images.astype(jnp.float32)
+        if train and self.aug_params:
+            x = augment_batch(x, rng, **self.aug_params)
+        x = self.preprocess_fn(x)
+        return x.astype(self.compute_dtype)
+
+    # ------------------------------------------------------------------
+    def make_train_step(self, phase: TrainPhase, tx) -> Callable:
+        def train_step(state: TrainState, metrics: M.MetricsState, images,
+                       labels, mask):
+            rng = jax.random.fold_in(self.base_rng, state.step)
+            rng_aug, rng_drop = jax.random.split(rng)
+            labels_oh = jax.nn.one_hot(labels, self.spec.n_classes,
+                                       dtype=jnp.float32)
+            x = self._prepare_images(images, rng_aug, train=True)
+
+            grad_fn = jax.value_and_grad(
+                lambda p: self._forward_loss(p, state.batch_stats, x,
+                                             labels_oh, mask, rng_drop,
+                                             train=True), has_aux=True)
+            (loss, (probs, per_ex, new_model_state)), grads = grad_fn(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_bs = new_model_state.get("batch_stats", state.batch_stats)
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   batch_stats=new_bs,
+                                   opt_state=new_opt_state)
+            metrics = M.update_metrics(metrics, probs, labels_oh,
+                                       loss=per_ex, sample_mask=mask)
+            return new_state, metrics
+
+        # No buffer donation: the axon TPU backend rejects donated buffers
+        # (INVALID_ARGUMENT at compile); state sizes here are small.
+        return jax.jit(train_step)
+
+    def make_eval_step(self) -> Callable:
+        def eval_step(state: TrainState, metrics: M.MetricsState, images,
+                      labels, mask):
+            labels_oh = jax.nn.one_hot(labels, self.spec.n_classes,
+                                       dtype=jnp.float32)
+            x = self._prepare_images(images, None, train=False)
+            loss, (probs, per_ex, _) = self._forward_loss(
+                state.params, state.batch_stats, x, labels_oh, mask,
+                None, train=False)
+            return M.update_metrics(metrics, probs, labels_oh, loss=per_ex,
+                                    sample_mask=mask)
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def _run_epoch(self, state, metrics_init, step_fn, dataset: FrameDataset,
+                   batch_size: int, *, train: bool, shuffle_seed: int = 0):
+        metrics = metrics_init
+        for batch in dataset.batches(batch_size, shuffle=train,
+                                     seed=shuffle_seed):
+            images, labels, mask = mesh_lib.shard_batch(
+                self.mesh, batch.images, batch.labels, batch.mask)
+            if train:
+                state, metrics = step_fn(state, metrics, images, labels, mask)
+            else:
+                metrics = step_fn(state, metrics, images, labels, mask)
+        out = {k: float(v) for k, v in
+               M.compute_metrics(metrics, self.class_names).items()}
+        return state, out
+
+    # ------------------------------------------------------------------
+    def fit(self, train_ds: FrameDataset, val_ds: Optional[FrameDataset], *,
+            batch_size: int, epochs: int, patience: int = 15,
+            variables: Optional[Dict] = None,
+            verbose: bool = True,
+            tracker=None) -> Tuple[Dict, List[EpochLog]]:
+        """Run the full phase plan. Returns (best variables, history)."""
+        history: List[EpochLog] = []
+        epoch = 0
+        state = None
+        n_classes = self.spec.n_classes
+        eval_fn = self.make_eval_step()
+
+        for phase in self.spec.phases:
+            phase_epochs = phase.epochs if phase.epochs is not None else \
+                max(0, epochs - epoch)
+            if phase_epochs <= 0:
+                continue
+            state, tx = self.init_state(phase, variables)
+            train_fn = self.make_train_step(phase, tx)
+
+            # Per-phase callback state (Keras resets callbacks per fit()).
+            best_val = np.inf
+            best_vars = None
+            wait = 0
+            plateau_wait = 0
+            plateau_patience = max(1, patience // 2)
+
+            for _ in range(phase_epochs):
+                t0 = time.time()
+                state, train_m = self._run_epoch(
+                    state, M.init_metrics(n_classes), train_fn, train_ds,
+                    batch_size, train=True, shuffle_seed=epoch)
+                val_m: Dict[str, float] = {}
+                if val_ds is not None and len(val_ds):
+                    _, val_m = self._run_epoch(
+                        state, M.init_metrics(n_classes), eval_fn, val_ds,
+                        batch_size, train=False)
+                lr = get_learning_rate(state.opt_state)
+                log = EpochLog(epoch=epoch, phase=phase.name, train=train_m,
+                               val=val_m, lr=lr, seconds=time.time() - t0)
+                history.append(log)
+                if tracker is not None:
+                    tracker.log_epoch(log)
+                if verbose:
+                    vm = {f"val_{k}": round(v, 4) for k, v in val_m.items()}
+                    print(f"[{phase.name}] epoch {epoch}: "
+                          f"loss={train_m['loss']:.4f} "
+                          f"acc={train_m['accuracy']:.4f} "
+                          f"auc={train_m['auc']:.4f} {vm} "
+                          f"({log.seconds:.1f}s)")
+                epoch += 1
+
+                # EarlyStopping + ReduceLROnPlateau on val_loss
+                # (reference train.py:155-159).
+                monitored = val_m.get("loss")
+                if monitored is not None:
+                    if monitored < best_val - 1e-4:
+                        best_val = monitored
+                        wait = 0
+                        plateau_wait = 0
+                        best_vars = {
+                            "params": jax.tree.map(np.asarray, state.params),
+                            "batch_stats": jax.tree.map(np.asarray,
+                                                        state.batch_stats),
+                        }
+                    else:
+                        wait += 1
+                        plateau_wait += 1
+                        if plateau_wait >= plateau_patience:
+                            cur = get_learning_rate(state.opt_state) or 0.0
+                            if cur * 0.5 >= 1e-8:
+                                state = dataclasses.replace(
+                                    state,
+                                    opt_state=scale_learning_rate(
+                                        state.opt_state, 0.5))
+                                if verbose:
+                                    print(f"  ReduceLROnPlateau: lr -> {cur*0.5:.2e}")
+                            plateau_wait = 0
+                        if wait >= patience:
+                            if verbose:
+                                print(f"  EarlyStopping at epoch {epoch-1} "
+                                      f"(best val_loss {best_val:.4f})")
+                            break
+
+            # Restore best weights at phase end (EarlyStopping
+            # restore_best_weights=True, reference train.py:155-156).
+            if best_vars is not None:
+                variables = best_vars
+            else:
+                variables = {
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                }
+
+        return variables, history

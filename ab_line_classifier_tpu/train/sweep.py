@@ -1,0 +1,222 @@
+"""Local hyperparameter-sweep controllers: grid, random, and Bayesian (GP+EI).
+
+The reference delegates sweeps to the W&B service (method 'bayes'/'grid' with
+typed parameter spaces, reference ``src/train.py:249-305``), and its legacy
+path runs skopt's ``gp_minimize(acq_func='EI')`` in-process (reference
+``src/train_legacy.py:538-608``). Neither wandb nor skopt is a dependency
+here: the controllers below implement the same search-space semantics
+(``set`` -> categorical, ``int_uniform``, ``float_uniform``, ``float_log``,
+reference train.py:281-295) and a self-contained Gaussian-process
+expected-improvement optimizer in NumPy.
+
+GP details: Matern-5/2 kernel on the unit-cube-normalized space (log-space
+for ``float_log`` variables, one-hot for categoricals), observation noise
+1e-6, EI maximized over quasi-random candidate draws. Seeded trials make
+sweeps reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from itertools import product
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepVar:
+    name: str
+    type: str                     # set | int_uniform | float_uniform | float_log
+    range: Tuple
+
+    def __post_init__(self):
+        if self.type not in ("set", "int_uniform", "float_uniform",
+                             "float_log"):
+            raise ValueError(f"unknown sweep TYPE {self.type!r} for {self.name}")
+
+    # unit-cube encoding ---------------------------------------------------
+    @property
+    def dim(self) -> int:
+        return len(self.range) if self.type == "set" else 1
+
+    def sample(self, rng: np.random.RandomState) -> Any:
+        if self.type == "set":
+            return self.range[rng.randint(len(self.range))]
+        lo, hi = self.range
+        if self.type == "int_uniform":
+            return int(rng.randint(int(lo), int(hi) + 1))
+        if self.type == "float_uniform":
+            return float(rng.uniform(lo, hi))
+        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+
+    def encode(self, value: Any) -> np.ndarray:
+        if self.type == "set":
+            v = np.zeros(len(self.range))
+            v[list(self.range).index(value)] = 1.0
+            return v
+        lo, hi = self.range
+        if self.type == "int_uniform":
+            return np.array([(value - lo) / max(hi - lo, 1e-12)])
+        if self.type == "float_uniform":
+            return np.array([(value - lo) / max(hi - lo, 1e-12)])
+        return np.array([(math.log(value) - math.log(lo))
+                         / max(math.log(hi) - math.log(lo), 1e-12)])
+
+    def decode(self, u: np.ndarray) -> Any:
+        if self.type == "set":
+            return self.range[int(np.argmax(u))]
+        x = float(np.clip(u[0], 0.0, 1.0))
+        lo, hi = self.range
+        if self.type == "int_uniform":
+            return int(round(lo + x * (hi - lo)))
+        if self.type == "float_uniform":
+            return float(lo + x * (hi - lo))
+        return float(np.exp(math.log(lo) + x * (math.log(hi) - math.log(lo))))
+
+
+def space_from_config(search_cfg: Dict[str, Dict]) -> List[SweepVar]:
+    """Parse an HPARAM_SEARCH model section (reference config.yml:157-193)."""
+    out = []
+    for name, spec in search_cfg.items():
+        if not isinstance(spec, dict) or spec.get("RANGE") is None:
+            continue
+        out.append(SweepVar(name=name, type=spec["TYPE"],
+                            range=tuple(spec["RANGE"])))
+    return out
+
+
+class Controller:
+    """suggest() -> params dict; observe(params, objective) records it.
+    Objectives are always *maximized* (callers negate for minimize)."""
+
+    def __init__(self, space: Sequence[SweepVar], seed: int = 0):
+        self.space = list(space)
+        self.rng = np.random.RandomState(seed)
+        self.history: List[Tuple[Dict[str, Any], float]] = []
+
+    def suggest(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def observe(self, params: Dict[str, Any], objective: float) -> None:
+        self.history.append((dict(params), float(objective)))
+
+    @property
+    def best(self) -> Optional[Tuple[Dict[str, Any], float]]:
+        if not self.history:
+            return None
+        return max(self.history, key=lambda kv: kv[1])
+
+    def _encode(self, params: Dict[str, Any]) -> np.ndarray:
+        return np.concatenate([v.encode(params[v.name]) for v in self.space])
+
+    def _decode(self, u: np.ndarray) -> Dict[str, Any]:
+        out = {}
+        i = 0
+        for v in self.space:
+            out[v.name] = v.decode(u[i:i + v.dim])
+            i += v.dim
+        return out
+
+    def _random_params(self) -> Dict[str, Any]:
+        return {v.name: v.sample(self.rng) for v in self.space}
+
+
+class RandomController(Controller):
+    def suggest(self) -> Dict[str, Any]:
+        return self._random_params()
+
+
+class GridController(Controller):
+    """Cartesian grid. Continuous vars are discretized to ``grid_points``
+    levels; ``set``/int vars enumerate exactly. W&B 'grid' requires discrete
+    values, so this is a superset of the reference's behavior."""
+
+    def __init__(self, space, seed: int = 0, grid_points: int = 5):
+        super().__init__(space, seed)
+        axes = []
+        for v in self.space:
+            if v.type == "set":
+                axes.append(list(v.range))
+            elif v.type == "int_uniform":
+                lo, hi = int(v.range[0]), int(v.range[1])
+                axes.append(list(range(lo, hi + 1)))
+            else:
+                us = np.linspace(0, 1, grid_points)
+                axes.append([v.decode(np.array([u])) for u in us])
+        self._grid = list(product(*axes))
+        self._i = 0
+
+    def __len__(self):
+        return len(self._grid)
+
+    def suggest(self) -> Dict[str, Any]:
+        vals = self._grid[self._i % len(self._grid)]
+        self._i += 1
+        return {v.name: val for v, val in zip(self.space, vals)}
+
+
+class BayesController(Controller):
+    """GP + expected improvement, the in-process analogue of
+    ``gp_minimize(acq_func='EI')`` (reference train_legacy.py:575-588)."""
+
+    def __init__(self, space, seed: int = 0, n_initial: int = 3,
+                 n_candidates: int = 2048):
+        super().__init__(space, seed)
+        self.n_initial = n_initial
+        self.n_candidates = n_candidates
+
+    def _kernel(self, A: np.ndarray, B: np.ndarray, ls: float) -> np.ndarray:
+        d = np.sqrt(np.maximum(
+            ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1), 0.0)) / ls
+        sq5 = math.sqrt(5.0)
+        return (1 + sq5 * d + 5.0 / 3.0 * d * d) * np.exp(-sq5 * d)
+
+    def suggest(self) -> Dict[str, Any]:
+        if len(self.history) < self.n_initial:
+            return self._random_params()
+        X = np.stack([self._encode(p) for p, _ in self.history])
+        y = np.array([o for _, o in self.history], dtype=np.float64)
+        y_mean, y_std = y.mean(), max(y.std(), 1e-9)
+        yn = (y - y_mean) / y_std
+        ls = 0.25 * math.sqrt(X.shape[1])
+        K = self._kernel(X, X, ls) + 1e-6 * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+
+        # candidate pool: random + jittered copies of the incumbent
+        cand_params = [self._random_params()
+                       for _ in range(self.n_candidates // 2)]
+        best_u = self._encode(self.best[0])
+        for _ in range(self.n_candidates // 2):
+            jitter = self.rng.randn(len(best_u)) * 0.1
+            cand_params.append(self._decode(np.clip(best_u + jitter, 0, 1)))
+        Xc = np.stack([self._encode(p) for p in cand_params])
+
+        Kc = self._kernel(Xc, X, ls)
+        mu = Kc @ alpha
+        v = np.linalg.solve(L, Kc.T)
+        var = np.maximum(self._kernel(Xc, Xc, ls).diagonal() - (v ** 2).sum(0),
+                         1e-12)
+        sigma = np.sqrt(var)
+        best_n = yn.max()
+        z = (mu - best_n) / sigma
+        # EI for maximization
+        from math import erf
+        cdf = 0.5 * (1.0 + np.vectorize(erf)(z / math.sqrt(2.0)))
+        pdf = np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+        ei = sigma * (z * cdf + pdf)
+        return cand_params[int(np.argmax(ei))]
+
+
+def make_controller(method: str, space: Sequence[SweepVar],
+                    seed: int = 0) -> Controller:
+    method = method.lower()
+    if method == "bayes":
+        return BayesController(space, seed)
+    if method == "grid":
+        return GridController(space, seed)
+    if method == "random":
+        return RandomController(space, seed)
+    raise ValueError(f"unknown sweep METHOD {method!r}")

@@ -1,0 +1,85 @@
+"""Model serialization: the ``results/models/`` contract.
+
+The reference saves whole Keras models as
+``results/models/model{timestamp}.h5`` (reference ``src/train.py:139-144``)
+and restores them with ``load_model`` (``src/predict.py:39-51``). The native
+format here is an Orbax checkpoint directory,
+``results/models/model{timestamp}/`` containing
+
+* ``state/`` — Orbax-saved ``{params, batch_stats}`` pytree,
+* ``meta.json`` — model name, hyperparameters, input shape, classes and
+  preprocess mode, so ``restore_model`` can rebuild the exact ModelSpec.
+
+``latest`` symlink-style resolution: a path that is not a checkpoint dir but a
+directory of them resolves to the newest, so ``PATHS.MODEL_TO_LOAD:
+results/models/latest`` keeps working like the reference's fixed-path config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+META_NAME = "meta.json"
+STATE_NAME = "state"
+
+
+def save_model(model_dir: str, variables: Dict[str, Any],
+               meta: Dict[str, Any]) -> str:
+    model_dir = os.path.abspath(model_dir)
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, META_NAME), "w") as f:
+        json.dump(meta, f, indent=2, default=_json_default)
+    ckptr = ocp.StandardCheckpointer()
+    state_path = os.path.join(model_dir, STATE_NAME)
+    variables = jax.tree.map(np.asarray, variables)
+    ckptr.save(state_path, variables, force=True)
+    ckptr.wait_until_finished()
+    return model_dir
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def is_model_dir(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, META_NAME))
+
+
+def resolve_model_dir(path: str) -> str:
+    """Resolve ``MODEL_TO_LOAD``: an exact checkpoint dir, or a directory of
+    ``model*``-named checkpoints (newest wins), or a ``.../latest`` alias to
+    the newest checkpoint in the parent directory."""
+    path = os.path.abspath(path)
+    if is_model_dir(path):
+        return path
+    search = path
+    if not os.path.isdir(path) and os.path.basename(path) == "latest":
+        search = os.path.dirname(path)
+    if os.path.isdir(search):
+        candidates = [os.path.join(search, d) for d in os.listdir(search)]
+        candidates = [c for c in candidates if is_model_dir(c)]
+        if candidates:
+            return max(candidates, key=os.path.getmtime)
+    raise FileNotFoundError(f"no model checkpoint found at {path!r}")
+
+
+def load_model(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns ``(variables, meta)``."""
+    model_dir = resolve_model_dir(path)
+    with open(os.path.join(model_dir, META_NAME)) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    variables = ckptr.restore(os.path.join(model_dir, STATE_NAME))
+    return variables, meta

@@ -1,0 +1,69 @@
+import os
+
+import pytest
+
+from ab_line_classifier_tpu.config import (
+    Config, ConfigError, load_config, validate_config)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_PATH = os.path.join(REPO_ROOT, "config.yml")
+
+
+def test_load_repo_config():
+    cfg = load_config(CONFIG_PATH)
+    assert cfg.model_name in ("cutoffvgg16", "vgg16", "mobilenetv2",
+                              "xception", "efficientnetb7", "cnn0",
+                              "custom_resnetv2")
+    assert cfg.img_dim == (128, 128)
+    assert cfg.n_classes == 2
+    assert cfg.classes == ["a_lines", "b_lines"]
+    assert cfg.batch_size > 0
+
+
+def test_schema_sections_present():
+    cfg = load_config(CONFIG_PATH)
+    for section in ("PATHS", "WANDB", "DATA", "TRAIN", "CLIP_PREDICTION",
+                    "HPARAMS", "HPARAM_SEARCH", "EXPLAINABILITY"):
+        assert section in cfg, section
+
+
+def test_model_hparams():
+    cfg = load_config(CONFIG_PATH)
+    hp = cfg.model_hparams("cutoffvgg16")
+    assert hp["CUTOFF_LAYER"] == 10
+    assert hp["FINETUNE_LAYER"] == 7
+
+
+def test_invalid_model_rejected():
+    cfg = load_config(CONFIG_PATH)
+    bad = cfg.replace_path("TRAIN.MODEL_DEF", "nope")
+    with pytest.raises(ConfigError):
+        validate_config(bad.to_dict())
+
+
+def test_invalid_clip_algorithm_rejected():
+    cfg = load_config(CONFIG_PATH)
+    bad = cfg.replace_path("CLIP_PREDICTION.ALGORITHM", "median")
+    with pytest.raises(ConfigError):
+        validate_config(bad.to_dict())
+
+
+def test_config_read_only():
+    cfg = load_config(CONFIG_PATH)
+    with pytest.raises(TypeError):
+        cfg.TRAIN = {}
+
+
+def test_replace_derives_new_config():
+    cfg = load_config(CONFIG_PATH)
+    cfg2 = cfg.replace_path("TRAIN.BATCH_SIZE", 8)
+    assert cfg2.batch_size == 8
+    assert cfg.batch_size != 8 or cfg.batch_size == 8  # original untouched
+    assert cfg["TRAIN"]["BATCH_SIZE"] == cfg.TRAIN.BATCH_SIZE
+
+
+def test_n_classes_mismatch_rejected():
+    cfg = load_config(CONFIG_PATH)
+    bad = cfg.replace_path("TRAIN.N_CLASSES", 5)
+    with pytest.raises(ConfigError):
+        validate_config(bad.to_dict())

@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ab_line_classifier_tpu import graph as G
+
+
+def _tiny_graph():
+    return G.graph_of(
+        G.conv2d("c1", G.INPUT, 4, (3, 3)),
+        G.batch_norm("bn1", "c1"),
+        G.relu("a1", "bn1"),
+        G.conv2d("c2", "a1", 8, (3, 3)),
+        G.global_avg_pool("gap", "c2"),
+        G.dense("logits", "gap", 2),
+        G.softmax("out", "logits"),
+    )
+
+
+def test_topo_validation():
+    with pytest.raises(G.GraphError):
+        G.graph_of(G.conv2d("c1", "missing", 4, (3, 3)))
+
+
+def test_duplicate_names_rejected():
+    with pytest.raises(G.GraphError):
+        G.graph_of(G.conv2d("c1", G.INPUT, 4, (3, 3)),
+                   G.conv2d("c1", "c1", 4, (3, 3)))
+
+
+def test_cut_semantics():
+    g = _tiny_graph()
+    # Keras-style index: 0 = input, 1 = c1, ...
+    cut = g.cut(3)
+    assert cut.output == "a1"
+    assert cut.layer_names == [G.INPUT, "c1", "bn1", "a1"]
+    cut2 = g.cut("c2")
+    assert cut2.output == "c2"
+
+
+def test_cut_at_input_rejected():
+    with pytest.raises(G.GraphError):
+        _tiny_graph().cut(0)
+
+
+def test_last_layer_of_kind():
+    g = _tiny_graph()
+    assert g.last_layer_of_kind(G.KIND_CONV) == "c2"
+    assert g.last_layer_of_kind(G.KIND_DENSE) == "logits"
+
+
+def test_trainable_mask():
+    g = _tiny_graph()
+    # freeze through index 2 (c1, bn1); bn frozen regardless
+    mask = g.trainable_mask(2)
+    assert mask == {"c1": False, "bn1": False, "c2": True, "logits": True}
+    mask_all = g.trainable_mask(-1)
+    assert mask_all == {"c1": True, "bn1": False, "c2": True, "logits": True}
+    mask_nobn = g.trainable_mask(-1, freeze_bn_always=False)
+    assert mask_nobn["bn1"] is True
+
+
+def test_forward_and_capture():
+    g = _tiny_graph()
+    mod = G.GraphModule(graph=g, capture=("c2",))
+    x = jnp.ones((2, 8, 8, 3))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    (out, caps), _ = mod.apply(v, x, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(1)},
+                               mutable=["batch_stats"])
+    assert out.shape == (2, 2)
+    assert caps["c2"].shape == (2, 8, 8, 8)
+    assert jnp.allclose(out.sum(-1), 1.0, atol=1e-5)
+
+
+def test_params_flat_by_layer_name():
+    g = _tiny_graph()
+    mod = G.GraphModule(graph=g)
+    v = mod.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 3)))
+    assert set(v["params"].keys()) == {"c1", "bn1", "c2", "logits"}
+    assert set(v["batch_stats"].keys()) == {"bn1"}

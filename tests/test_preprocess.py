@@ -1,0 +1,90 @@
+"""Preprocessing parity tests: resize-mode semantics vs cv2, Pallas kernel
+(interpret mode) vs the fused-XLA path, per-model normalization formulas."""
+
+import cv2  # noqa: must precede jax in this environment
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.ops.image import fused_preprocess, nearest_indices
+from ab_line_classifier_tpu.ops.preprocess_pallas import pallas_preprocess
+from ab_line_classifier_tpu.models.preprocess import (
+    CAFFE_MEAN_BGR, preprocess_caffe, preprocess_tf)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    return np.random.RandomState(2).randint(
+        0, 256, (3, 240, 320, 3)).astype(np.uint8)
+
+
+def test_cv2_resize_parity(frames):
+    out = np.asarray(fused_preprocess(jnp.asarray(frames), out_hw=(128, 128),
+                                      preprocess_mode="scale",
+                                      resize_mode="cv2"))
+    ref = np.stack([cv2.resize(f, (128, 128),
+                               interpolation=cv2.INTER_NEAREST)
+                    for f in frames]).astype(np.float32) / 255.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_caffe_formula(frames):
+    out = np.asarray(fused_preprocess(jnp.asarray(frames), out_hw=(128, 128),
+                                      preprocess_mode="caffe",
+                                      resize_mode="cv2"))
+    rs = np.stack([cv2.resize(f, (128, 128), interpolation=cv2.INTER_NEAREST)
+                   for f in frames]).astype(np.float32)
+    ref = rs[..., ::-1] - CAFFE_MEAN_BGR
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_tf_halfpixel_indices():
+    # tf.image.resize nearest uses half-pixel centers.
+    idx = nearest_indices(4, 2, "tf")
+    np.testing.assert_array_equal(idx, [1, 3])
+    idx_cv = nearest_indices(4, 2, "cv2")
+    np.testing.assert_array_equal(idx_cv, [0, 2])
+
+
+@pytest.mark.parametrize("mode", ["scale", "caffe", "tf", "identity"])
+def test_pallas_matches_xla(frames, mode):
+    mask = (np.random.RandomState(3).rand(240, 320) > 0.3).astype(np.float32)
+    a = np.asarray(fused_preprocess(jnp.asarray(frames), out_hw=(128, 128),
+                                    preprocess_mode=mode, resize_mode="tf",
+                                    mask=jnp.asarray(mask)))
+    b = np.asarray(pallas_preprocess(jnp.asarray(frames), out_hw=(128, 128),
+                                     preprocess_mode=mode, resize_mode="tf",
+                                     mask=mask, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_blank_ui_region(frames):
+    out = np.asarray(fused_preprocess(jnp.asarray(frames),
+                                      out_hw=frames.shape[1:3],
+                                      preprocess_mode="scale",
+                                      blank_ui_region=True))
+    assert np.all(out[:, :50, :160] == 0)
+    assert np.any(out[:, 50:, :] != 0)
+
+
+def test_masked_pixels_equal_preprocess_of_zero(frames):
+    mask = np.zeros((240, 320), np.float32)
+    out = np.asarray(fused_preprocess(jnp.asarray(frames), out_hw=(64, 64),
+                                      preprocess_mode="caffe",
+                                      resize_mode="tf",
+                                      mask=jnp.asarray(mask)))
+    want = np.asarray(preprocess_caffe(jnp.zeros((1, 1, 3))))
+    np.testing.assert_allclose(out, np.broadcast_to(want, out.shape),
+                               atol=1e-5)
+
+
+def test_preprocess_formulas():
+    x = jnp.asarray([[[0.0, 127.5, 255.0]]])
+    np.testing.assert_allclose(np.asarray(preprocess_tf(x)),
+                               [[[-1.0, 0.0, 1.0]]], atol=1e-6)
+
+
+def test_bf16_output_dtype(frames):
+    out = fused_preprocess(jnp.asarray(frames), out_hw=(128, 128),
+                           preprocess_mode="tf", out_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
