@@ -66,7 +66,9 @@ def _selection_mats(src_hw: Tuple[int, int], dst_hw: Tuple[int, int],
 def _preprocess_kernel(img_ref, rsel_ref, csel_ref, scale_ref, bias_ref,
                        mask_ref, out_ref):
     """One grid step = one frame. img [1, H_src, W_src*3] uint8."""
-    img = img_ref[0].astype(jnp.bfloat16)          # exact for 0..255
+    # Mosaic has no direct uint8->float cast; hop u8 -> i32 -> f32 -> bf16
+    # (exact for 0..255).
+    img = img_ref[0].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
     rsel = rsel_ref[:]                              # [H_out, H_src] bf16
     csel = csel_ref[:]                              # [W_src*3, W_out*3] bf16
     rows = jnp.dot(rsel, img, preferred_element_type=jnp.float32)

@@ -1,0 +1,192 @@
+"""Performance benchmark harness.
+
+Successor to the reference's ``clock_avg_runtime`` (reference
+``src/predict.py:425-448``), which timed single-image ``(1,128,128,3)``
+forwards in a Python loop. That measures dispatch overhead, not hardware.
+This harness measures what production serving measures:
+
+* ``clock_avg_runtime`` — kept for parity: warmup + timed single-image
+  forwards, mean ± std ms.
+* ``clip_inference_benchmark`` — the headline number: frames/sec/chip for
+  end-to-end clip inference (uint8 frames -> fused Pallas preprocess ->
+  bf16 forward -> softmax), batched and steady-state, device-synchronized
+  timing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.models.common import ModelSpec
+from ab_line_classifier_tpu.ops.preprocess_pallas import preprocess_frames
+
+
+def _build_flagship(model_name: str = "cutoffvgg16",
+                    img_dim: Tuple[int, int] = (128, 128),
+                    hparams: Optional[Dict] = None) -> ModelSpec:
+    defaults = {
+        "cutoffvgg16": {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6,
+                        "DROPOUT": 0.45, "CUTOFF_LAYER": 10,
+                        "FINETUNE_LAYER": 7, "EXTRACT_EPOCHS": 6},
+        "mobilenetv2": {"LR": 1e-4, "DROPOUT": 0.35, "L2_LAMBDA": 1e-3,
+                        "NODES_DENSE0": 32, "FREEZE_IDX": 116,
+                        "CUTOFF_IDX": 115},
+        "cnn0": {"LR": 1e-3, "DROPOUT": 0.35, "L2_LAMBDA": 1e-4,
+                 "NODES_DENSE0": 64, "KERNEL_SIZE": 3, "STRIDES": 1,
+                 "MAXPOOL_SIZE": 2, "BLOCKS": 4, "INIT_FILTERS": 32,
+                 "FILTER_EXP_BASE": 2},
+    }
+    hp = hparams or defaults.get(model_name)
+    if hp is None:
+        raise ValueError(f"no default hparams for {model_name!r}")
+    return build_model(model_name, hp, tuple(img_dim) + (3,), 2,
+                       mixed_precision=True)
+
+
+def clock_avg_runtime(n_warmup_runs: int = 10, n_experiment_runs: int = 50,
+                      model_name: str = "cutoffvgg16",
+                      img_dim: Tuple[int, int] = (128, 128),
+                      variables=None, spec: Optional[ModelSpec] = None,
+                      verbose: bool = True) -> Tuple[float, float]:
+    """Single-image latency, reference mechanism (predict.py:425-448):
+    returns (mean_ms, std_ms)."""
+    if spec is None:
+        spec = _build_flagship(model_name, img_dim)
+    if variables is None:
+        variables = spec.init_variables(jax.random.PRNGKey(0))
+    module = spec.module()
+    fwd = jax.jit(lambda v, x: module.apply(v, x, train=False))
+    rng = np.random.RandomState(0)
+    times = np.zeros(n_experiment_runs)
+    for i in range(n_warmup_runs):
+        x = jnp.asarray(rng.randn(1, *img_dim, 3), jnp.float32)
+        fwd(variables, x).block_until_ready()
+    for i in range(n_experiment_runs):
+        x = jnp.asarray(rng.randn(1, *img_dim, 3), jnp.float32)
+        t0 = time.perf_counter()
+        fwd(variables, x).block_until_ready()
+        times[i] = time.perf_counter() - t0
+    t_avg_ms = float(times.mean() * 1000)
+    t_std_ms = float(times.std() * 1000)
+    if verbose:
+        print(f"Average runtime = {t_avg_ms:.3f} ms, "
+              f"standard deviation = {t_std_ms:.3f} ms")
+    return t_avg_ms, t_std_ms
+
+
+def clip_inference_benchmark(model_name: str = "cutoffvgg16",
+                             batch_size: int = 512,
+                             img_dim: Tuple[int, int] = (128, 128),
+                             src_hw: Optional[Tuple[int, int]] = None,
+                             n_warmup: int = 5, n_iters: int = 30,
+                             variables=None,
+                             spec: Optional[ModelSpec] = None,
+                             use_pallas: Optional[bool] = None,
+                             verbose: bool = True) -> Dict[str, float]:
+    """Frames/sec/chip for end-to-end batched clip inference.
+
+    The measured program is the production serving path: device-resident
+    uint8 frames (as a decoded clip batch would be) -> fused preprocess
+    (resize if ``src_hw`` differs + normalize, Pallas on TPU) -> bf16
+    forward -> float32 softmax probabilities.
+    """
+    if spec is None:
+        spec = _build_flagship(model_name, img_dim)
+    if variables is None:
+        variables = spec.init_variables(jax.random.PRNGKey(0))
+    # Inference-only: pre-cast params to the compute dtype once.
+    bf16_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if isinstance(a, jnp.ndarray) and a.dtype == jnp.float32 else a,
+        variables)
+    module = spec.module()
+    src = tuple(src_hw or img_dim)
+
+    def serve(v, frames_u8):
+        x = preprocess_frames(frames_u8, out_hw=tuple(img_dim),
+                              preprocess_mode=spec.preprocess_mode,
+                              out_dtype=jnp.bfloat16, use_pallas=use_pallas)
+        return module.apply(v, x, train=False).astype(jnp.float32)
+
+    serve_jit = jax.jit(serve)
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (batch_size, *src, 3)),
+                         jnp.uint8)
+    for _ in range(n_warmup):
+        np.asarray(serve_jit(bf16_vars, frames))
+
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = serve_jit(bf16_vars, frames)
+        # Device->host copy of the final output: executions on one device are
+        # ordered, so this bounds the whole chain. (block_until_ready alone
+        # has returned early on this backend.)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    dt = timed(n_iters)
+    # Async-dispatch guard: timing must scale with iteration count. If
+    # doubling the iterations doesn't roughly double the time, the backend
+    # lied about completion — fall back to per-iteration materialization.
+    dt2 = timed(2 * n_iters)
+    if not (1.5 * dt <= dt2):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            np.asarray(serve_jit(bf16_vars, frames))
+        dt = time.perf_counter() - t0
+    else:
+        dt = dt2 / 2.0
+    fps = batch_size * n_iters / dt
+    result = {
+        "frames_per_sec": float(fps),
+        "batch_size": batch_size,
+        "ms_per_batch": float(dt / n_iters * 1000),
+        "model": model_name,
+    }
+    if verbose:
+        print(f"{model_name} clip inference: {fps:,.0f} frames/sec "
+              f"(batch {batch_size}, {result['ms_per_batch']:.2f} ms/batch)")
+    return result
+
+
+def training_throughput_benchmark(model_name: str = "cutoffvgg16",
+                                  batch_size: int = 256,
+                                  img_dim: Tuple[int, int] = (128, 128),
+                                  n_warmup: int = 3, n_iters: int = 10,
+                                  verbose: bool = True) -> Dict[str, float]:
+    """Frames/sec for the full jitted train step (fwd+bwd+update)."""
+    from ab_line_classifier_tpu.train.loop import Trainer
+    from ab_line_classifier_tpu.ops import metrics as M
+
+    spec = _build_flagship(model_name, img_dim)
+    trainer = Trainer(spec, seed=0, compute_dtype=jnp.bfloat16)
+    phase = spec.phases[-1]
+    state, tx = trainer.init_state(phase)
+    step = trainer.make_train_step(phase, tx)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (batch_size, *img_dim, 3)),
+                         jnp.uint8)
+    labels = jnp.asarray(rng.randint(0, 2, batch_size), jnp.int32)
+    mask = jnp.ones((batch_size,), jnp.float32)
+    metrics = M.init_metrics(2)
+    for _ in range(n_warmup):
+        state, metrics = step(state, metrics, images, labels, mask)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, metrics, images, labels, mask)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    fps = batch_size * n_iters / dt
+    if verbose:
+        print(f"{model_name} train step: {fps:,.0f} frames/sec "
+              f"(batch {batch_size})")
+    return {"train_frames_per_sec": float(fps), "batch_size": batch_size}
