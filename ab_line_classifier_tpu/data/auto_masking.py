@@ -1,0 +1,199 @@
+"""Ultrasound-beam auto-masking (reference ``src/data/auto_masking.py``).
+
+Scrubs raw clips of on-screen information extraneous to the ultrasound beam:
+a U-Net predicts beam-probability masks on a sample of frames, morphology
+cleans them, a majority vote forms the clip mask, and every frame is masked
+(optionally cropped to the beam bounding box).
+
+Reference behavior preserved (auto_masking.py:28-106): sample every
+``ceil(10%)``-th frame, grayscale + resize to 128x128 + /255, threshold 0.4,
+elliptical erode with the edge-preserve kernel then dilate with the 5%-height
+smoothing kernel, 5x5-smoothed majority average, bounding-box crop, jpg or
+mp4 output plus a ``mask.jpg`` per clip.
+
+TPU-native redesign: the reference runs ``model.predict`` one frame at a
+time and all morphology on host cv2. Here the sampled frames run as ONE
+batched U-Net forward and the threshold/morphology/majority chain is a
+single jitted program (``ops.morphology`` — morphology as MXU convolutions).
+Video file IO stays on host (cv2, deferred import: see the cv2/XLA
+import-order note).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ab_line_classifier_tpu.models.unet import UNet
+from ab_line_classifier_tpu.ops import morphology as M
+from ab_line_classifier_tpu.ops.image import nearest_indices
+
+logging.basicConfig(format="[%(levelname)s] %(message)s", level=logging.INFO)
+
+UNET_INPUT = (128, 128)
+
+
+class UnetSegmentation:
+    """Reference ``UnetSegmentation`` with a batched, jitted compute path."""
+
+    def __init__(self, model_path: Optional[str] = None,
+                 base_filters: int = 16):
+        import jax
+
+        self.model = UNet(base_filters=base_filters)
+        if model_path and os.path.isdir(model_path):
+            from ab_line_classifier_tpu.utils import checkpoint as ckpt
+            self.variables, _ = ckpt.load_model(model_path)
+        else:
+            if model_path:
+                logging.warning(
+                    "automask model %r not found; using random init "
+                    "(masks will be meaningless until trained)", model_path)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1,) + UNET_INPUT + (1,), np.float32))
+        self._predict = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False))
+
+    def get_bounding_box(self, binary_mask: np.ndarray):
+        """[min_i, max_i, min_j, max_j] (reference auto_masking.py:24-26)."""
+        return list(M.bounding_box(binary_mask))
+
+    # ------------------------------------------------------------------
+    def predict_masks(self, frames_u8: np.ndarray) -> np.ndarray:
+        """uint8 [B, H, W, 3] (or [B, H, W]) frames -> [B, 128, 128] beam
+        probabilities: grayscale + nearest resize + /255 + batched U-Net."""
+        import jax.numpy as jnp
+
+        x = np.asarray(frames_u8)
+        if x.ndim == 4:
+            # cv2 BGR2GRAY weights on RGB input ordering
+            x = (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                 + 0.114 * x[..., 2])
+        h, w = x.shape[1:3]
+        ridx = nearest_indices(h, UNET_INPUT[0], "cv2")
+        cidx = nearest_indices(w, UNET_INPUT[1], "cv2")
+        x = x[:, ridx][:, :, cidx].astype(np.float32) / 255.0
+        probs = self._predict(self.variables, jnp.asarray(x[..., None]))
+        return np.asarray(probs)[..., 0]
+
+    def clip_mask(self, sampled_frames_u8: np.ndarray,
+                  native_hw: Tuple[int, int],
+                  edge_preserve: float = 0.95
+                  ) -> Tuple[np.ndarray, list]:
+        """Compute the clip-level binary mask + bounding box from sampled
+        frames (the whole reference per-clip loop, auto_masking.py:63-91,
+        batched)."""
+        import jax.numpy as jnp
+
+        h, w = native_hw
+        probs = self.predict_masks(sampled_frames_u8)
+        # Upsample each 128x128 mask to native resolution (reference resizes
+        # the thresholded mask with cv2.resize, :78).
+        ridx = nearest_indices(UNET_INPUT[0], h, "cv2")
+        cidx = nearest_indices(UNET_INPUT[1], w, "cv2")
+        probs_native = probs[:, ridx][:, :, cidx]
+
+        kernel_size_s = max(int(h * (1 - edge_preserve)), 3)
+        kernel_size_b = max(int(h * 0.05), 3)
+        cleaned = M.clean_masks(jnp.asarray(probs_native),
+                                erode_size=kernel_size_s,
+                                dilate_size=kernel_size_b, threshold=0.4)
+        avg = np.asarray(M.majority_average_mask(cleaned))
+        return avg, self.get_bounding_box(avg)
+
+    # ------------------------------------------------------------------
+    def mask_frames(self, frames_u8: np.ndarray, mask: np.ndarray,
+                    bbox: Optional[list] = None) -> np.ndarray:
+        """Apply a clip mask to all frames (+ optional ROI crop)."""
+        out = frames_u8 * mask.astype(frames_u8.dtype)[None, :, :, None]
+        if bbox is not None:
+            out = out[:, bbox[0]:bbox[1], bbox[2]:bbox[3]]
+        return out
+
+    def predict(self, input_paths: str, output_path: str,
+                model_path: Optional[str] = None, output_format: str = "jpg",
+                edge_preserve: float = 0.95,
+                save_cropped_roi: bool = False) -> None:
+        """Reference CLI surface (auto_masking.py:28-106): walk mp4s under
+        ``input_paths``, write masked jpgs/mp4 + ``mask.jpg`` per clip."""
+        import cv2  # deferred; caller must respect cv2-before-jax ordering
+
+        video_files = glob.glob(input_paths + "/**/*.mp4", recursive=True)
+        os.makedirs(output_path, exist_ok=True)
+        os.makedirs(os.path.join(output_path, "bad_clips"), exist_ok=True)
+        for clip_index, file in enumerate(video_files):
+            tail = os.path.basename(file)
+            out_dir = os.path.join(output_path, tail[:-4])
+            os.makedirs(out_dir, exist_ok=True)
+
+            cap = cv2.VideoCapture(file)
+            num_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            fw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            fh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            fps = float(cap.get(cv2.CAP_PROP_FPS))
+
+            frames = []
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                frames.append(frame[..., ::-1])
+            cap.release()
+            if not frames:
+                logging.warning("no frames in %s", file)
+                continue
+            frames = np.stack(frames)
+
+            step = max(int(num_frames * 0.1), 1)
+            sampled = frames[::step]
+            mask, bbox = self.clip_mask(sampled, (fh, fw),
+                                        edge_preserve=edge_preserve)
+
+            masked = self.mask_frames(frames, mask,
+                                      bbox if (save_cropped_roi
+                                               and output_format == "jpg")
+                                      else None)
+            if output_format == "jpg":
+                for i, fr in enumerate(masked):
+                    cv2.imwrite(os.path.join(out_dir, f"{i}.jpg"),
+                                fr[..., ::-1])
+            elif output_format == "mp4":
+                video = cv2.VideoWriter(
+                    os.path.join(out_dir, tail[:-4] + ".mp4"),
+                    cv2.VideoWriter_fourcc(*"mp4v"), fps, (fw, fh), True)
+                for fr in masked:
+                    video.write(np.ascontiguousarray(fr[..., ::-1]))
+                video.release()
+            cv2.imwrite(os.path.join(out_dir, "mask.jpg"),
+                        (mask * 255).astype(np.uint8))
+            logging.info("masked clip %d/%d: %s", clip_index + 1,
+                         len(video_files), tail)
+
+
+def main():  # argparse CLI parity (auto_masking.py:110-137)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-i", "--input_path", required=True)
+    ap.add_argument("-o", "--output_path", required=True)
+    ap.add_argument("-m", "--model_path", required=True)
+    ap.add_argument("-f", "--output_format", required=True)
+    ap.add_argument("-e", "--edge_preserve", type=float, default=0.95)
+    ap.add_argument("-c", "--save_cropped_roi", action="store_true")
+    args = ap.parse_args()
+    if not 0.0 <= args.edge_preserve <= 1.0:
+        raise ValueError("edge_preserve has to be in [0 1]")
+    seg = UnetSegmentation(model_path=args.model_path)
+    seg.predict(args.input_path, args.output_path, args.model_path,
+                output_format=args.output_format,
+                edge_preserve=args.edge_preserve,
+                save_cropped_roi=args.save_cropped_roi)
+
+
+if __name__ == "__main__":
+    main()

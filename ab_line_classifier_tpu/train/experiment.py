@@ -258,6 +258,87 @@ def hparam_search(cfg: Config, save_weights: bool = False,
             "trials": results}
 
 
+def cross_validation_parallel(cfg: Config, mesh=None,
+                              verbose: bool = True) -> pd.DataFrame:
+    """All k folds trained simultaneously as one SPMD program (fold axis
+    vmapped and sharded over the mesh's ``trial`` axis) — the TPU-native
+    replacement for the reference's serial sweep-agent folds. Returns the
+    per-fold test metrics summary."""
+    import numpy as np
+
+    from ab_line_classifier_tpu.data.pipeline import FrameDataset
+    from ab_line_classifier_tpu.parallel.trial_parallel import (
+        ParallelFoldTrainer)
+    from ab_line_classifier_tpu.predict.predict import Predictor
+
+    ensure_output_dirs(cfg)
+    n_folds = int(cfg["TRAIN"]["N_FOLDS"])
+    seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
+    frames_df = pd.read_csv(cfg["PATHS"]["FRAME_TABLE"])
+    frames_dir = cfg["PATHS"]["FRAMES"]
+
+    ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
+    frames, labels = ds.load_all()
+
+    folds = S.k_fold_splits(frames_df, n_folds, random_seed=seed)
+    train_idx, val_idx, test_idx, cls_w, biases = [], [], [], [], []
+    for f in range(n_folds):
+        tr, va, te = S.fold_train_val_test(
+            folds, f, float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"]),
+            random_seed=seed)
+        train_idx.append(tr.index.to_numpy())
+        val_idx.append(va.index.to_numpy())
+        test_idx.append(te.index.to_numpy())
+        hist = np.bincount(tr["Class"].astype(int), minlength=cfg.n_classes)
+        cls_w.append((1.0 / cfg.n_classes) * hist.sum()
+                     / np.maximum(hist, 1))
+
+    mixed = bool(cfg["TRAIN"].get("MIXED_PRECISION", False))
+    hparams = cfg.model_hparams()
+    build_kwargs: Dict[str, Any] = {}
+    if cfg.model_name == "cutoffvgg16":
+        build_kwargs["total_epochs"] = int(cfg["TRAIN"]["EPOCHS"])
+    spec = build_model(cfg.model_name, hparams, cfg.img_dim + (3,),
+                       cfg.n_classes, mixed_precision=mixed, **build_kwargs)
+
+    trainer = ParallelFoldTrainer(
+        spec, n_folds, class_weights=np.stack(cls_w),
+        aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
+        seed=int(cfg["TRAIN"]["SEED"]),
+        compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
+    best, history = trainer.fit(
+        frames, labels, train_idx, val_idx,
+        batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
+        patience=int(cfg["TRAIN"]["PATIENCE"]), verbose=verbose)
+
+    # Per-fold test evaluation with each fold's best weights.
+    import jax
+
+    rows = []
+    for f in range(n_folds):
+        fold_vars = jax.tree.map(lambda a: np.asarray(a[f]), best)
+        predictor = Predictor(spec, fold_vars, batch_size=cfg.batch_size,
+                              compute_dtype=jnp.bfloat16 if mixed
+                              else jnp.float32)
+        te_df = frames_df.iloc[test_idx[f]]
+        probs = predictor.predict_probs(frames[test_idx[f]])
+        lab = te_df["Class"].to_numpy()
+        preds = (probs[:, 1] >= 0.5).astype(int)
+        m = compute_metrics(cfg.classes, lab, preds, probs)
+        rows.append({"fold": f, **{k: v for k, v in m.items()
+                                   if not isinstance(v, list)}})
+    df = pd.DataFrame(rows)
+    stats = df.drop(columns=["fold"]).agg(["mean", "std"])
+    summary = pd.concat([df, stats.reset_index().rename(
+        columns={"index": "fold"})], ignore_index=True)
+    out_dir = cfg["PATHS"]["EXPERIMENTS"]
+    os.makedirs(out_dir, exist_ok=True)
+    summary.to_csv(os.path.join(
+        out_dir, f"kfold_parallel_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
+        index=False)
+    return summary
+
+
 def cross_validation(cfg: Config, save_weights: bool = False,
                      verbose: bool = True) -> pd.DataFrame:
     """Reference ``cross_validation`` (train.py:365-368): one run per fold,

@@ -1,0 +1,83 @@
+import os
+
+import pandas as pd
+import pytest
+
+from ab_line_classifier_tpu.config import load_config
+from ab_line_classifier_tpu.data.artifacts import ArtifactStore
+from ab_line_classifier_tpu.data.splits import leakage_check
+from ab_line_classifier_tpu.data.synthetic import generate_dataset
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def lineage(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("artifacts_ws"))
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=25,
+                                        clips_per_patient=2,
+                                        frames_per_clip=3, hw=(32, 32))
+    cfg = load_config(os.path.join(REPO_ROOT, "config.yml"))
+    store = ArtifactStore(os.path.join(ws, "artifacts"))
+    store.log_images(fcsv, ccsv, frames_dir=fdir)
+    store.log_model_dev_holdout(cfg)
+    store.log_train_val_test(cfg)
+    store.log_k_fold_cross_val(cfg)
+    return store, cfg, fdir
+
+
+def test_lineage_versions(lineage):
+    store, _, _ = lineage
+    for name in ("Images", "ModelDev", "Holdout", "TrainValTest",
+                 "KFoldCrossValidation"):
+        assert store.versions(name) == ["v0"], name
+
+
+def test_provenance_chain(lineage):
+    store, _, _ = lineage
+    tvt_meta = store.metadata("TrainValTest")
+    assert tvt_meta["model_dev_artifact_version"] == "v0"
+    md_meta = store.metadata("ModelDev")
+    assert md_meta["images_artifact_version"] == "v0"
+
+
+def test_train_val_test_fetch(lineage):
+    store, _, fdir = lineage
+    train, val, test, frames_dir = store.get_train_val_test_artifact()
+    assert frames_dir == os.path.abspath(fdir)
+    assert leakage_check(train, val, test)
+    assert len(train) > 0 and len(val) > 0 and len(test) > 0
+
+
+def test_holdout_never_in_model_dev(lineage):
+    store, _, _ = lineage
+    dev = pd.read_csv(os.path.join(store.resolve("ModelDev"), "frames.csv"))
+    hold = pd.read_csv(os.path.join(store.resolve("Holdout"), "frames.csv"))
+    assert leakage_check(dev, hold)
+
+
+def test_fold_fetch(lineage):
+    store, _, _ = lineage
+    n = store.get_n_folds()
+    assert n == 5
+    train, val, test, _ = store.get_fold_artifact(1)
+    assert leakage_check(train, val, test)
+    # fold fetch is deterministic
+    train2, _, test2, _ = store.get_fold_artifact(1)
+    pd.testing.assert_frame_equal(train, train2)
+    pd.testing.assert_frame_equal(test, test2)
+
+
+def test_version_increment(lineage):
+    store, _, _ = lineage
+    src = store.resolve("Images")
+    store.log_images(os.path.join(src, "frames.csv"),
+                     os.path.join(src, "clips_table.csv"))
+    assert store.versions("Images") == ["v0", "v1"]
+    assert store.resolve("Images").endswith("v1")
+
+
+def test_missing_artifact_raises(tmp_path):
+    store = ArtifactStore(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        store.resolve("TrainValTest")

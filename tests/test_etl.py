@@ -1,0 +1,118 @@
+"""ETL layer tests: query labeling, dataset creator plumbing, real-time
+annotation mapping, auto-mask compute path, deploy parity."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ab_line_classifier_tpu.config import Config, load_config
+from ab_line_classifier_tpu.data.ab_line_dataset_creator import (
+    ABLineDatasetCreator, LABEL_TO_CLASS_MAP)
+from ab_line_classifier_tpu.data.real_time import (
+    _rt_label_to_class, create_rt_ABline_dataframe)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cfg(**paths):
+    cfg = load_config(os.path.join(REPO_ROOT, "config.yml"))
+    d = cfg.to_dict()
+    d["PATHS"].update(paths)
+    return Config(d)
+
+
+def test_query_labeling():
+    df = pd.DataFrame({
+        "patient_id": ["p1", "p2", "p3", "p4", "p5", "p6"],
+        "id": [1, 2, 3, 4, 5, 6],
+        "a_or_b_lines": ["a_lines", "b_lines_<_3", "non_a_non_b", None,
+                         "b_lines-_severe_(>50%_pleural_line)", "a_lines"],
+        "frame_homogeneity": [None, None, None, None, None, 0.9],
+        "s3_path": [f"s3://x/{i}" for i in range(6)],
+    })
+    out = ABLineDatasetCreator.label_query_results(df)
+    # drops: non_a_non_b (3), unlabeled (4), homogeneous (6)
+    assert list(out["id"]) == [1, 2, 5]
+    assert list(out["class"]) == [0, 1, 1]
+    # severities collapsed to 'b_lines'
+    assert list(out["a_or_b_lines"]) == ["a_lines", "b_lines", "b_lines"]
+
+
+def test_label_map_covers_reference_labels():
+    assert LABEL_TO_CLASS_MAP["a_lines"] == 0
+    for sev in ("b_lines_<_3", "b_lines-_moderate_(<50%_pleural_line)",
+                "b_lines-_severe_(>50%_pleural_line)", "b_lines_3"):
+        assert LABEL_TO_CLASS_MAP[sev] == 1
+    assert LABEL_TO_CLASS_MAP["non_a_non_b"] == 2
+
+
+def test_database_pull_with_stub_fetch(tmp_path):
+    clips_csv = tmp_path / "clips.csv"
+    pd.DataFrame({"id": [10, 11], "s3_path": ["u/a", "u/b"],
+                  "patient_id": ["p", "q"], "class": [0, 1]}).to_csv(
+        clips_csv, index=False)
+    fetched = []
+    cfg = _cfg(CLIPS_TABLE=str(clips_csv), RAW_CLIPS=str(tmp_path / "raw") + "/")
+
+    class Creator(ABLineDatasetCreator):
+        def query_to_df(self):
+            pass
+
+        def build_dataset(self):
+            pass
+
+    c = Creator(cfg, fetch_fn=lambda url, out: fetched.append((url, out)))
+    c.database_pull()
+    assert [u for u, _ in fetched] == ["u/a", "u/b"]
+    assert fetched[0][1].endswith("10.mp4")
+
+
+def test_rt_label_mapping():
+    assert _rt_label_to_class("a_lines", "b_lines") == 0
+    assert _rt_label_to_class("b_lines_3", "b_lines") == 1
+    assert _rt_label_to_class("b_lines_3", "a_lines") == 0  # configurable
+    assert _rt_label_to_class("b_lines_severe_50_pleural_line", "b_lines") == 1
+    assert _rt_label_to_class("non_a_non_b", "b_lines") == 0
+    assert _rt_label_to_class("mystery", "b_lines") == -1
+
+
+def test_rt_dataframe_from_csv(tmp_path):
+    annot = tmp_path / "annot.csv"
+    pd.DataFrame({"filename": [111, 222],
+                  "a_or_b_lines": ["a_lines", "b_lines_3"]}).to_csv(
+        annot, index=False)
+    rt_root = tmp_path / "prospective"
+    rec = rt_root / "2024-01-01" / "masked_recordings"
+    rec.mkdir(parents=True)
+    (rec / "111.mp4").write_bytes(b"")
+    cfg = _cfg(RT_ROOT_DIR=str(rt_root) + "/",
+               RT_LABELBOX_ANNOTATIONS=str(annot))
+    df = create_rt_ABline_dataframe(cfg, preprocessed=True)
+    assert set(df["filename"]) == {111, 222}
+    row111 = df[df["filename"] == 111].iloc[0]
+    assert row111["class"] == 0 and isinstance(row111["Path"], str)
+
+
+def test_automask_clip_mask():
+    from ab_line_classifier_tpu.data.auto_masking import UnetSegmentation
+    seg = UnetSegmentation(model_path=None)  # random init
+    frames = np.random.RandomState(0).randint(
+        0, 256, (4, 96, 128, 3)).astype(np.uint8)
+    mask, bbox = seg.clip_mask(frames, (96, 128), edge_preserve=0.95)
+    assert mask.shape == (96, 128)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    assert len(bbox) == 4
+    masked = seg.mask_frames(frames, mask)
+    assert masked.shape == frames.shape
+    # masked-out pixels are zero
+    assert np.all(masked[:, mask == 0] == 0)
+
+
+def test_deploy_parity_exact():
+    from ab_line_classifier_tpu.predict.deploy import check_preprocess_parity
+    frame = np.random.RandomState(1).randint(
+        0, 256, (240, 320, 3)).astype(np.uint8)
+    for model in ("cutoffvgg16", "mobilenetv2", "efficientnetb7"):
+        assert check_preprocess_parity(frame, model) < 1e-5

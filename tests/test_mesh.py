@@ -1,0 +1,86 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = mesh_lib.make_mesh(n_data=-1, n_trial=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("trial", "data")
+    mesh1 = mesh_lib.make_mesh(n_data=8, n_trial=1)
+    assert mesh1.devices.shape == (1, 8)
+
+
+def test_mesh_overcommit_rejected():
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(n_data=8, n_trial=2)
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(n_data=-1, n_trial=3)  # 8 % 3 != 0
+
+
+def test_batch_sharding_layout():
+    mesh = mesh_lib.make_mesh(n_data=8)
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = mesh_lib.shard_batch(mesh, x)
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_data_parallel_grad_matches_single_device():
+    """psum-reduced data-parallel gradients == single-device gradients."""
+    mesh = mesh_lib.make_mesh(n_data=8, n_trial=1)
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 2), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(1).randn(16, 4), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(2).randint(0, 2, 16))
+
+    def loss(w, x, y):
+        logits = x @ w
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], 1))
+
+    g_single = jax.grad(loss)(w, x, y)
+    xs = mesh_lib.shard_batch(mesh, np.asarray(x))
+    ys = mesh_lib.shard_batch(mesh, np.asarray(y))
+    wr = jax.device_put(w, mesh_lib.replicated(mesh))
+    g_sharded = jax.jit(jax.grad(loss))(wr, xs, ys)
+    np.testing.assert_allclose(np.asarray(g_single), np.asarray(g_sharded),
+                               atol=1e-5)
+
+
+def test_metrics_psum_reduction():
+    """Metric accumulators reduce across the data axis with one psum."""
+    from functools import partial
+
+    from ab_line_classifier_tpu.ops import metrics as M
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_trial=1)
+    probs = np.random.RandomState(0).rand(16, 2).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    labels = np.eye(2)[np.random.RandomState(1).randint(0, 2, 16)].astype(
+        np.float32)
+
+    # single-device truth
+    ref = M.compute_metrics(M.update_metrics(M.init_metrics(2),
+                                             jnp.asarray(probs),
+                                             jnp.asarray(labels)))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(jax.sharding.PartitionSpec("data"),
+                       jax.sharding.PartitionSpec("data")),
+             out_specs=jax.sharding.PartitionSpec())
+    def sharded_update(p_shard, l_shard):
+        st = M.update_metrics(M.init_metrics(2), p_shard, l_shard)
+        return M.reduce_metrics(st, "data")
+
+    st = sharded_update(jnp.asarray(probs), jnp.asarray(labels))
+    got = M.compute_metrics(st)
+    for k in ("accuracy", "auc"):
+        np.testing.assert_allclose(float(got[k]), float(ref[k]), atol=1e-5)

@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from ab_line_classifier_tpu.ops import morphology as M
+
+
+def test_dilate_erode_match_scipy():
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(2, 48, 48) > 0.5).astype(np.float32)
+    for size in (3, 5, 9):
+        k = M.ellipse_kernel(size)
+        d = np.asarray(M.binary_dilate(jnp.asarray(mask), jnp.asarray(k)))
+        d_ref = np.stack([ndimage.binary_dilation(m, structure=k.astype(bool))
+                          for m in mask]).astype(np.float32)
+        np.testing.assert_array_equal(d, d_ref)
+        e = np.asarray(M.binary_erode(jnp.asarray(mask), jnp.asarray(k)))
+        e_ref = np.stack([ndimage.binary_erosion(m, structure=k.astype(bool),
+                                                 border_value=1)
+                          for m in mask]).astype(np.float32)
+        np.testing.assert_array_equal(e, e_ref)
+
+
+def test_ellipse_kernel_shapes():
+    assert M.ellipse_kernel(1).shape == (1, 1)
+    k3 = M.ellipse_kernel(3)
+    assert k3.shape == (3, 3)
+    assert k3[1, 1] == 1  # center always set
+    k9 = M.ellipse_kernel(9)
+    assert k9[0, 0] == 0  # corners outside the ellipse
+
+
+def test_clean_masks_pipeline():
+    probs = np.zeros((3, 64, 64), np.float32)
+    probs[:, 16:48, 16:48] = 0.9  # solid beam square
+    out = np.asarray(M.clean_masks(jnp.asarray(probs), erode_size=3,
+                                   dilate_size=5, threshold=0.4))
+    assert out.shape == (3, 64, 64)
+    assert out[:, 30, 30].min() == 1.0   # interior survives
+    assert out[:, 0, 0].max() == 0.0     # background stays empty
+
+
+def test_majority_average_mask():
+    masks = np.zeros((10, 32, 32), np.float32)
+    masks[:8, 8:24, 8:24] = 1.0  # 8/10 frames agree
+    masks[8:, 0:4, 0:4] = 1.0    # 2/10 outlier region
+    avg = np.asarray(M.majority_average_mask(jnp.asarray(masks)))
+    assert avg[16, 16] == 1.0
+    assert avg[1, 1] == 0.0
+
+
+def test_bounding_box():
+    m = np.zeros((20, 30))
+    m[5:10, 12:18] = 1
+    assert M.bounding_box(m) == (5, 9, 12, 17)
+    assert M.bounding_box(np.zeros((4, 4))) == (0, 3, 0, 3)

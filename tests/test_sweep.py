@@ -1,0 +1,100 @@
+import math
+
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.train.sweep import (
+    BayesController, GridController, RandomController, SweepVar,
+    make_controller, space_from_config)
+
+
+SPACE = [
+    SweepVar("LR", "float_log", (1e-5, 1e-2)),
+    SweepVar("DROPOUT", "float_uniform", (0.0, 0.5)),
+    SweepVar("BLOCKS", "int_uniform", (1, 3)),
+    SweepVar("INIT_FILTERS", "set", (16, 32)),
+]
+
+
+def test_space_from_config():
+    cfg = {"LR": {"TYPE": "float_log", "RANGE": [1e-5, 1e-3]},
+           "DROPOUT": {"TYPE": "float_uniform", "RANGE": [0.0, 0.5]},
+           "SKIPPED": {"TYPE": "set", "RANGE": None}}
+    space = space_from_config(cfg)
+    assert [v.name for v in space] == ["LR", "DROPOUT"]
+
+
+def test_unknown_type_rejected():
+    with pytest.raises(ValueError):
+        SweepVar("X", "gaussian", (0, 1))
+
+
+def test_samples_respect_ranges():
+    c = RandomController(SPACE, seed=0)
+    for _ in range(50):
+        p = c.suggest()
+        assert 1e-5 <= p["LR"] <= 1e-2
+        assert 0.0 <= p["DROPOUT"] <= 0.5
+        assert p["BLOCKS"] in (1, 2, 3)
+        assert p["INIT_FILTERS"] in (16, 32)
+
+
+def test_encode_decode_roundtrip():
+    c = RandomController(SPACE, seed=1)
+    for _ in range(20):
+        p = c.suggest()
+        u = c._encode(p)
+        q = c._decode(u)
+        assert q["BLOCKS"] == p["BLOCKS"]
+        assert q["INIT_FILTERS"] == p["INIT_FILTERS"]
+        assert math.isclose(q["LR"], p["LR"], rel_tol=1e-6)
+        assert math.isclose(q["DROPOUT"], p["DROPOUT"], abs_tol=1e-9)
+
+
+def test_grid_enumerates_discrete():
+    space = [SweepVar("BLOCKS", "int_uniform", (1, 2)),
+             SweepVar("INIT_FILTERS", "set", (16, 32))]
+    c = GridController(space, seed=0)
+    assert len(c) == 4
+    seen = {tuple(c.suggest().values()) for _ in range(4)}
+    assert len(seen) == 4
+
+
+def test_bayes_improves_on_quadratic():
+    """GP-EI should find a better optimum than pure random on a smooth
+    objective with the same budget."""
+    space = [SweepVar("x", "float_uniform", (0.0, 1.0)),
+             SweepVar("y", "float_uniform", (0.0, 1.0))]
+
+    def objective(p):  # max at (0.3, 0.7)
+        return -((p["x"] - 0.3) ** 2 + (p["y"] - 0.7) ** 2)
+
+    def run(ctrl):
+        for _ in range(25):
+            p = ctrl.suggest()
+            ctrl.observe(p, objective(p))
+        return ctrl.best[1]
+
+    bayes_scores = [run(BayesController(space, seed=s)) for s in range(3)]
+    rand_scores = [run(RandomController(space, seed=s)) for s in range(3)]
+    assert np.mean(bayes_scores) >= np.mean(rand_scores) - 1e-3
+    assert max(bayes_scores) > -0.01  # close to the optimum
+
+
+def test_best_tracking():
+    c = RandomController(SPACE, seed=0)
+    c.observe({"LR": 1e-3, "DROPOUT": 0.1, "BLOCKS": 1, "INIT_FILTERS": 16},
+              0.5)
+    c.observe({"LR": 1e-4, "DROPOUT": 0.2, "BLOCKS": 2, "INIT_FILTERS": 32},
+              0.9)
+    best_params, best_obj = c.best
+    assert best_obj == 0.9
+    assert best_params["BLOCKS"] == 2
+
+
+def test_make_controller_dispatch():
+    assert isinstance(make_controller("bayes", SPACE), BayesController)
+    assert isinstance(make_controller("grid", SPACE), GridController)
+    assert isinstance(make_controller("random", SPACE), RandomController)
+    with pytest.raises(ValueError):
+        make_controller("annealing", SPACE)

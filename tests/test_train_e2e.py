@@ -1,0 +1,147 @@
+"""End-to-end training + prediction + Grad-CAM on a tiny synthetic dataset
+(the minimum end-to-end slice: BASELINE config #1, CPU-runnable)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from ab_line_classifier_tpu.config import load_config
+from ab_line_classifier_tpu.data.synthetic import generate_dataset
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("e2e_ws"))
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=12,
+                                        clips_per_patient=2,
+                                        frames_per_clip=4, hw=(48, 64),
+                                        seed=3)
+    cfg = load_config(os.path.join(REPO_ROOT, "config.yml"))
+    d = cfg.to_dict()
+    d["PATHS"].update({
+        "FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv, "FRAMES": fdir,
+        "PARTITIONS": ws + "/partitions/",
+        "MODEL_WEIGHTS": ws + "/results/models/",
+        "MODEL_TO_LOAD": ws + "/results/models/latest",
+        "METRICS": ws + "/results/metrics/",
+        "BATCH_PREDS": ws + "/results/predictions/",
+        "EXPERIMENTS": ws + "/results/experiments/",
+        "LOGS": ws + "/results/logs/", "IMAGES": ws + "/results/figures/",
+        "HEATMAPS": ws + "/img/heatmaps",
+        "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/",
+        "CLASS_NAME_MAP": ws + "/class_map.json",
+    })
+    d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    d["DATA"]["IMG_DIM"] = [32, 32]
+    d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 2, "BATCH_SIZE": 16,
+                       "PATIENCE": 5, "MIXED_PRECISION": False})
+    d["HPARAMS"]["CNN0"].update({"BLOCKS": 1, "INIT_FILTERS": 4,
+                                 "NODES_DENSE0": 8})
+    from ab_line_classifier_tpu.config import Config
+    return ws, Config(d)
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    ws, cfg = workspace
+    from ab_line_classifier_tpu.train.experiment import perform_single_run
+    result = perform_single_run(cfg, save_weights=True, verbose=False)
+    return ws, cfg, result
+
+
+def test_single_train_produces_checkpoint(trained):
+    ws, cfg, result = trained
+    assert result.model_dir is not None
+    assert os.path.isfile(os.path.join(result.model_dir, "meta.json"))
+    assert len(result.history) == 2
+    assert "accuracy" in result.test_metrics
+
+
+def test_tracker_run_logged(trained):
+    ws, cfg, _ = trained
+    runs = glob.glob(ws + "/results/runs/*/events.jsonl")
+    assert runs
+    events = [json.loads(line) for line in open(runs[0])]
+    kinds = {e["event"] for e in events}
+    assert {"start", "epoch", "finish"} <= kinds
+    summaries = glob.glob(ws + "/results/runs/*/summary.json")
+    assert summaries
+
+
+def test_predict_contracts(trained):
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.predict.predict import (
+        compute_clip_predictions, compute_frame_predictions)
+    clip_df = compute_clip_predictions(
+        cfg, cfg["PATHS"]["FRAME_TABLE"], cfg["PATHS"]["CLIPS_TABLE"],
+        class_thresh=0.5, clip_algorithm="average")
+    assert list(clip_df.columns) == ["filename", "class", "a_lines",
+                                     "b_lines"]
+    frame_df = compute_frame_predictions(cfg, cfg["PATHS"]["FRAME_TABLE"],
+                                         class_thresh=0.5)
+    assert list(frame_df.columns) == ["Frame Path", "Class", "a_lines",
+                                      "b_lines"]
+    # metrics JSON contract
+    clips_json = glob.glob(ws + "/results/metrics/clips_*.json")
+    frames_json = glob.glob(ws + "/results/metrics/frames_*.json")
+    assert clips_json and frames_json
+    m = json.load(open(frames_json[0]))
+    for key in ("confusion_matrix", "precision", "recall", "specificity",
+                "f1", "accuracy", "macro_mean_auc", "a_lines_auc",
+                "b_lines_auc"):
+        assert key in m, key
+
+
+def test_contiguous_algorithm_skips_auc(trained):
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.predict.predict import compute_clip_predictions
+    compute_clip_predictions(
+        cfg, cfg["PATHS"]["FRAME_TABLE"], cfg["PATHS"]["CLIPS_TABLE"],
+        class_thresh=0.5, clip_algorithm="contiguous")
+    latest = max(glob.glob(ws + "/results/metrics/clips_*.json"),
+                 key=os.path.getmtime)
+    m = json.load(open(latest))
+    assert "macro_mean_auc" not in m  # reference predict.py:175-178
+
+
+def test_gradcam_end_to_end(trained):
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.explain.gradcam import GradCAMExplainer
+    df = pd.read_csv(cfg["PATHS"]["FRAME_TABLE"]).head(2)
+    ex = GradCAMExplainer(cfg)
+    hm = ex.apply_gradcam(df)
+    assert hm.shape == tuple(cfg.img_dim)
+    assert 0.0 <= float(hm.min()) and float(hm.max()) <= 1.0
+    assert glob.glob(ws + "/img/heatmaps/*.png")
+
+
+def test_threshold_experiment(trained):
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.predict.experiments import (
+        b_line_threshold_experiment)
+    preds_csv = sorted(glob.glob(ws + "/results/predictions/_predictions*.csv"))[-1]
+    m = b_line_threshold_experiment(cfg, preds_csv, 0, 3, class_thresh=0.5,
+                                    contiguous=True)
+    assert len(m) == 4
+    assert "accuracy" in m.columns
+
+
+def test_restore_and_predict_consistency(trained):
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.predict.predict import Predictor
+    import jax.numpy as jnp
+    p = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"], batch_size=8,
+                          compute_dtype=jnp.float32)
+    frames = np.random.RandomState(0).randint(
+        0, 256, (5, 32, 32, 3)).astype(np.uint8)
+    probs1 = p.predict_probs(frames)
+    probs2 = p.predict_probs(frames)
+    np.testing.assert_array_equal(probs1, probs2)
+    np.testing.assert_allclose(probs1.sum(-1), 1.0, atol=1e-5)

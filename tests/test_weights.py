@@ -1,0 +1,65 @@
+"""h5 weight import round-trip and name matching."""
+
+import jax
+import numpy as np
+
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.models.weights import (export_h5_weights,
+                                                   import_h5_weights)
+
+HP = {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6, "DROPOUT": 0.45,
+      "CUTOFF_LAYER": 10, "FINETUNE_LAYER": 7, "EXTRACT_EPOCHS": 6}
+
+
+def test_h5_roundtrip_cutoffvgg16(tmp_path):
+    spec = build_model("cutoffvgg16", HP, (64, 64, 3), 2)
+    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    v2 = spec.init_variables(jax.random.PRNGKey(1))
+
+    h5_path = str(tmp_path / "w.h5")
+    export_h5_weights(h5_path, v1)
+    v2_imported, copied = import_h5_weights(h5_path, v2, verbose=False)
+
+    assert copied == len(v1["params"])
+    for layer, p in v1["params"].items():
+        for k, arr in p.items():
+            np.testing.assert_array_equal(
+                np.asarray(arr), np.asarray(v2_imported["params"][layer][k]))
+
+
+def test_partial_match_skips_missing(tmp_path):
+    spec = build_model("cutoffvgg16", HP, (64, 64, 3), 2)
+    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    h5_path = str(tmp_path / "w.h5")
+    export_h5_weights(h5_path, v1)
+
+    # A different architecture: only same-named layers with matching shapes
+    # get copied (the reference's try/except name-matched copy).
+    hp2 = dict(HP, CUTOFF_LAYER=7)  # shorter backbone, different channels
+    spec2 = build_model("cutoffvgg16", hp2, (64, 64, 3), 2)
+    v2 = spec2.init_variables(jax.random.PRNGKey(2))
+    v2_imported, copied = import_h5_weights(h5_path, v2, verbose=False)
+    assert 0 < copied <= len(v2["params"])
+    np.testing.assert_array_equal(
+        np.asarray(v1["params"]["block1_conv1"]["kernel"]),
+        np.asarray(v2_imported["params"]["block1_conv1"]["kernel"]))
+
+
+def test_bn_stats_roundtrip(tmp_path):
+    hp = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
+          "KERNEL_SIZE": 3, "STRIDES": 1, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
+          "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
+    spec = build_model("cnn0", hp, (32, 32, 3), 2)
+    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    # set distinctive bn stats
+    v1 = jax.tree.map(lambda x: x, v1)
+    v1["batch_stats"]["bn_block0"]["mean"] = (
+        np.full_like(np.asarray(v1["batch_stats"]["bn_block0"]["mean"]), 3.5))
+    h5_path = str(tmp_path / "w.h5")
+    export_h5_weights(h5_path, v1)
+
+    v2 = spec.init_variables(jax.random.PRNGKey(1))
+    v2_imported, _ = import_h5_weights(h5_path, v2, verbose=False)
+    np.testing.assert_array_equal(
+        np.asarray(v2_imported["batch_stats"]["bn_block0"]["mean"]),
+        np.asarray(v1["batch_stats"]["bn_block0"]["mean"]))
