@@ -71,11 +71,15 @@ class FrameDataset:
 
     def __init__(self, frames_df: pd.DataFrame, frames_dir: str,
                  img_dim: Tuple[int, int] = (128, 128),
-                 resize_mode: str = "tf"):
+                 resize_mode: str = "tf", use_native: Optional[bool] = None):
         self.df = frames_df.reset_index(drop=True)
         self.frames_dir = frames_dir
         self.img_dim = tuple(img_dim)
         self.resize_mode = resize_mode
+        if use_native is None:
+            from ab_line_classifier_tpu.data import native
+            use_native = native.native_available()
+        self.use_native = use_native
 
     @classmethod
     def from_csv(cls, csv_path: str, frames_dir: str, **kw) -> "FrameDataset":
@@ -111,6 +115,8 @@ class FrameDataset:
         if drop_remainder:
             order = order[: (len(order) // batch_size) * batch_size]
 
+        all_paths = self.paths
+
         def make_batch(idxs: np.ndarray) -> Batch:
             b = len(idxs)
             h, w = self.img_dim
@@ -119,11 +125,21 @@ class FrameDataset:
             mask = np.zeros((batch_size,), np.float32)
             indices = np.full((batch_size,), -1, np.int32)
             lab = self.labels
-            for j, ri in enumerate(idxs):
-                images[j] = self.load_frame(int(ri))
-                labels[j] = lab[ri]
-                mask[j] = 1.0
-                indices[j] = ri
+            if self.use_native:
+                from ab_line_classifier_tpu.data import native
+                native.decode_jpeg_batch(
+                    [all_paths[int(ri)] for ri in idxs], self.img_dim,
+                    self.resize_mode, out=images[:b])
+                for j, ri in enumerate(idxs):
+                    labels[j] = lab[ri]
+                    mask[j] = 1.0
+                    indices[j] = ri
+            else:
+                for j, ri in enumerate(idxs):
+                    images[j] = self.load_frame(int(ri))
+                    labels[j] = lab[ri]
+                    mask[j] = 1.0
+                    indices[j] = ri
             return Batch(images, labels, mask, indices)
 
         chunks = [order[i:i + batch_size]
@@ -164,9 +180,14 @@ class FrameDataset:
     def load_all(self) -> Tuple[np.ndarray, np.ndarray]:
         """Decode the full dataset into one array (small-dataset eval path)."""
         h, w = self.img_dim
-        images = np.zeros((len(self), h, w, 3), np.uint8)
-        for i in range(len(self)):
-            images[i] = self.load_frame(i)
+        if self.use_native:
+            from ab_line_classifier_tpu.data import native
+            images = native.decode_jpeg_batch(list(self.paths), self.img_dim,
+                                              self.resize_mode)
+        else:
+            images = np.zeros((len(self), h, w, 3), np.uint8)
+            for i in range(len(self)):
+                images[i] = self.load_frame(i)
         return images, self.labels
 
 

@@ -225,16 +225,38 @@ def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
 
 
 def hparam_search(cfg: Config, save_weights: bool = False,
-                  verbose: bool = True) -> Dict[str, Any]:
-    """Reference ``hparam_search`` (train.py:353-364) with a local controller."""
+                  verbose: bool = True,
+                  sweep_id: Optional[str] = None) -> Dict[str, Any]:
+    """Reference ``hparam_search`` (train.py:353-364) with a local controller.
+
+    Trials persist to ``EXPERIMENTS/sweep_{id}.jsonl`` as they complete, so
+    an interrupted sweep resumes by rerunning with the same ``sweep_id`` —
+    completed trials feed the controller as observations and are skipped.
+    """
+    import json
+
     search = cfg["TRAIN"]["HPARAM_SEARCH"]
     space = space_from_config(cfg.hparam_search_space())
     controller = make_controller(search["METHOD"], space,
                                  seed=int(cfg["TRAIN"]["SEED"]))
     n_evals = int(search["N_EVALS"])
-    group = f"sweep-{time.strftime('%Y%m%d-%H%M%S')}"
+    group = sweep_id or f"sweep-{time.strftime('%Y%m%d-%H%M%S')}"
+    os.makedirs(cfg["PATHS"]["EXPERIMENTS"], exist_ok=True)
+    trials_path = os.path.join(cfg["PATHS"]["EXPERIMENTS"],
+                               f"{group}.jsonl")
     results = []
-    for trial in range(n_evals):
+    if os.path.isfile(trials_path):
+        with open(trials_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                results.append(rec)
+                controller.observe(
+                    {k: v for k, v in rec.items()
+                     if k not in ("trial", "objective")}, rec["objective"])
+        if verbose and results:
+            print(f"resuming sweep {group}: {len(results)} trials done")
+
+    for trial in range(len(results), n_evals):
         params = controller.suggest()
         if verbose:
             print(f"--- sweep trial {trial}/{n_evals}: {params}")
@@ -244,7 +266,10 @@ def hparam_search(cfg: Config, save_weights: bool = False,
         obj = _sweep_objective(result, search["METRIC_NAME"],
                                search["METRIC_GOAL"])
         controller.observe(params, obj)
-        results.append({"trial": trial, **params, "objective": obj})
+        rec = {"trial": trial, **params, "objective": obj}
+        results.append(rec)
+        with open(trials_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
     best_params, best_obj = controller.best
     out_dir = cfg["PATHS"]["EXPERIMENTS"]
     os.makedirs(out_dir, exist_ok=True)

@@ -25,6 +25,7 @@ XLA inserts the gradient psum; the step code is identical.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -210,25 +211,79 @@ class Trainer:
         return state, out
 
     # ------------------------------------------------------------------
+    def _save_resume(self, path: str, state: TrainState, *, epoch: int,
+                     phase_idx: int, epoch_in_phase: int, best_val: float,
+                     wait: int, plateau_wait: int, best_vars) -> None:
+        """Mid-training checkpoint: full optimizer/callback state so an
+        interrupted run (or a preempted sweep trial) resumes exactly.
+        The reference has no mid-training checkpointing (final .h5 only,
+        train.py:139-144)."""
+        import json
+
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        payload = {
+            "state": serialization.to_state_dict(
+                jax.tree.map(np.asarray, state)),
+            "best_vars": jax.tree.map(np.asarray, best_vars)
+            if best_vars is not None else None,
+        }
+        with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+        with open(os.path.join(path, "progress.json"), "w") as f:
+            json.dump({"epoch": epoch, "phase_idx": phase_idx,
+                       "epoch_in_phase": int(epoch_in_phase),
+                       "best_val": float(best_val), "wait": int(wait),
+                       "plateau_wait": int(plateau_wait)}, f)
+
+    def _load_resume(self, path: str, template: TrainState):
+        import json
+
+        from flax import serialization
+
+        with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        state = serialization.from_state_dict(
+            template, payload["state"])
+        with open(os.path.join(path, "progress.json")) as f:
+            progress = json.load(f)
+        return state, payload.get("best_vars"), progress
+
+    # ------------------------------------------------------------------
     def fit(self, train_ds: FrameDataset, val_ds: Optional[FrameDataset], *,
             batch_size: int, epochs: int, patience: int = 15,
             variables: Optional[Dict] = None,
             verbose: bool = True,
-            tracker=None) -> Tuple[Dict, List[EpochLog]]:
-        """Run the full phase plan. Returns (best variables, history)."""
+            tracker=None,
+            checkpoint_dir: Optional[str] = None,
+            resume: bool = False) -> Tuple[Dict, List[EpochLog]]:
+        """Run the full phase plan. Returns (best variables, history).
+
+        :param checkpoint_dir: if set, full train state (params, optimizer,
+            callback counters, best weights) is checkpointed every epoch.
+        :param resume: restore from ``checkpoint_dir`` and continue.
+        """
+        import os as _os
+
         history: List[EpochLog] = []
         epoch = 0
         state = None
         n_classes = self.spec.n_classes
         eval_fn = self.make_eval_step()
 
-        for phase in self.spec.phases:
-            phase_epochs = phase.epochs if phase.epochs is not None else \
-                max(0, epochs - epoch)
-            if phase_epochs <= 0:
-                continue
-            state, tx = self.init_state(phase, variables)
-            train_fn = self.make_train_step(phase, tx)
+        resume_progress = None
+        if (resume and checkpoint_dir
+                and _os.path.isfile(_os.path.join(checkpoint_dir,
+                                                  "progress.json"))):
+            import json
+            with open(_os.path.join(checkpoint_dir, "progress.json")) as f:
+                resume_progress = json.load(f)
+            epoch = resume_progress["epoch"] + 1
+
+        for phase_idx, phase in enumerate(self.spec.phases):
+            if resume_progress and phase_idx < resume_progress["phase_idx"]:
+                continue  # phase fully covered by the checkpoint
 
             # Per-phase callback state (Keras resets callbacks per fit()).
             best_val = np.inf
@@ -236,8 +291,34 @@ class Trainer:
             wait = 0
             plateau_wait = 0
             plateau_patience = max(1, patience // 2)
+            epoch_in_phase = 0
 
-            for _ in range(phase_epochs):
+            restoring = (resume_progress
+                         and phase_idx == resume_progress["phase_idx"])
+            if restoring:
+                epoch_in_phase = resume_progress.get("epoch_in_phase", 0) + 1
+
+            # Remaining epochs for this phase: fixed-length phases subtract
+            # the epochs already completed (resume); open-ended phases budget
+            # from the global epoch counter, which resume fast-forwards.
+            if phase.epochs is not None:
+                remaining = phase.epochs - epoch_in_phase
+            else:
+                remaining = max(0, epochs - epoch)
+            if remaining <= 0:
+                continue
+            state, tx = self.init_state(phase, variables)
+            train_fn = self.make_train_step(phase, tx)
+
+            if restoring:
+                state, best_vars, progress = self._load_resume(
+                    checkpoint_dir, state)
+                best_val = progress["best_val"]
+                wait = progress["wait"]
+                plateau_wait = progress["plateau_wait"]
+                resume_progress = None  # later phases run normally
+
+            for _ in range(remaining):
                 t0 = time.time()
                 state, train_m = self._run_epoch(
                     state, M.init_metrics(n_classes), train_fn, train_ds,
@@ -292,7 +373,22 @@ class Trainer:
                             if verbose:
                                 print(f"  EarlyStopping at epoch {epoch-1} "
                                       f"(best val_loss {best_val:.4f})")
+                            if checkpoint_dir:
+                                self._save_resume(
+                                    checkpoint_dir, state, epoch=epoch - 1,
+                                    phase_idx=phase_idx,
+                                    epoch_in_phase=epoch_in_phase,
+                                    best_val=best_val, wait=wait,
+                                    plateau_wait=plateau_wait,
+                                    best_vars=best_vars)
                             break
+                if checkpoint_dir:
+                    self._save_resume(
+                        checkpoint_dir, state, epoch=epoch - 1,
+                        phase_idx=phase_idx, epoch_in_phase=epoch_in_phase,
+                        best_val=best_val, wait=wait,
+                        plateau_wait=plateau_wait, best_vars=best_vars)
+                epoch_in_phase += 1
 
             # Restore best weights at phase end (EarlyStopping
             # restore_best_weights=True, reference train.py:155-156).

@@ -139,6 +139,43 @@ class WandbTracker(NullTracker):
         self.run.finish()
 
 
+class TensorBoardTracker(NullTracker):
+    """TensorBoard backend — the reference's legacy trainer logs to
+    TensorBoard under ``results/logs/{timestamp}`` (reference
+    ``src/train_legacy.py:239-279``); same layout here."""
+
+    def __init__(self, log_root: str, run_name: Optional[str] = None):
+        from torch.utils.tensorboard import SummaryWriter
+
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        self.run_id = run_name or ts
+        self.run_dir = os.path.join(log_root, self.run_id)
+        self._writer = SummaryWriter(self.run_dir)
+
+    def log_config(self, config: Dict[str, Any]) -> None:
+        self._writer.add_text("config", json.dumps(
+            {k: _jsonable(v) for k, v in config.items()}, indent=2))
+
+    def log_epoch(self, log) -> None:
+        for k, v in log.train.items():
+            self._writer.add_scalar(f"epoch/{k}", v, log.epoch)
+        for k, v in log.val.items():
+            self._writer.add_scalar(f"epoch/val_{k}", v, log.epoch)
+        if log.lr is not None:
+            self._writer.add_scalar("epoch/lr", log.lr, log.epoch)
+
+    def log_metrics(self, name: str, metrics: Dict[str, Any]) -> None:
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self._writer.add_scalar(f"{name}/{k}", v)
+
+    def finish(self, summary: Optional[Dict[str, Any]] = None) -> None:
+        if summary:
+            self._writer.add_text("summary", json.dumps(
+                {k: _jsonable(v) for k, v in summary.items()}, indent=2))
+        self._writer.close()
+
+
 def make_tracker(cfg, *, run_name: Optional[str] = None,
                  group: Optional[str] = None, job_type: str = "train"):
     """Build the tracker selected by ``TRACKER.BACKEND`` (default local)."""
@@ -154,6 +191,13 @@ def make_tracker(cfg, *, run_name: Optional[str] = None,
                                 group=group, job_type=job_type)
         except Exception as e:
             print(f"wandb tracker unavailable ({e}); falling back to local")
+    if backend == "tensorboard":
+        try:
+            log_root = cfg["PATHS"].get("LOGS", "results/logs/")
+            return TensorBoardTracker(log_root, run_name=run_name)
+        except Exception as e:
+            print(f"tensorboard tracker unavailable ({e}); "
+                  "falling back to local")
     root = (tcfg.get("DIR", "results/runs/") if tcfg else "results/runs/")
     return LocalTracker(root, run_name=run_name, group=group,
                         job_type=job_type)

@@ -1,0 +1,58 @@
+"""Mid-training checkpoint/resume: interrupted training continues exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ab_line_classifier_tpu.data.pipeline import FrameDataset
+from ab_line_classifier_tpu.data.splits import train_val_test_split
+from ab_line_classifier_tpu.data.synthetic import generate_dataset
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.train.loop import Trainer
+
+HP = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
+      "KERNEL_SIZE": 3, "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
+      "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("resume_ws"))
+    fcsv, _, fdir = generate_dataset(ws, n_patients=10, clips_per_patient=2,
+                                     frames_per_clip=3, hw=(32, 32), seed=7)
+    df = pd.read_csv(fcsv)
+    tr, va, _ = train_val_test_split(df, 0.15, 0.15, random_seed=42)
+    return (FrameDataset(tr, fdir, img_dim=(32, 32)),
+            FrameDataset(va, fdir, img_dim=(32, 32)))
+
+
+def test_resume_matches_uninterrupted(data, tmp_path):
+    tds, vds = data
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    ckdir = str(tmp_path / "ckpt")
+
+    full, hist_full = Trainer(spec, seed=9).fit(
+        tds, vds, batch_size=16, epochs=4, patience=10, verbose=False)
+    Trainer(spec, seed=9).fit(
+        tds, vds, batch_size=16, epochs=2, patience=10, verbose=False,
+        checkpoint_dir=ckdir)
+    resumed, h2 = Trainer(spec, seed=9).fit(
+        tds, vds, batch_size=16, epochs=4, patience=10, verbose=False,
+        checkpoint_dir=ckdir, resume=True)
+
+    assert [h.epoch for h in hist_full] == [0, 1, 2, 3]
+    assert [h.epoch for h in h2] == [2, 3]
+    np.testing.assert_allclose(
+        np.asarray(full["params"]["conv2d_block0_0"]["kernel"]),
+        np.asarray(resumed["params"]["conv2d_block0_0"]["kernel"]),
+        atol=1e-6)
+
+
+def test_resume_without_checkpoint_trains_fresh(data, tmp_path):
+    tds, vds = data
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    # resume=True with an empty dir: trains from scratch, no crash
+    best, hist = Trainer(spec, seed=1).fit(
+        tds, vds, batch_size=16, epochs=1, patience=5, verbose=False,
+        checkpoint_dir=str(tmp_path / "empty"), resume=True)
+    assert len(hist) == 1
