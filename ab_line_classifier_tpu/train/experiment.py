@@ -21,6 +21,7 @@ import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -163,19 +164,40 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
             print("USE_PRETRAINED set but no checkpoint found; training "
                   "from scratch")
 
+    # Mesh from PARALLEL.MESH config (data-parallel batch sharding; no-op on
+    # a single device).
+    mesh = None
+    pcfg = cfg.get("PARALLEL")
+    if pcfg and len(jax.devices()) > 1:
+        from ab_line_classifier_tpu.parallel.mesh import make_mesh
+        mesh_cfg = pcfg.get("MESH", {})
+        try:
+            mesh = make_mesh(int(mesh_cfg.get("DATA", -1)),
+                             int(mesh_cfg.get("TRIAL", 1)))
+        except ValueError as e:
+            print(f"mesh config invalid ({e}); running single-device")
+
     trainer = Trainer(
         spec, class_weight=class_weight, class_names=cfg.classes,
         aug_config=dict(cfg["TRAIN"]["DATA_AUG"]),
-        seed=int(cfg["TRAIN"]["SEED"]),
+        seed=int(cfg["TRAIN"]["SEED"]), mesh=mesh,
         compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
     train_ds = FrameDataset(train_df, frames_dir, img_dim=cfg.img_dim)
     val_ds = FrameDataset(val_df, frames_dir, img_dim=cfg.img_dim)
+
+    # Per-epoch validation prediction tables (the reference's
+    # WandbGradcamEvalCallback capability, train_utils.py:238-293).
+    from ab_line_classifier_tpu.train.callbacks import PredictionTableLogger
+    callbacks = [PredictionTableLogger(
+        spec, val_ds, tracker=tracker,
+        compute_dtype=jnp.bfloat16 if mixed else jnp.float32)]
 
     best_vars, history = trainer.fit(
         train_ds, val_ds, batch_size=cfg.batch_size,
         epochs=int(cfg["TRAIN"]["EPOCHS"]),
         patience=int(cfg["TRAIN"]["PATIENCE"]),
-        variables=pretrained, tracker=tracker, verbose=verbose)
+        variables=pretrained, tracker=tracker, verbose=verbose,
+        callbacks=callbacks)
 
     model_dir = None
     if save_weights:

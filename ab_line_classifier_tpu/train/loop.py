@@ -256,6 +256,7 @@ class Trainer:
             variables: Optional[Dict] = None,
             verbose: bool = True,
             tracker=None,
+            callbacks: Optional[List] = None,
             checkpoint_dir: Optional[str] = None,
             resume: bool = False) -> Tuple[Dict, List[EpochLog]]:
         """Run the full phase plan. Returns (best variables, history).
@@ -334,6 +335,10 @@ class Trainer:
                 history.append(log)
                 if tracker is not None:
                     tracker.log_epoch(log)
+                for cb in (callbacks or []):
+                    cb.on_epoch_end(epoch, {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats})
                 if verbose:
                     vm = {f"val_{k}": round(v, 4) for k, v in val_m.items()}
                     print(f"[{phase.name}] epoch {epoch}: "

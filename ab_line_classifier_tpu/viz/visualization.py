@@ -27,17 +27,20 @@ def plot_roc(name: str, labels: np.ndarray, probs: np.ndarray,
     """Per-class ROC curves (reference visualization.py:67-99)."""
     fig, ax = plt.subplots(figsize=(7, 6))
     labels = np.asarray(labels)
+    plotted = 0
     for i, cname in enumerate(class_names):
         y_true = (labels == i).astype(int)
         if len(np.unique(y_true)) < 2:
             continue
         fpr, tpr, _ = roc_curve(y_true, np.asarray(probs)[:, i])
         ax.plot(fpr, tpr, label=f"{cname} (AUC = {auc(fpr, tpr):.3f})")
+        plotted += 1
     ax.plot([0, 1], [0, 1], "k--", lw=0.8)
     ax.set_xlabel("False positive rate")
     ax.set_ylabel("True positive rate")
     ax.set_title(f"ROC — {name}")
-    ax.legend(loc="lower right")
+    if plotted:
+        ax.legend(loc="lower right")
     fig.tight_layout()
     if dir_path:
         os.makedirs(dir_path, exist_ok=True)
