@@ -82,8 +82,39 @@ class Predictor:
 
     @classmethod
     def restore(cls, model_path: str, *, batch_size: int = 64,
-                compute_dtype=jnp.bfloat16) -> "Predictor":
-        """``restore_model`` equivalent (reference predict.py:39-51)."""
+                compute_dtype=jnp.bfloat16,
+                cfg: Optional[Config] = None) -> "Predictor":
+        """``restore_model`` equivalent (reference predict.py:39-51).
+
+        Native checkpoints are self-describing Orbax dirs. A ``.h5`` path (a
+        reference-produced Keras checkpoint) is also accepted when ``cfg``
+        supplies the architecture (TRAIN.MODEL_DEF + HPARAMS): the model is
+        rebuilt and weights imported by layer name. ``.onnx`` is not
+        supported (no onnx runtime in this environment) and raises clearly.
+        """
+        if model_path.endswith(".onnx"):
+            raise NotImplementedError(
+                "ONNX restore is not supported (no onnx runtime available); "
+                "serve the Orbax checkpoint or a Keras .h5 instead")
+        if model_path.endswith(".h5"):
+            if cfg is None:
+                raise ValueError(
+                    ".h5 restore needs cfg to rebuild the architecture "
+                    "(TRAIN.MODEL_DEF + HPARAMS)")
+            from ab_line_classifier_tpu.models.weights import import_h5_weights
+
+            spec = build_model(cfg.model_name, cfg.model_hparams(),
+                               cfg.img_dim + (3,), cfg.n_classes)
+            import jax
+
+            variables = spec.init_variables(jax.random.PRNGKey(0))
+            variables, copied = import_h5_weights(model_path, variables,
+                                                  verbose=False)
+            if copied == 0:
+                raise ValueError(
+                    f"no layers matched while importing {model_path!r}")
+            return cls(spec, variables, batch_size=batch_size,
+                       compute_dtype=compute_dtype)
         variables, meta = ckpt.load_model(model_path)
         spec = build_model(meta["model_name"], meta["hparams"],
                            tuple(meta["input_shape"]), int(meta["n_classes"]),
@@ -168,7 +199,7 @@ def compute_clip_predictions(cfg: Config, frames_table_path: str,
     batched device sweep + one compiled aggregation call."""
     if predictor is None:
         predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size)
+                                      batch_size=cfg.batch_size, cfg=cfg)
     frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
     set_name = os.path.basename(frames_table_path).split(".")[0] + "_clips"
 
@@ -223,7 +254,7 @@ def compute_frame_predictions(cfg: Config, dataset_files_path: str,
     """Reference ``compute_frame_predictions`` (predict.py:191-222)."""
     if predictor is None:
         predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size)
+                                      batch_size=cfg.batch_size, cfg=cfg)
     frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
     set_name = os.path.basename(dataset_files_path).split(".")[0] + "_frames"
 
