@@ -32,6 +32,13 @@ try:  # pragma: no cover - environment dependent
         _os.environ.get("JAX_COMPILATION_CACHE_DIR",
                         _os.path.expanduser("~/.cache/ablc_jax_cache")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Backend override for CI / CPU-only machines. The container's
+    # sitecustomize force-registers the TPU platform and clobbers
+    # JAX_PLATFORMS, so an explicit config.update (which wins) is the only
+    # reliable switch; honored only if jax hasn't initialized a backend yet.
+    _plat = _os.environ.get("ABLC_PLATFORM")
+    if _plat:
+        _jax.config.update("jax_platforms", _plat)
 except Exception:
     pass
 

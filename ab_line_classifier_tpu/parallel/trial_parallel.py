@@ -201,9 +201,17 @@ class ParallelFoldTrainer:
     def fit(self, frames_u8: np.ndarray, labels: np.ndarray,
             train_idx: List[np.ndarray], val_idx: List[np.ndarray], *,
             batch_size: int, epochs: int, patience: int = 15,
+            lr_factors: Optional[np.ndarray] = None,
             verbose: bool = True):
         """Train all folds. Returns (best stacked variables, history: list of
-        per-epoch dicts of per-fold arrays)."""
+        per-epoch dicts of per-fold arrays).
+
+        :param lr_factors: optional per-fold learning-rate multipliers [F].
+            Optimizer updates are lr-linear (Adam/RMSprop/SGD updates scale
+            linearly with lr given the same moment trajectory), so scaling
+            each fold's updates is exactly training it at ``lr * factor`` —
+            this is how LR hyperparameter sweeps run trial-parallel.
+        """
         F = self.n_folds
         phase = self.spec.phases[0]
         assert len(self.spec.phases) == 1 or True  # multi-phase folds: loop
@@ -246,7 +254,10 @@ class ParallelFoldTrainer:
             best_val[:] = np.inf
             wait[:] = 0
             plateau_wait[:] = 0
-            lr_factor = jnp.ones((F,), jnp.float32)
+            base_factors = (np.asarray(lr_factors, np.float32)
+                            if lr_factors is not None
+                            else np.ones(F, np.float32))
+            lr_factor = jnp.asarray(base_factors)
             active = jnp.ones((F,), jnp.float32)
 
             for _ in range(phase_epochs):

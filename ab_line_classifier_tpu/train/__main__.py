@@ -18,11 +18,15 @@ def main():
                             "hparam_search"],
                    help="override TRAIN.EXPERIMENT_TYPE")
     p.add_argument("--no-save-weights", action="store_true")
+    p.add_argument("--trial-parallel", action="store_true",
+                   help="SPMD variants: train all folds / LR trials "
+                        "simultaneously, sharded over the mesh trial axis")
     args = p.parse_args()
 
     cfg = load_config(args.config)
     train_experiment(cfg, experiment=args.experiment,
-                     save_weights=not args.no_save_weights)
+                     save_weights=not args.no_save_weights,
+                     trial_parallel=args.trial_parallel)
 
 
 if __name__ == "__main__":

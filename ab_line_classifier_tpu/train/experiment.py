@@ -305,6 +305,100 @@ def hparam_search(cfg: Config, save_weights: bool = False,
             "trials": results}
 
 
+def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
+                       mesh=None, verbose: bool = True) -> Dict[str, Any]:
+    """Trial-parallel learning-rate search: every candidate LR trains
+    SIMULTANEOUSLY as one SPMD program.
+
+    The reference's hparam sweep runs trials serially through a W&B agent
+    (reference ``src/train.py:364``). For learning-rate-only spaces the
+    trials differ by a scalar that enters the update rule *linearly*
+    (Adam/RMSprop/SGD updates are ``lr * f(moments)`` where the moments
+    depend only on gradients), so T trials are exactly one stacked model
+    trained with per-trial update scaling — ``ParallelFoldTrainer`` with
+    identical data per "fold" and ``lr_factors = lr_i / base_lr``. On a
+    T-slice mesh the whole sweep costs one trial's wall clock.
+
+    Candidate LRs are a deterministic log-space grid over the configured
+    ``HPARAM_SEARCH`` range (TYPE ``float_log``, reference
+    config.yml:157-193), which for a 1-D space dominates sequential
+    Bayesian search at equal trial count.
+    """
+    from ab_line_classifier_tpu.parallel.trial_parallel import (
+        ParallelFoldTrainer)
+
+    ensure_output_dirs(cfg)
+    search = cfg["TRAIN"]["HPARAM_SEARCH"]
+    space = {v.name: v for v in space_from_config(cfg.hparam_search_space())}
+    if "LR" not in space:
+        raise ValueError("lr_search_parallel needs an LR variable in "
+                         "HPARAM_SEARCH (others cannot be update-scaled)")
+    var = space["LR"]
+    T = int(n_trials or search["N_EVALS"])
+    lo, hi = float(var.range[0]), float(var.range[1])
+    if var.type == "float_log":
+        lr_values = np.exp(np.linspace(np.log(lo), np.log(hi), T))
+    else:
+        lr_values = np.linspace(lo, hi, T)
+
+    train_df, val_df, test_df, frames_dir = resolve_datasets(cfg)
+    full_df = pd.concat([train_df, val_df, test_df], ignore_index=True)
+    ds = FrameDataset(full_df, frames_dir, img_dim=cfg.img_dim)
+    frames, labels = ds.load_all()
+    n_tr, n_va = len(train_df), len(val_df)
+    train_idx = [np.arange(n_tr)] * T
+    val_idx = [np.arange(n_tr, n_tr + n_va)] * T
+
+    hparams = cfg.model_hparams()
+    base_lr = float(hparams["LR"])
+    mixed = bool(cfg["TRAIN"].get("MIXED_PRECISION", False))
+    build_kwargs: Dict[str, Any] = {}
+    if cfg.model_name == "cutoffvgg16":
+        build_kwargs["total_epochs"] = int(cfg["TRAIN"]["EPOCHS"])
+    spec = build_model(cfg.model_name, hparams, cfg.img_dim + (3,),
+                       cfg.n_classes, mixed_precision=mixed, **build_kwargs)
+
+    hist = np.bincount(train_df["Class"].astype(int),
+                       minlength=cfg.n_classes)
+    cls_w = (1.0 / cfg.n_classes) * hist.sum() / np.maximum(hist, 1)
+
+    trainer = ParallelFoldTrainer(
+        spec, T, class_weights=np.tile(cls_w, (T, 1)),
+        aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
+        seed=int(cfg["TRAIN"]["SEED"]),
+        compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
+    best_vars, history = trainer.fit(
+        frames, labels, train_idx, val_idx,
+        batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
+        patience=int(cfg["TRAIN"]["PATIENCE"]),
+        lr_factors=lr_values / base_lr, verbose=verbose)
+
+    # Per-trial best objective over epochs (METRIC_NAME semantics as in
+    # _sweep_objective; epoch/val_* keys come from the history arrays).
+    key = search["METRIC_NAME"].split("/")[-1]
+    goal = search["METRIC_GOAL"]
+    col = key if key in history[0] else "val_auc"
+    stacked = np.stack([h[col] for h in history])          # [epochs, T]
+    per_trial = (stacked.max(0) if goal == "maximize" else stacked.min(0))
+    best_t = int(np.argmax(per_trial) if goal == "maximize"
+                 else np.argmin(per_trial))
+
+    rows = [{"trial": t, "LR": float(lr_values[t]),
+             "objective": float(per_trial[t])} for t in range(T)]
+    out_dir = cfg["PATHS"]["EXPERIMENTS"]
+    os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame(rows).to_csv(os.path.join(
+        out_dir, f"lr_sweep_parallel_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
+        index=False)
+    if verbose:
+        print(f"best LR {lr_values[best_t]:.3e} "
+              f"({col}={per_trial[best_t]:.4f})")
+    return {"best_params": {"LR": float(lr_values[best_t])},
+            "best_objective": float(per_trial[best_t]), "trials": rows,
+            "best_vars": jax.tree.map(lambda a: np.asarray(a[best_t]),
+                                      best_vars)}
+
+
 def cross_validation_parallel(cfg: Config, mesh=None,
                               verbose: bool = True) -> pd.DataFrame:
     """All k folds trained simultaneously as one SPMD program (fold axis
@@ -415,16 +509,42 @@ def cross_validation(cfg: Config, save_weights: bool = False,
     return summary
 
 
+def _mesh_from_config(cfg: Config):
+    """Build the PARALLEL.MESH mesh, or None on a single device."""
+    pcfg = cfg.get("PARALLEL")
+    if not pcfg or len(jax.devices()) <= 1:
+        return None
+    from ab_line_classifier_tpu.parallel.mesh import make_mesh
+    mesh_cfg = pcfg.get("MESH", {})
+    try:
+        return make_mesh(int(mesh_cfg.get("DATA", -1)),
+                         int(mesh_cfg.get("TRIAL", 1)))
+    except ValueError as e:
+        print(f"mesh config invalid ({e}); running single-device")
+        return None
+
+
 def train_experiment(cfg: Config, experiment: Optional[str] = None,
-                     save_weights: bool = False, verbose: bool = True):
-    """The dispatcher (reference train.py:343-371)."""
+                     save_weights: bool = False, verbose: bool = True,
+                     trial_parallel: bool = False):
+    """The dispatcher (reference train.py:343-371).
+
+    ``trial_parallel=True`` selects the SPMD variants: all folds (or all LR
+    trials) train simultaneously, sharded over the mesh's ``trial`` axis.
+    """
     experiment = experiment or cfg["TRAIN"]["EXPERIMENT_TYPE"]
     if experiment == "single_train":
         return perform_single_run(cfg, save_weights=save_weights,
                                   verbose=verbose)
     if experiment == "hparam_search":
+        if trial_parallel:
+            return lr_search_parallel(cfg, mesh=_mesh_from_config(cfg),
+                                      verbose=verbose)
         return hparam_search(cfg, save_weights=save_weights, verbose=verbose)
     if experiment == "cross_validation":
+        if trial_parallel:
+            return cross_validation_parallel(cfg, mesh=_mesh_from_config(cfg),
+                                             verbose=verbose)
         return cross_validation(cfg, save_weights=save_weights,
                                 verbose=verbose)
     raise ValueError(

@@ -65,6 +65,59 @@ def test_parallel_folds_train(fold_setup):
     assert not np.allclose(kernel[0], kernel[1])
 
 
+def test_lr_factor_zero_freezes_fold(fold_setup):
+    """lr_factors gate the optimizer updates exactly: factor 0 -> the fold's
+    parameters never move from init; factor 1 -> normal training."""
+    frames, labels, train_idx, val_idx, cls_w = fold_setup
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    pt = ParallelFoldTrainer(spec, 2, class_weights=cls_w, seed=0)
+    init_params, _, _, _ = pt.init_stacked(spec.phases[0])
+    best, _ = pt.fit(frames, labels, train_idx, val_idx, batch_size=16,
+                     epochs=1, patience=4,
+                     lr_factors=np.array([1.0, 0.0]), verbose=False)
+    k_init = np.asarray(init_params["conv2d_block0_0"]["kernel"])
+    k_new = np.asarray(best["params"]["conv2d_block0_0"]["kernel"])
+    np.testing.assert_allclose(k_new[1], k_init[1])
+    assert not np.allclose(k_new[0], k_init[0])
+
+
+def test_lr_search_parallel(tmp_path):
+    """End-to-end trial-parallel LR sweep over a log grid."""
+    import os
+
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.train.experiment import lr_search_parallel
+
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=10,
+                                        clips_per_patient=2,
+                                        frames_per_clip=3, hw=(32, 32),
+                                        seed=7)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(repo_root, "config.yml")).to_dict()
+    d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
+                       "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
+                       "EXPERIMENTS": ws + "/results/experiments/"})
+    d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    d["DATA"]["IMG_DIM"] = [32, 32]
+    d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 2, "BATCH_SIZE": 16,
+                       "PATIENCE": 5, "MIXED_PRECISION": False})
+    d["TRAIN"]["HPARAM_SEARCH"]["N_EVALS"] = 3
+    d["HPARAMS"]["CNN0"].update(BLOCKS=1, INIT_FILTERS=4, NODES_DENSE0=8)
+    d["HPARAM_SEARCH"]["CNN0"] = {
+        "LR": {"TYPE": "float_log", "RANGE": [1e-4, 1e-2]}}
+    cfg = Config(d)
+
+    out = lr_search_parallel(cfg, verbose=False)
+    assert len(out["trials"]) == 3
+    lrs = [t["LR"] for t in out["trials"]]
+    assert lrs[0] == pytest.approx(1e-4) and lrs[-1] == pytest.approx(1e-2)
+    assert out["best_params"]["LR"] in lrs
+    assert np.isfinite(out["best_objective"])
+    import glob
+    assert glob.glob(ws + "/results/experiments/lr_sweep_parallel_*.csv")
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_parallel_folds_on_mesh(fold_setup):
     frames, labels, train_idx, val_idx, cls_w = fold_setup
