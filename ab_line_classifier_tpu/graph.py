@@ -40,6 +40,7 @@ KIND_BN = "bn"
 KIND_DENSE = "dense"
 KIND_DROPOUT = "dropout"
 KIND_FN = "fn"  # pure function of its inputs (activation, pool, add, pad...)
+KIND_NORM = "norm"  # keras Normalization: fixed (x-mean)/sqrt(var) stats
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,6 +287,38 @@ def separable_conv2d(name: str, inp: str, features: int,
     # kind=conv so Grad-CAM's last-conv scan matches SeparableConv2D layers,
     # as the reference's _keras_api_names 'Conv' scan does (gradcam.py:33-38).
     return LayerSpec(name=name, kind=KIND_CONV, inputs=(inp,), module_fn=factory)
+
+
+class Normalization(nn.Module):
+    """Keras ``layers.Normalization(axis=-1)``: ``(x - mean)/sqrt(variance)``
+    with the statistics stored as non-trainable variables (keras keeps them
+    as layer weights, loaded from h5 for pretrained models). Stored in the
+    ``batch_stats`` collection so checkpoint/restore and h5 import treat them
+    like BN statistics; nothing ever mutates them."""
+
+    mean_init: Tuple[float, ...]
+    variance_init: Tuple[float, ...]
+
+    @nn.compact
+    def __call__(self, x):
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.asarray(self.mean_init, jnp.float32))
+        var = self.variable(
+            "batch_stats", "variance",
+            lambda: jnp.asarray(self.variance_init, jnp.float32))
+        return ((x - mean.value.astype(x.dtype))
+                / jnp.sqrt(var.value).astype(x.dtype))
+
+
+def normalization(name: str, inp: str, mean: Sequence[float],
+                  variance: Sequence[float]) -> LayerSpec:
+    def factory(name: str):
+        return Normalization(mean_init=tuple(float(m) for m in mean),
+                             variance_init=tuple(float(v) for v in variance),
+                             name=name)
+    return LayerSpec(name=name, kind=KIND_NORM, inputs=(inp,),
+                     module_fn=factory)
 
 
 def batch_norm(name: str, inp: str, momentum: float = 0.99,

@@ -78,23 +78,44 @@ def _correct_pad(size: Tuple[int, int], kernel: int):
 def efficientnet_backbone(variant: str = "b7",
                           input_size: Tuple[int, int] = (128, 128),
                           drop_connect_rate: float = 0.2,
+                          imagenet_stem: bool = True,
                           dtype=None) -> G.LayerGraph:
+    """Keras-exact EfficientNet backbone.
+
+    The stem mirrors keras's in-model preprocessing exactly (keras
+    applications efficientnet.py): ``rescaling`` (x/255), a ``normalization``
+    layer computing ``(x-mean)/sqrt(var)`` with the stats held as
+    non-trainable weights, and — only for imagenet-pretrained models
+    (``imagenet_stem=True``, keras inserts it only when ``weights=
+    'imagenet'``) — an extra ``rescaling_1`` multiplying by ``1/sqrt(std)``
+    to reproduce the original TF implementation's ``(x-mean)/var``
+    normalization quirk. With ``imagenet_stem=False`` the normalization
+    stats default to (0, 1), matching ``weights=None`` keras models;
+    layer indices shift by one between the two, exactly as in keras.
+    """
     width, depth, _ = EFFNET_PARAMS[variant]
     specs: List[G.LayerSpec] = []
     size = tuple(input_size)
     swish = nn.silu
 
-    # In-model preprocessing: rescale to [0,1] then ImageNet normalization
-    # (keras EfficientNet's Rescaling + Normalization stem layers).
-    mean = jnp.asarray(TORCH_MEAN_RGB)
-    std = jnp.asarray(TORCH_STD_RGB)
     specs.append(G.activation("rescaling", G.INPUT, lambda x: x / 255.0))
-    specs.append(G.activation(
-        "normalization", "rescaling",
-        lambda x: (x - mean.astype(x.dtype)) / std.astype(x.dtype)))
+    if imagenet_stem:
+        specs.append(G.normalization("normalization", "rescaling",
+                                     mean=TORCH_MEAN_RGB,
+                                     variance=TORCH_STD_RGB ** 2))
+        inv_sqrt_std = jnp.asarray(1.0 / np.sqrt(TORCH_STD_RGB))
+        specs.append(G.activation(
+            "rescaling_1", "normalization",
+            lambda x: x * inv_sqrt_std.astype(x.dtype)))
+        stem_in = "rescaling_1"
+    else:
+        specs.append(G.normalization("normalization", "rescaling",
+                                     mean=(0.0, 0.0, 0.0),
+                                     variance=(1.0, 1.0, 1.0)))
+        stem_in = "normalization"
 
     stem_filters = round_filters(32, width)
-    specs.append(G.zero_pad("stem_conv_pad", "normalization",
+    specs.append(G.zero_pad("stem_conv_pad", stem_in,
                             _correct_pad(size, 3)))
     specs.append(G.conv2d("stem_conv", "stem_conv_pad", stem_filters, (3, 3),
                           strides=(2, 2), padding="VALID", use_bias=False,
@@ -150,8 +171,14 @@ def efficientnet_backbone(variant: str = "b7",
             se_filters = max(1, int(in_ch * se_ratio))
             specs.append(G.LayerSpec(
                 name=f"{b}_se_squeeze", kind=G.KIND_FN, inputs=(x,),
-                fn=lambda t: jnp.mean(t, axis=(1, 2), keepdims=True)))
-            specs.append(G.conv2d(f"{b}_se_reduce", f"{b}_se_squeeze",
+                fn=lambda t: jnp.mean(t, axis=(1, 2))))
+            # keras: GlobalAveragePooling2D then Reshape((1,1,C)) as its own
+            # layer — kept separate for exact layer-index parity.
+            specs.append(G.LayerSpec(
+                name=f"{b}_se_reshape", kind=G.KIND_FN,
+                inputs=(f"{b}_se_squeeze",),
+                fn=lambda t: t[:, None, None, :]))
+            specs.append(G.conv2d(f"{b}_se_reduce", f"{b}_se_reshape",
                                   se_filters, (1, 1), act=swish,
                                   kernel_init=_conv_init(), dtype=dtype))
             specs.append(G.conv2d(f"{b}_se_expand", f"{b}_se_reduce", filters,

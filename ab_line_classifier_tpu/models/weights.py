@@ -101,6 +101,18 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                 if verbose:
                     print(f"could not copy {layer_name}: {e}")
 
+        # Stats-only layers (keras Normalization: mean/variance/count live in
+        # batch_stats with no trainable params, e.g. EfficientNet's stem).
+        for layer_name in list(batch_stats):
+            if layer_name in params:
+                continue
+            w = _h5_layer_weights(f, layer_name)
+            if "mean" in w and "variance" in w:
+                batch_stats[layer_name]["mean"] = w["mean"].reshape(-1)
+                batch_stats[layer_name]["variance"] = \
+                    w["variance"].reshape(-1)
+                copied += 1
+
     out = dict(variables)
     out["params"] = params
     if batch_stats:

@@ -1,9 +1,10 @@
 """Xception (reference ``src/models/models.py:153-196``): full Keras Xception
-backbone + GAP/Dropout/Dense-softmax head. The reference never freezes or cuts
-this backbone (FREEZE_IDX=-1, and unlike the other entries the builder never
-calls ``freeze_layers``), so exact Keras layer-index parity is not required;
-layer names here follow Keras's ``block{i}_sepconv{j}`` convention with
-explicit names for the auto-named residual-projection convs.
+backbone + GAP/Dropout/Dense-softmax head. Layer names AND indices match Keras
+exactly (verified in tests/test_keras_parity.py), including Keras's auto-names
+for the residual-projection convs (``conv2d``..``conv2d_3``,
+``batch_normalization``..``_3``) and the merge nodes (``add``..``add_11``),
+and Keras's layer ordering (residual conv/BN interleaved *after* the block's
+sepconvs) — so CUTOFF/FREEZE indices and h5 weight import line up 1:1.
 """
 
 from __future__ import annotations
@@ -32,13 +33,16 @@ def xception_backbone(dtype=None) -> G.LayerGraph:
     specs.append(G.relu("block1_conv2_act", "block1_conv2_bn"))
     prev = "block1_conv2_act"
 
-    def entry_block(prev: str, block: int, filters: int,
-                    first_act: bool) -> str:
+    def res_block(prev: str, block: int, filters: int, first_act: bool,
+                  res_idx: int) -> str:
+        """Down-sampling residual block in Keras layer order: sepconvs first,
+        then the auto-named residual 1x1 conv (``conv2d_{i}``) interleaved
+        between the pool's definition and the BN/add."""
         b = f"block{block}"
-        specs.append(G.conv2d(f"{b}_res_conv", prev, filters, (1, 1),
-                              strides=(2, 2), padding="SAME", use_bias=False,
-                              dtype=dtype))
-        specs.append(G.batch_norm(f"{b}_res_bn", f"{b}_res_conv", dtype=dtype))
+        res_conv = "conv2d" if res_idx == 0 else f"conv2d_{res_idx}"
+        res_bn = ("batch_normalization" if res_idx == 0
+                  else f"batch_normalization_{res_idx}")
+        merge = "add" if res_idx == 0 else f"add_{res_idx}"
         x = prev
         if first_act:
             specs.append(G.relu(f"{b}_sepconv1_act", x))
@@ -53,16 +57,21 @@ def xception_backbone(dtype=None) -> G.LayerGraph:
                                         dtype=dtype))
         specs.append(G.batch_norm(f"{b}_sepconv2_bn", f"{b}_sepconv2",
                                   dtype=dtype))
+        specs.append(G.conv2d(res_conv, prev, filters, (1, 1),
+                              strides=(2, 2), padding="SAME", use_bias=False,
+                              dtype=dtype))
         specs.append(G.max_pool(f"{b}_pool", f"{b}_sepconv2_bn", (3, 3),
                                 strides=(2, 2), padding="SAME"))
-        specs.append(G.add(f"{b}_add", f"{b}_pool", f"{b}_res_bn"))
-        return f"{b}_add"
+        specs.append(G.batch_norm(res_bn, res_conv, dtype=dtype))
+        specs.append(G.add(merge, f"{b}_pool", res_bn))
+        return merge
 
-    prev = entry_block(prev, 2, 128, first_act=False)
-    prev = entry_block(prev, 3, 256, first_act=True)
-    prev = entry_block(prev, 4, 728, first_act=True)
+    prev = res_block(prev, 2, 128, first_act=False, res_idx=0)
+    prev = res_block(prev, 3, 256, first_act=True, res_idx=1)
+    prev = res_block(prev, 4, 728, first_act=True, res_idx=2)
 
-    # Middle flow: 8 identity-residual triple-sepconv blocks.
+    # Middle flow: 8 identity-residual triple-sepconv blocks
+    # (merge nodes add_3 .. add_10 in Keras's auto-numbering).
     for block in range(5, 13):
         b = f"block{block}"
         x = prev
@@ -74,15 +83,10 @@ def xception_backbone(dtype=None) -> G.LayerGraph:
             specs.append(G.batch_norm(f"{b}_sepconv{j}_bn", f"{b}_sepconv{j}",
                                       dtype=dtype))
             x = f"{b}_sepconv{j}_bn"
-        specs.append(G.add(f"{b}_add", prev, x))
-        prev = f"{b}_add"
+        specs.append(G.add(f"add_{block - 2}", prev, x))
+        prev = f"add_{block - 2}"
 
-    # Exit flow.
-    specs.append(G.conv2d("block13_res_conv", prev, 1024, (1, 1),
-                          strides=(2, 2), padding="SAME", use_bias=False,
-                          dtype=dtype))
-    specs.append(G.batch_norm("block13_res_bn", "block13_res_conv",
-                              dtype=dtype))
+    # Exit flow (residual conv2d_3 / batch_normalization_3 / add_11).
     specs.append(G.relu("block13_sepconv1_act", prev))
     specs.append(G.separable_conv2d("block13_sepconv1", "block13_sepconv1_act",
                                     728, (3, 3), use_bias=False, dtype=dtype))
@@ -93,11 +97,16 @@ def xception_backbone(dtype=None) -> G.LayerGraph:
                                     1024, (3, 3), use_bias=False, dtype=dtype))
     specs.append(G.batch_norm("block13_sepconv2_bn", "block13_sepconv2",
                               dtype=dtype))
+    specs.append(G.conv2d("conv2d_3", prev, 1024, (1, 1),
+                          strides=(2, 2), padding="SAME", use_bias=False,
+                          dtype=dtype))
     specs.append(G.max_pool("block13_pool", "block13_sepconv2_bn", (3, 3),
                             strides=(2, 2), padding="SAME"))
-    specs.append(G.add("block13_add", "block13_pool", "block13_res_bn"))
+    specs.append(G.batch_norm("batch_normalization_3", "conv2d_3",
+                              dtype=dtype))
+    specs.append(G.add("add_11", "block13_pool", "batch_normalization_3"))
 
-    specs.append(G.separable_conv2d("block14_sepconv1", "block13_add", 1536,
+    specs.append(G.separable_conv2d("block14_sepconv1", "add_11", 1536,
                                     (3, 3), use_bias=False, dtype=dtype))
     specs.append(G.batch_norm("block14_sepconv1_bn", "block14_sepconv1",
                               dtype=dtype))

@@ -36,7 +36,12 @@ def copy_keras_weights(kmodel, params, batch_stats):
             continue
         ws = layer.get_weights()
         cls = type(layer).__name__
-        if cls == "Conv2D":
+        if cls == "SeparableConv2D":
+            params[name]["depthwise"]["kernel"] = ws[0].transpose(0, 1, 3, 2)
+            params[name]["pointwise"]["kernel"] = ws[1]
+            if len(ws) > 2:
+                params[name]["pointwise"]["bias"] = ws[2]
+        elif cls == "Conv2D":
             params[name]["kernel"] = ws[0]
             if len(ws) > 1:
                 params[name]["bias"] = ws[1]
@@ -47,6 +52,9 @@ def copy_keras_weights(kmodel, params, batch_stats):
         elif cls == "BatchNormalization":
             params[name]["scale"], params[name]["bias"] = ws[0], ws[1]
             batch_stats[name]["mean"], batch_stats[name]["var"] = ws[2], ws[3]
+        elif cls == "Normalization":
+            batch_stats[name]["mean"] = ws[0].reshape(-1)
+            batch_stats[name]["variance"] = ws[1].reshape(-1)
         elif cls == "Dense":
             params[name]["kernel"] = ws[0]
             if len(ws) > 1:
@@ -137,6 +145,63 @@ def test_mobilenetv2_forward_parity():
                                 jnp.asarray(x), train=False))
     want = km(x, training=False).numpy()
     rel = np.abs(ours - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 1e-3, rel
+
+
+def test_xception_layer_names_and_forward_parity():
+    from tensorflow.keras.applications import Xception
+
+    from ab_line_classifier_tpu.models.xception import xception_backbone
+
+    km = Xception(include_top=False, weights=None, input_shape=(96, 96, 3))
+    g = xception_backbone()
+    ours = g.layer_names
+    keras_names = [l.name for l in km.layers]
+    assert len(ours) == len(keras_names)
+    assert ours[1:] == keras_names[1:]
+
+    mod = G.GraphModule(graph=g)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    p, bs, n = copy_keras_weights(km, v["params"], v["batch_stats"])
+    assert n == 80  # 4 convs + 34 separable convs + 42 BN... (keras count)
+    x = np.random.RandomState(0).rand(2, 96, 96, 3).astype(np.float32) * 2 - 1
+    got = np.asarray(mod.apply({"params": p, "batch_stats": bs},
+                               jnp.asarray(x), train=False))
+    want = km(x, training=False).numpy()
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 1e-3, rel
+
+
+def test_efficientnetb0_forward_parity():
+    """B0 exercises the exact block logic (expand/depthwise/SE/project,
+    swish, stem normalization, correct_pad) shared by the b7 production
+    variant (reference models.py:198-245) at CPU-testable cost."""
+    from tensorflow.keras.applications import EfficientNetB0
+
+    from ab_line_classifier_tpu.models.efficientnet import (
+        efficientnet_backbone)
+
+    km = EfficientNetB0(include_top=False, weights=None,
+                        input_shape=(64, 64, 3))
+    # weights=None keras models have no rescaling_1 layer and identity
+    # normalization stats — imagenet_stem=False matches that exactly.
+    g = efficientnet_backbone("b0", (64, 64), imagenet_stem=False)
+    keras_names = [l.name for l in km.layers]
+    ours = g.layer_names
+    assert len(ours) == len(keras_names)
+    assert ours[1:] == keras_names[1:]
+    weighted = [l.name for l in km.layers if l.get_weights()]
+
+    mod = G.GraphModule(graph=g)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    p, bs, n = copy_keras_weights(km, v["params"], v["batch_stats"])
+    assert n == len(weighted), (n, len(weighted))
+    # EfficientNet preprocessing is in-model: raw [0,255] inputs.
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32) * 255
+    got = np.asarray(mod.apply({"params": p, "batch_stats": bs},
+                               jnp.asarray(x), train=False))
+    want = km(x, training=False).numpy()
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 1e-3, rel
 
 
