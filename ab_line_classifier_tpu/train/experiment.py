@@ -109,13 +109,20 @@ def generate_classification_test_results(predictor: Predictor,
     if tracker is not None:
         tracker.log_metrics("test", metrics)
     try:
+        import matplotlib.pyplot as plt
+
         from ab_line_classifier_tpu.viz.visualization import (
             plot_confusion_matrix, plot_roc)
         os.makedirs(cfg["PATHS"]["IMAGES"], exist_ok=True)
-        plot_roc("test", labels, probs, cfg.classes,
-                 dir_path=cfg["PATHS"]["IMAGES"])
-        plot_confusion_matrix(labels, preds, cfg.classes,
-                              dir_path=cfg["PATHS"]["IMAGES"])
+        roc_fig = plot_roc("test", labels, probs, cfg.classes)
+        cm_fig = plot_confusion_matrix(labels, preds, cfg.classes)
+        for fname, fig in (("test_roc", roc_fig), ("test_cm", cm_fig)):
+            fig.savefig(os.path.join(cfg["PATHS"]["IMAGES"],
+                                     f"{fname}_{time.strftime('%Y%m%d-%H%M%S')}.png"),
+                        dpi=120)
+            if tracker is not None:
+                tracker.log_image(fname, fig)
+            plt.close(fig)
     except Exception as e:  # plots must never fail a run
         print(f"(plotting skipped: {e})")
     return metrics
@@ -299,6 +306,16 @@ def hparam_search(cfg: Config, save_weights: bool = False,
         os.path.join(out_dir,
                      f"hparam_search_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
         index=False)
+    if hasattr(controller, "partial_dependence") and len(results) >= 2:
+        try:  # GP landscape plot (reference visualization.py:142-178)
+            from ab_line_classifier_tpu.viz.visualization import (
+                plot_bayesian_hparam_opt)
+            plot_bayesian_hparam_opt(
+                controller,
+                dir_path=cfg["PATHS"].get("EXPERIMENT_VISUALIZATIONS",
+                                          cfg["PATHS"]["IMAGES"]))
+        except Exception as e:
+            print(f"(bayes-opt plot skipped: {e})")
     if verbose:
         print(f"best: {best_params} (objective {best_obj:.4f})")
     return {"best_params": best_params, "best_objective": best_obj,

@@ -173,6 +173,60 @@ class BayesController(Controller):
         sq5 = math.sqrt(5.0)
         return (1 + sq5 * d + 5.0 / 3.0 * d * d) * np.exp(-sq5 * d)
 
+    def _fit_posterior(self):
+        """Fit the GP to the history; returns (predict_fn, X, L, ls) where
+        ``predict_fn(U) -> (mu, sigma)`` evaluates the posterior at encoded
+        points U (de-normalized back to objective units)."""
+        X = np.stack([self._encode(p) for p, _ in self.history])
+        y = np.array([o for _, o in self.history], dtype=np.float64)
+        y_mean, y_std = y.mean(), max(y.std(), 1e-9)
+        yn = (y - y_mean) / y_std
+        ls = 0.25 * math.sqrt(X.shape[1])
+        K = self._kernel(X, X, ls) + 1e-6 * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+
+        def predict(U: np.ndarray):
+            Kc = self._kernel(U, X, ls)
+            mu = Kc @ alpha
+            v = np.linalg.solve(L, Kc.T)
+            var = np.maximum(
+                self._kernel(U, U, ls).diagonal() - (v ** 2).sum(0), 1e-12)
+            return mu * y_std + y_mean, np.sqrt(var) * y_std
+
+        return predict, X, L, ls
+
+    def partial_dependence(self, var_name: str, n_points: int = 40,
+                           n_samples: int = 128, seed: int = 0):
+        """1-D partial dependence of the GP posterior mean on one variable:
+        sweep it over its range while marginalizing the others with random
+        draws — the data behind skopt's ``plot_objective`` diagonal
+        (reference ``src/visualization/visualization.py:142-178``).
+        Returns (values, pd_mean) in the variable's native units."""
+        if len(self.history) < 2:
+            raise ValueError("need >= 2 observations for partial dependence")
+        predict, _, _, _ = self._fit_posterior()
+        var = next(v for v in self.space if v.name == var_name)
+        i0 = sum(v.dim for v in self.space[: self.space.index(var)])
+        rng = np.random.RandomState(seed)
+        samples = np.stack([
+            self._encode(self._random_with(rng)) for _ in range(n_samples)])
+        if var.type == "set":
+            grid_u = list(np.eye(len(var.range)))
+        else:
+            grid_u = [np.array([u]) for u in np.linspace(0, 1, n_points)]
+        values, pd = [], []
+        for u in grid_u:
+            U = samples.copy()
+            U[:, i0:i0 + var.dim] = u
+            mu, _ = predict(U)
+            values.append(var.decode(np.asarray(u)))
+            pd.append(float(mu.mean()))
+        return values, np.asarray(pd)
+
+    def _random_with(self, rng) -> Dict[str, Any]:
+        return {v.name: v.sample(rng) for v in self.space}
+
     def suggest(self) -> Dict[str, Any]:
         if len(self.history) < self.n_initial:
             return self._random_params()

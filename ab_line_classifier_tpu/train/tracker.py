@@ -45,8 +45,25 @@ class NullTracker:
     def log_config(self, config: Dict[str, Any]) -> None:
         pass
 
+    def log_image(self, name: str, image, step: Optional[int] = None) -> None:
+        """Log a uint8 [H, W, 3] image (or a matplotlib figure) — the
+        reference's image channels are W&B media panels and TensorBoard
+        image summaries of rasterized figures (``plot_to_tensor``,
+        reference visualization.py:17-30, train_legacy.py:258-278)."""
+        pass
+
     def finish(self, summary: Optional[Dict[str, Any]] = None) -> None:
         pass
+
+
+def _as_image_array(image):
+    """Accept an ndarray or a matplotlib figure."""
+    import numpy as np
+
+    if hasattr(image, "canvas"):  # matplotlib Figure
+        from ab_line_classifier_tpu.viz.visualization import fig_to_array
+        return fig_to_array(image)
+    return np.asarray(image)
 
 
 class LocalTracker(NullTracker):
@@ -98,6 +115,18 @@ class LocalTracker(NullTracker):
         self._summary.update(
             {f"{name}/{k}": _jsonable(v) for k, v in metrics.items()})
 
+    def log_image(self, name: str, image, step: Optional[int] = None) -> None:
+        from PIL import Image
+
+        arr = _as_image_array(image)
+        img_dir = os.path.join(self.run_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        suffix = f"_{step}" if step is not None else ""
+        path = os.path.join(img_dir, f"{name}{suffix}.png")
+        Image.fromarray(arr.astype("uint8")).save(path)
+        self._emit({"event": "image", "name": name, "step": step,
+                    "path": os.path.relpath(path, self.run_dir)})
+
     def finish(self, summary: Optional[Dict[str, Any]] = None) -> None:
         if summary:
             self._summary.update(
@@ -131,6 +160,10 @@ class WandbTracker(NullTracker):
 
     def log_metrics(self, name: str, metrics: Dict[str, Any]) -> None:
         self._wandb.log({f"{name}/{k}": v for k, v in metrics.items()})
+
+    def log_image(self, name: str, image, step: Optional[int] = None) -> None:
+        self._wandb.log({name: self._wandb.Image(_as_image_array(image))},
+                        step=step)
 
     def finish(self, summary: Optional[Dict[str, Any]] = None) -> None:
         if summary:
@@ -168,6 +201,10 @@ class TensorBoardTracker(NullTracker):
         for k, v in metrics.items():
             if isinstance(v, (int, float)):
                 self._writer.add_scalar(f"{name}/{k}", v)
+
+    def log_image(self, name: str, image, step: Optional[int] = None) -> None:
+        self._writer.add_image(name, _as_image_array(image),
+                               global_step=step or 0, dataformats="HWC")
 
     def finish(self, summary: Optional[Dict[str, Any]] = None) -> None:
         if summary:

@@ -21,6 +21,16 @@ def _ts() -> str:
     return datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
 
 
+def fig_to_array(fig: plt.Figure) -> np.ndarray:
+    """Render a matplotlib figure to a uint8 [H, W, 3] RGB array — the
+    reference's ``plot_to_tensor`` (visualization.py:17-30), which rasterizes
+    figures into image tensors for the experiment tracker; here the tracker
+    backends take the ndarray directly (``tracker.log_image``)."""
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())
+    return buf[..., :3].copy()
+
+
 def plot_roc(name: str, labels: np.ndarray, probs: np.ndarray,
              class_names: Sequence[str],
              dir_path: Optional[str] = None) -> plt.Figure:
@@ -122,6 +132,43 @@ def plot_hparam_search(trials: List[Dict], objective_key: str = "objective",
         os.makedirs(dir_path, exist_ok=True)
         fig.savefig(os.path.join(dir_path, f"hparam_search_{_ts()}.png"),
                     dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_bayesian_hparam_opt(controller, dir_path: Optional[str] = None
+                             ) -> plt.Figure:
+    """Objective landscape of a Bayesian sweep — the skopt ``plot_objective``
+    analogue (reference visualization.py:142-178): per-variable 1-D partial
+    dependence of the GP posterior mean, with observed trials overlaid.
+    ``controller`` is a ``BayesController`` (duck-typed: needs ``space``,
+    ``history``, ``partial_dependence``)."""
+    space = controller.space
+    n = len(space)
+    fig, axes = plt.subplots(1, n, figsize=(4.5 * n, 4), squeeze=False)
+    for ax, var in zip(axes[0], space):
+        values, pd = controller.partial_dependence(var.name)
+        xs = [p[var.name] for p, _ in controller.history]
+        ys = [o for _, o in controller.history]
+        if var.type == "set":
+            pos = {val: i for i, val in enumerate(values)}
+            ax.plot(range(len(values)), pd, "o-", label="GP partial dep.")
+            ax.scatter([pos[x] for x in xs], ys, s=18, c="crimson",
+                       alpha=0.6, label="trials")
+            ax.set_xticks(range(len(values)), [str(v) for v in values])
+        else:
+            ax.plot(values, pd, "-", label="GP partial dep.")
+            ax.scatter(xs, ys, s=18, c="crimson", alpha=0.6, label="trials")
+            if var.type == "float_log":
+                ax.set_xscale("log")
+        ax.set_xlabel(var.name)
+        ax.set_ylabel("objective")
+    axes[0][0].legend(loc="best", fontsize=8)
+    fig.suptitle("Bayesian hyperparameter search — GP partial dependence")
+    fig.tight_layout()
+    if dir_path:
+        os.makedirs(dir_path, exist_ok=True)
+        fig.savefig(os.path.join(dir_path, f"bayes_opt_{_ts()}.png"), dpi=120)
         plt.close(fig)
     return fig
 

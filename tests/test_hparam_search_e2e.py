@@ -1,0 +1,76 @@
+"""End-to-end hyperparameter sweep (reference train.py:249-305,364): local
+Bayesian controller, trial persistence + resume, results CSV, GP landscape
+plot."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.config import Config, load_config
+from ab_line_classifier_tpu.data.synthetic import generate_dataset
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def sweep_cfg(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("sweep_ws"))
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=10,
+                                        clips_per_patient=2,
+                                        frames_per_clip=3, hw=(32, 32),
+                                        seed=9)
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
+    d["PATHS"].update({
+        "FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv, "FRAMES": fdir,
+        "PARTITIONS": ws + "/partitions/",
+        "MODEL_WEIGHTS": ws + "/results/models/",
+        "METRICS": ws + "/results/metrics/",
+        "BATCH_PREDS": ws + "/results/predictions/",
+        "EXPERIMENTS": ws + "/results/experiments/",
+        "LOGS": ws + "/results/logs/", "IMAGES": ws + "/results/figures/",
+        "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/",
+        "HEATMAPS": ws + "/img/heatmaps",
+    })
+    d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    d["DATA"]["IMG_DIM"] = [32, 32]
+    d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 1, "BATCH_SIZE": 16,
+                       "PATIENCE": 3, "MIXED_PRECISION": False})
+    d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 3, "METHOD": "bayes"})
+    d["HPARAMS"]["CNN0"].update({"BLOCKS": 1, "INIT_FILTERS": 4,
+                                 "NODES_DENSE0": 8})
+    d["HPARAM_SEARCH"]["CNN0"] = {
+        "LR": {"TYPE": "float_log", "RANGE": [1e-4, 1e-2]},
+        "DROPOUT": {"TYPE": "float_uniform", "RANGE": [0.0, 0.5]}}
+    return ws, Config(d)
+
+
+def test_hparam_search_end_to_end(sweep_cfg):
+    ws, cfg = sweep_cfg
+    from ab_line_classifier_tpu.train.experiment import hparam_search
+
+    out = hparam_search(cfg, verbose=False, sweep_id="sweep-test")
+    assert len(out["trials"]) == 3
+    assert "LR" in out["best_params"] and "DROPOUT" in out["best_params"]
+    # trial persistence (resumable sweeps)
+    trials_path = ws + "/results/experiments/sweep-test.jsonl"
+    assert os.path.isfile(trials_path)
+    recs = [json.loads(l) for l in open(trials_path)]
+    assert len(recs) == 3
+    # results CSV + GP landscape plot
+    assert glob.glob(ws + "/results/experiments/hparam_search_*.csv")
+    assert glob.glob(ws + "/img/experiments/bayes_opt_*.png")
+
+
+def test_hparam_search_resume_skips_done_trials(sweep_cfg):
+    ws, cfg = sweep_cfg
+    from ab_line_classifier_tpu.train.experiment import hparam_search
+
+    # same sweep_id: all 3 trials already recorded -> no new runs
+    before = len(glob.glob(ws + "/results/runs/*"))
+    out = hparam_search(cfg, verbose=False, sweep_id="sweep-test")
+    after = len(glob.glob(ws + "/results/runs/*"))
+    assert len(out["trials"]) == 3
+    assert after == before

@@ -81,6 +81,34 @@ def test_bayes_improves_on_quadratic():
     assert max(bayes_scores) > -0.01  # close to the optimum
 
 
+def test_partial_dependence_recovers_optimum():
+    """The GP's 1-D partial dependence on a smooth objective should peak
+    near the true optimum (the data behind plot_bayesian_hparam_opt)."""
+    space = [SweepVar("x", "float_uniform", (0.0, 1.0)),
+             SweepVar("LR", "float_log", (1e-5, 1e-1))]
+    c = BayesController(space, seed=0)
+    rng = np.random.RandomState(0)
+    for _ in range(30):
+        p = {"x": float(rng.uniform(0, 1)),
+             "LR": float(np.exp(rng.uniform(np.log(1e-5), np.log(1e-1))))}
+        obj = -((p["x"] - 0.4) ** 2) - (np.log10(p["LR"]) + 3) ** 2 * 0.1
+        c.observe(p, obj)
+    xs, pd = c.partial_dependence("x")
+    assert abs(xs[int(np.argmax(pd))] - 0.4) < 0.15
+    lrs, pd_lr = c.partial_dependence("LR")
+    assert abs(np.log10(lrs[int(np.argmax(pd_lr))]) + 3) < 1.0
+
+
+def test_partial_dependence_set_variable():
+    space = [SweepVar("INIT_FILTERS", "set", (16, 32))]
+    c = BayesController(space, seed=0)
+    for v, obj in ((16, 0.1), (32, 0.9), (16, 0.2), (32, 0.8)):
+        c.observe({"INIT_FILTERS": v}, obj)
+    values, pd = c.partial_dependence("INIT_FILTERS")
+    assert list(values) == [16, 32]
+    assert pd[1] > pd[0]
+
+
 def test_best_tracking():
     c = RandomController(SPACE, seed=0)
     c.observe({"LR": 1e-3, "DROPOUT": 0.1, "BLOCKS": 1, "INIT_FILTERS": 16},
