@@ -201,21 +201,20 @@ class ParallelFoldTrainer:
     def fit(self, frames_u8: np.ndarray, labels: np.ndarray,
             train_idx: List[np.ndarray], val_idx: List[np.ndarray], *,
             batch_size: int, epochs: int, patience: int = 15,
-            lr_factors: Optional[np.ndarray] = None,
-            verbose: bool = True):
+            lr_factors=None, verbose: bool = True):
         """Train all folds. Returns (best stacked variables, history: list of
         per-epoch dicts of per-fold arrays).
 
-        :param lr_factors: optional per-fold learning-rate multipliers [F].
-            Optimizer updates are lr-linear (Adam/RMSprop/SGD updates scale
-            linearly with lr given the same moment trajectory), so scaling
-            each fold's updates is exactly training it at ``lr * factor`` —
-            this is how LR hyperparameter sweeps run trial-parallel.
+        :param lr_factors: optional per-fold learning-rate multipliers —
+            either one ``[F]`` array applied in every phase, or a dict
+            ``{phase_name: [F]}`` for multi-phase plans (cutoffvgg16 sweeps
+            LR_EXTRACT and LR_FINETUNE independently). Optimizer updates are
+            lr-linear (Adam/RMSprop/SGD updates scale linearly with lr given
+            the same moment trajectory), so scaling each fold's updates is
+            exactly training it at ``lr * factor`` — this is how LR
+            hyperparameter sweeps run trial-parallel.
         """
         F = self.n_folds
-        phase = self.spec.phases[0]
-        assert len(self.spec.phases) == 1 or True  # multi-phase folds: loop
-
         frames = jnp.asarray(frames_u8)
         labels_d = jnp.asarray(labels.astype(np.int32))
         if self.mesh is not None:
@@ -254,8 +253,10 @@ class ParallelFoldTrainer:
             best_val[:] = np.inf
             wait[:] = 0
             plateau_wait[:] = 0
-            base_factors = (np.asarray(lr_factors, np.float32)
-                            if lr_factors is not None
+            phase_factors = (lr_factors.get(phase.name)
+                             if isinstance(lr_factors, dict) else lr_factors)
+            base_factors = (np.asarray(phase_factors, np.float32)
+                            if phase_factors is not None
                             else np.ones(F, np.float32))
             lr_factor = jnp.asarray(base_factors)
             active = jnp.ones((F,), jnp.float32)

@@ -339,7 +339,10 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     Candidate LRs are a deterministic log-space grid over the configured
     ``HPARAM_SEARCH`` range (TYPE ``float_log``, reference
     config.yml:157-193), which for a 1-D space dominates sequential
-    Bayesian search at equal trial count.
+    Bayesian search at equal trial count. For cutoffvgg16's two-phase plan
+    the space is the (LR_EXTRACT, LR_FINETUNE) log box (reference
+    config.yml:164-170): each trial draws a seeded random pair and the
+    per-trial factors switch at the phase boundary.
     """
     from ab_line_classifier_tpu.parallel.trial_parallel import (
         ParallelFoldTrainer)
@@ -347,16 +350,39 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     ensure_output_dirs(cfg)
     search = cfg["TRAIN"]["HPARAM_SEARCH"]
     space = {v.name: v for v in space_from_config(cfg.hparam_search_space())}
-    if "LR" not in space:
-        raise ValueError("lr_search_parallel needs an LR variable in "
-                         "HPARAM_SEARCH (others cannot be update-scaled)")
-    var = space["LR"]
     T = int(n_trials or search["N_EVALS"])
-    lo, hi = float(var.range[0]), float(var.range[1])
-    if var.type == "float_log":
-        lr_values = np.exp(np.linspace(np.log(lo), np.log(hi), T))
+
+    def grid(var, n):
+        lo, hi = float(var.range[0]), float(var.range[1])
+        if var.type == "float_log":
+            return np.exp(np.linspace(np.log(lo), np.log(hi), n))
+        return np.linspace(lo, hi, n)
+
+    def log_samples(var, n, rng):
+        lo, hi = float(var.range[0]), float(var.range[1])
+        if var.type == "float_log":
+            return np.exp(rng.uniform(np.log(lo), np.log(hi), n))
+        return rng.uniform(lo, hi, n)
+
+    hparams = cfg.model_hparams()
+    rng = np.random.RandomState(int(cfg["TRAIN"]["SEED"]))
+    if "LR" in space:
+        # 1-D LR space: a deterministic log grid dominates sequential search.
+        trial_lrs = {"LR": grid(space["LR"], T)}
+        phase_vars = None  # same factor in every phase
+    elif "LR_EXTRACT" in space or "LR_FINETUNE" in space:
+        # cutoffvgg16's two-phase pair: each trial draws both LRs (seeded
+        # random search over the 2-D log box); factors apply per phase.
+        trial_lrs = {}
+        for name in ("LR_EXTRACT", "LR_FINETUNE"):
+            trial_lrs[name] = (log_samples(space[name], T, rng)
+                               if name in space
+                               else np.full(T, float(hparams[name])))
+        phase_vars = {"extract": "LR_EXTRACT", "finetune": "LR_FINETUNE"}
     else:
-        lr_values = np.linspace(lo, hi, T)
+        raise ValueError(
+            "lr_search_parallel needs LR (or LR_EXTRACT/LR_FINETUNE) in "
+            "HPARAM_SEARCH (other variables cannot be update-scaled)")
 
     train_df, val_df, test_df, frames_dir = resolve_datasets(cfg)
     full_df = pd.concat([train_df, val_df, test_df], ignore_index=True)
@@ -366,8 +392,6 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     train_idx = [np.arange(n_tr)] * T
     val_idx = [np.arange(n_tr, n_tr + n_va)] * T
 
-    hparams = cfg.model_hparams()
-    base_lr = float(hparams["LR"])
     mixed = bool(cfg["TRAIN"].get("MIXED_PRECISION", False))
     build_kwargs: Dict[str, Any] = {}
     if cfg.model_name == "cutoffvgg16":
@@ -379,6 +403,13 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
                        minlength=cfg.n_classes)
     cls_w = (1.0 / cfg.n_classes) * hist.sum() / np.maximum(hist, 1)
 
+    if phase_vars is None:
+        lr_factors = trial_lrs["LR"] / float(hparams["LR"])
+    else:
+        lr_factors = {
+            phase: trial_lrs[var] / float(hparams[var])
+            for phase, var in phase_vars.items()}
+
     trainer = ParallelFoldTrainer(
         spec, T, class_weights=np.tile(cls_w, (T, 1)),
         aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
@@ -388,7 +419,7 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
         frames, labels, train_idx, val_idx,
         batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
         patience=int(cfg["TRAIN"]["PATIENCE"]),
-        lr_factors=lr_values / base_lr, verbose=verbose)
+        lr_factors=lr_factors, verbose=verbose)
 
     # Per-trial best objective over epochs (METRIC_NAME semantics as in
     # _sweep_objective; epoch/val_* keys come from the history arrays).
@@ -400,17 +431,19 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     best_t = int(np.argmax(per_trial) if goal == "maximize"
                  else np.argmin(per_trial))
 
-    rows = [{"trial": t, "LR": float(lr_values[t]),
+    swept = {k: v for k, v in trial_lrs.items()
+             if phase_vars is None or k in space}
+    rows = [{"trial": t, **{k: float(v[t]) for k, v in swept.items()},
              "objective": float(per_trial[t])} for t in range(T)]
     out_dir = cfg["PATHS"]["EXPERIMENTS"]
     os.makedirs(out_dir, exist_ok=True)
     pd.DataFrame(rows).to_csv(os.path.join(
         out_dir, f"lr_sweep_parallel_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
         index=False)
+    best_params = {k: float(v[best_t]) for k, v in swept.items()}
     if verbose:
-        print(f"best LR {lr_values[best_t]:.3e} "
-              f"({col}={per_trial[best_t]:.4f})")
-    return {"best_params": {"LR": float(lr_values[best_t])},
+        print(f"best {best_params} ({col}={per_trial[best_t]:.4f})")
+    return {"best_params": best_params,
             "best_objective": float(per_trial[best_t]), "trials": rows,
             "best_vars": jax.tree.map(lambda a: np.asarray(a[best_t]),
                                       best_vars)}

@@ -118,6 +118,45 @@ def test_lr_search_parallel(tmp_path):
     assert glob.glob(ws + "/results/experiments/lr_sweep_parallel_*.csv")
 
 
+def test_lr_search_parallel_two_phase(tmp_path):
+    """cutoffvgg16's (LR_EXTRACT, LR_FINETUNE) pair swept trial-parallel:
+    factors switch at the extract->finetune phase boundary."""
+    import os
+
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.train.experiment import lr_search_parallel
+
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=12,
+                                        clips_per_patient=2,
+                                        frames_per_clip=2, hw=(32, 32),
+                                        seed=13)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(repo_root, "config.yml")).to_dict()
+    d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
+                       "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
+                       "EXPERIMENTS": ws + "/results/experiments/"})
+    d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    d["DATA"]["IMG_DIM"] = [32, 32]
+    d["TRAIN"].update({"MODEL_DEF": "cutoffvgg16", "EPOCHS": 2,
+                       "BATCH_SIZE": 8, "PATIENCE": 4,
+                       "MIXED_PRECISION": False})
+    d["TRAIN"]["HPARAM_SEARCH"]["N_EVALS"] = 2
+    d["HPARAMS"]["CUTOFFVGG16"]["EXTRACT_EPOCHS"] = 1
+    d["HPARAM_SEARCH"]["CUTOFFVGG16"] = {
+        "LR_EXTRACT": {"TYPE": "float_log", "RANGE": [1e-4, 1e-3]},
+        "LR_FINETUNE": {"TYPE": "float_log", "RANGE": [1e-6, 1e-5]}}
+    cfg = Config(d)
+
+    out = lr_search_parallel(cfg, verbose=False)
+    assert len(out["trials"]) == 2
+    for t in out["trials"]:
+        assert 1e-4 <= t["LR_EXTRACT"] <= 1e-3
+        assert 1e-6 <= t["LR_FINETUNE"] <= 1e-5
+    assert set(out["best_params"]) == {"LR_EXTRACT", "LR_FINETUNE"}
+    assert np.isfinite(out["best_objective"])
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_parallel_folds_on_mesh(fold_setup):
     frames, labels, train_idx, val_idx, cls_w = fold_setup
