@@ -154,3 +154,11 @@ def export_h5_weights(h5_path: str, variables: Dict[str, Any]) -> None:
                 g.create_dataset("kernel:0", data=np.asarray(p["kernel"]))
                 if "bias" in p:
                     g.create_dataset("bias:0", data=np.asarray(p["bias"]))
+        # Stats-only layers (keras Normalization) have no params entry;
+        # mirror the importer so export/import round-trips.
+        for layer_name, stats in bs.items():
+            if layer_name in variables["params"] or "variance" not in stats:
+                continue
+            g = root.create_group(layer_name).create_group(layer_name)
+            g.create_dataset("mean", data=np.asarray(stats["mean"]))
+            g.create_dataset("variance", data=np.asarray(stats["variance"]))

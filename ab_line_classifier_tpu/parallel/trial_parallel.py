@@ -253,8 +253,15 @@ class ParallelFoldTrainer:
             best_val[:] = np.inf
             wait[:] = 0
             plateau_wait[:] = 0
-            phase_factors = (lr_factors.get(phase.name)
-                             if isinstance(lr_factors, dict) else lr_factors)
+            if isinstance(lr_factors, dict):
+                if phase.name not in lr_factors:
+                    raise ValueError(
+                        f"lr_factors dict is missing phase {phase.name!r} "
+                        f"(has {sorted(lr_factors)}); keys must be phase "
+                        f"names, not hyperparameter names")
+                phase_factors = lr_factors[phase.name]
+            else:
+                phase_factors = lr_factors
             base_factors = (np.asarray(phase_factors, np.float32)
                             if phase_factors is not None
                             else np.ones(F, np.float32))

@@ -28,6 +28,18 @@ def compute_class_weight(train_df: pd.DataFrame,
     return {i: float((1.0 / n) * total / hist[i]) for i in range(n)}
 
 
+def class_weight_array(train_df: pd.DataFrame, n_classes: int,
+                       class_key: str = "Class") -> np.ndarray:
+    """Vector form of :func:`compute_class_weight` for stacked/vmapped
+    trainers ([C] float32). Absent classes get a guarded count of 1 so the
+    weight stays finite (they contribute no loss anyway)."""
+    hist = np.bincount(train_df[class_key].to_numpy().astype(int),
+                       minlength=n_classes).astype(np.float64)
+    total = hist.sum()
+    return ((1.0 / n_classes) * total
+            / np.maximum(hist, 1)).astype(np.float32)
+
+
 def compute_output_bias(train_df: pd.DataFrame,
                         class_key: str = "Class") -> np.ndarray:
     hist = class_histogram(train_df, class_key).astype(np.float64)

@@ -33,7 +33,7 @@ from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.predict.metrics import compute_metrics
 from ab_line_classifier_tpu.predict.predict import Predictor
 from ab_line_classifier_tpu.train.class_balance import (
-    compute_class_weight, compute_output_bias)
+    class_weight_array, compute_class_weight, compute_output_bias)
 from ab_line_classifier_tpu.train.loop import Trainer
 from ab_line_classifier_tpu.train.sweep import make_controller, space_from_config
 from ab_line_classifier_tpu.train.tracker import make_tracker
@@ -366,6 +366,13 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
 
     hparams = cfg.model_hparams()
     rng = np.random.RandomState(int(cfg["TRAIN"]["SEED"]))
+    lr_names = {"LR", "LR_EXTRACT", "LR_FINETUNE"}
+    ignored = sorted(set(space) - lr_names)
+    if ignored:
+        print(f"lr_search_parallel: only learning rates can be update-scaled"
+              f" trial-parallel; ignoring search variables {ignored} "
+              f"(they stay at their HPARAMS defaults — use the serial "
+              f"hparam_search to sweep them)")
     if "LR" in space:
         # 1-D LR space: a deterministic log grid dominates sequential search.
         trial_lrs = {"LR": grid(space["LR"], T)}
@@ -384,8 +391,10 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
             "lr_search_parallel needs LR (or LR_EXTRACT/LR_FINETUNE) in "
             "HPARAM_SEARCH (other variables cannot be update-scaled)")
 
-    train_df, val_df, test_df, frames_dir = resolve_datasets(cfg)
-    full_df = pd.concat([train_df, val_df, test_df], ignore_index=True)
+    # Only train+val frames go to the device — no trial indexes the test
+    # split, and the full array replicates into HBM over a slow tunnel.
+    train_df, val_df, _, frames_dir = resolve_datasets(cfg)
+    full_df = pd.concat([train_df, val_df], ignore_index=True)
     ds = FrameDataset(full_df, frames_dir, img_dim=cfg.img_dim)
     frames, labels = ds.load_all()
     n_tr, n_va = len(train_df), len(val_df)
@@ -399,9 +408,7 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     spec = build_model(cfg.model_name, hparams, cfg.img_dim + (3,),
                        cfg.n_classes, mixed_precision=mixed, **build_kwargs)
 
-    hist = np.bincount(train_df["Class"].astype(int),
-                       minlength=cfg.n_classes)
-    cls_w = (1.0 / cfg.n_classes) * hist.sum() / np.maximum(hist, 1)
+    cls_w = class_weight_array(train_df, cfg.n_classes)
 
     if phase_vars is None:
         lr_factors = trial_lrs["LR"] / float(hparams["LR"])
@@ -425,7 +432,16 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     # _sweep_objective; epoch/val_* keys come from the history arrays).
     key = search["METRIC_NAME"].split("/")[-1]
     goal = search["METRIC_GOAL"]
-    col = key if key in history[0] else "val_auc"
+    if key in history[0]:
+        col = key
+    else:
+        # The configured metric isn't tracked per epoch here; fall back to
+        # val_auc and force the matching goal (keeping 'minimize' against
+        # a substituted AUC would select the WORST trial).
+        print(f"lr_search_parallel: metric {key!r} not in per-epoch history "
+              f"({sorted(k for k in history[0] if k.startswith('val_'))}); "
+              f"selecting by val_auc (maximize) instead")
+        col, goal = "val_auc", "maximize"
     stacked = np.stack([h[col] for h in history])          # [epochs, T]
     per_trial = (stacked.max(0) if goal == "maximize" else stacked.min(0))
     best_t = int(np.argmax(per_trial) if goal == "maximize"
@@ -480,9 +496,7 @@ def cross_validation_parallel(cfg: Config, mesh=None,
         train_idx.append(tr.index.to_numpy())
         val_idx.append(va.index.to_numpy())
         test_idx.append(te.index.to_numpy())
-        hist = np.bincount(tr["Class"].astype(int), minlength=cfg.n_classes)
-        cls_w.append((1.0 / cfg.n_classes) * hist.sum()
-                     / np.maximum(hist, 1))
+        cls_w.append(class_weight_array(tr, cfg.n_classes))
 
     mixed = bool(cfg["TRAIN"].get("MIXED_PRECISION", False))
     hparams = cfg.model_hparams()

@@ -230,14 +230,7 @@ class BayesController(Controller):
     def suggest(self) -> Dict[str, Any]:
         if len(self.history) < self.n_initial:
             return self._random_params()
-        X = np.stack([self._encode(p) for p, _ in self.history])
-        y = np.array([o for _, o in self.history], dtype=np.float64)
-        y_mean, y_std = y.mean(), max(y.std(), 1e-9)
-        yn = (y - y_mean) / y_std
-        ls = 0.25 * math.sqrt(X.shape[1])
-        K = self._kernel(X, X, ls) + 1e-6 * np.eye(len(X))
-        L = np.linalg.cholesky(K)
-        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+        predict, _, _, _ = self._fit_posterior()
 
         # candidate pool: random + jittered copies of the incumbent
         cand_params = [self._random_params()
@@ -248,15 +241,11 @@ class BayesController(Controller):
             cand_params.append(self._decode(np.clip(best_u + jitter, 0, 1)))
         Xc = np.stack([self._encode(p) for p in cand_params])
 
-        Kc = self._kernel(Xc, X, ls)
-        mu = Kc @ alpha
-        v = np.linalg.solve(L, Kc.T)
-        var = np.maximum(self._kernel(Xc, Xc, ls).diagonal() - (v ** 2).sum(0),
-                         1e-12)
-        sigma = np.sqrt(var)
-        best_n = yn.max()
-        z = (mu - best_n) / sigma
-        # EI for maximization
+        # EI for maximization (invariant to the posterior's affine
+        # de-normalization, so objective units are fine here).
+        mu, sigma = predict(Xc)
+        best_y = max(o for _, o in self.history)
+        z = (mu - best_y) / sigma
         from math import erf
         cdf = 0.5 * (1.0 + np.vectorize(erf)(z / math.sqrt(2.0)))
         pdf = np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)

@@ -118,6 +118,15 @@ def test_lr_search_parallel(tmp_path):
     assert glob.glob(ws + "/results/experiments/lr_sweep_parallel_*.csv")
 
 
+def test_lr_factors_dict_requires_phase_names(fold_setup):
+    frames, labels, train_idx, val_idx, cls_w = fold_setup
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    pt = ParallelFoldTrainer(spec, 2, class_weights=cls_w, seed=0)
+    with pytest.raises(ValueError, match="phase"):
+        pt.fit(frames, labels, train_idx, val_idx, batch_size=16, epochs=1,
+               lr_factors={"LR": np.ones(2)}, verbose=False)
+
+
 def test_lr_search_parallel_two_phase(tmp_path):
     """cutoffvgg16's (LR_EXTRACT, LR_FINETUNE) pair swept trial-parallel:
     factors switch at the extract->finetune phase boundary."""

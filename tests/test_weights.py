@@ -45,6 +45,39 @@ def test_partial_match_skips_missing(tmp_path):
         np.asarray(v2_imported["params"]["block1_conv1"]["kernel"]))
 
 
+def test_normalization_stats_roundtrip(tmp_path):
+    """Stats-only layers (keras Normalization, EfficientNet stem) must
+    survive export->import — they have no params entry."""
+    import jax.numpy as jnp
+
+    from ab_line_classifier_tpu import graph as G
+
+    g = G.graph_of(
+        G.normalization("normalization", G.INPUT,
+                        mean=(0.1, 0.2, 0.3), variance=(1.0, 2.0, 3.0)),
+        G.conv2d("conv", "normalization", 4, (3, 3)))
+    mod = G.GraphModule(graph=g)
+    v1 = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    h5_path = str(tmp_path / "w.h5")
+    export_h5_weights(h5_path, v1)
+
+    # re-init with different stats; import must restore the originals
+    g2 = G.graph_of(
+        G.normalization("normalization", G.INPUT,
+                        mean=(0.0, 0.0, 0.0), variance=(1.0, 1.0, 1.0)),
+        G.conv2d("conv", "normalization", 4, (3, 3)))
+    v2 = G.GraphModule(graph=g2).init(jax.random.PRNGKey(1),
+                                      jnp.zeros((1, 8, 8, 3)))
+    v2_imported, copied = import_h5_weights(h5_path, v2, verbose=False)
+    assert copied == 2  # conv + normalization
+    np.testing.assert_allclose(
+        np.asarray(v2_imported["batch_stats"]["normalization"]["mean"]),
+        [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(
+        np.asarray(v2_imported["batch_stats"]["normalization"]["variance"]),
+        [1.0, 2.0, 3.0])
+
+
 def test_bn_stats_roundtrip(tmp_path):
     hp = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
           "KERNEL_SIZE": 3, "STRIDES": 1, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
