@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,9 +175,10 @@ def classifier_head(
     prev = "dropout_head"
 
     if fc0_nodes:
-        specs.append(G.dense("fc0_dense", prev, fc0_nodes,
+        # ONE node with a fused relu, like Keras Dense(activation='relu',
+        # name='fc0') — name/index parity for h5 import (models.py:88,286).
+        specs.append(G.dense("fc0", prev, fc0_nodes, act=nn.relu,
                              kernel_init=fc0_kernel_init, dtype=dtype))
-        specs.append(G.relu("fc0", "fc0_dense"))
         if fc0_l2:
             activity_regs["fc0"] = fc0_l2
         prev = "fc0"

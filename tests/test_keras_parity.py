@@ -244,6 +244,131 @@ def test_cutoffvgg16_equals_keras_reconstruction():
     np.testing.assert_allclose(ours, want, atol=1e-4)
 
 
+def test_cnn0_equals_keras_reconstruction():
+    """Rebuild the reference's cnn0 in Keras (models.py:248-296, minus its
+    eval() crash) and compare forwards with copied weights."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.layers import (Activation, BatchNormalization,
+                                         Conv2D, Dense, Dropout,
+                                         GlobalAveragePooling2D, MaxPool2D,
+                                         ZeroPadding2D)
+
+    hp = {"LR": 1e-3, "DROPOUT": 0.35, "L2_LAMBDA": 1e-4, "NODES_DENSE0": 16,
+          "KERNEL_SIZE": 3, "STRIDES": 1, "MAXPOOL_SIZE": 2, "BLOCKS": 3,
+          "INIT_FILTERS": 8, "FILTER_EXP_BASE": 2}
+    inp = Input((32, 32, 3))
+    x = ZeroPadding2D((1, 1))(inp)
+    for i in range(3):
+        x = Conv2D(8 * 2 ** i, 3, strides=1, padding="same",
+                   name=f"conv2d_block{i}_0", activation="relu")(x)
+        x = BatchNormalization(axis=3, name=f"bn_block{i}")(x)
+        if i < 2:
+            x = MaxPool2D(2, padding="same", name=f"maxpool{i}")(x)
+    x = GlobalAveragePooling2D(name="global_avgpool")(x)
+    x = Dropout(0.35)(x)
+    x = Dense(16, activation="relu", name="fc0")(x)
+    x = Dense(2, name="logits")(x)
+    y = Activation("softmax", name="output")(x)
+    km = Model(inp, y)
+
+    from ab_line_classifier_tpu.models import build_model
+    spec = build_model("cnn0", hp, (32, 32, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    p, bs, n = copy_keras_weights(km, v["params"], v["batch_stats"])
+    assert n == 8  # 3 convs + 3 BN + fc0 + logits
+    x_in = np.random.RandomState(0).rand(3, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(spec.module().apply(
+        {"params": p, "batch_stats": bs}, jnp.asarray(x_in), train=False))
+    want = km(x_in, training=False).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-5)
+
+
+def test_custom_resnetv2_equals_keras_reconstruction():
+    """Rebuild the reference's custom_resnetv2 in Keras (models.py:298-384 on
+    model_utils.residual_block:45-76) and compare forwards with weights
+    copied in construction order (the reference's layers are auto-named)."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.layers import (Activation, BatchNormalization,
+                                         Conv2D, Dense,
+                                         GlobalAveragePooling2D,
+                                         SpatialDropout2D, add)
+
+    def residual_block(X, num_filters, prefix, stride=1, kernel_size=3,
+                       activation="relu", bn=True, conv_first=True):
+        # Identical to reference model_utils.residual_block:45-76, except
+        # layers carry our node names (the reference's are auto-named) so
+        # weights copy by name instead of fragile topological order.
+        conv_layer = Conv2D(num_filters, kernel_size=kernel_size,
+                            strides=stride, padding="same",
+                            name=f"{prefix}_conv")
+        if conv_first:
+            X = conv_layer(X)
+            if bn:
+                X = BatchNormalization(name=f"{prefix}_bn")(X)
+            if activation is not None:
+                X = Activation(activation)(X)
+        else:
+            if bn:
+                X = BatchNormalization(name=f"{prefix}_bn")(X)
+            if activation is not None:
+                X = Activation(activation)(X)
+            X = conv_layer(X)
+        return X
+
+    blocks, init_filters = 2, 8
+    inp = Input((32, 32, 3))
+    X = residual_block(inp, init_filters, "stem", conv_first=True)
+    num_filters_in = init_filters
+    for stage in range(3):
+        for unit in range(blocks):
+            p = f"stage{stage}_unit{unit}"
+            activation, bn, stride = "relu", True, 1
+            if stage == 0:
+                num_filters_out = num_filters_in * 4
+                if unit == 0:
+                    activation, bn = None, False
+            else:
+                num_filters_out = num_filters_in * 2
+                if unit == 0:
+                    stride = 2
+            y = residual_block(X, num_filters_in, f"{p}_a", kernel_size=1,
+                               stride=stride, activation=activation, bn=bn,
+                               conv_first=False)
+            y = residual_block(y, num_filters_in, f"{p}_b", conv_first=False)
+            y = residual_block(y, num_filters_out, f"{p}_c", kernel_size=1,
+                               conv_first=False)
+            if unit == 0:
+                X = residual_block(X, num_filters_out, f"{p}_proj",
+                                   kernel_size=1, stride=stride,
+                                   activation=None, bn=False)
+            X = add([X, y])
+        num_filters_in = num_filters_out
+    X = SpatialDropout2D(0.4)(X)
+    X = GlobalAveragePooling2D(name="global_avgpool")(X)
+    Y = Dense(2, activation="softmax", name="logits")(X)
+    km = Model(inp, Y)
+
+    from ab_line_classifier_tpu.models import build_model
+    hp = {"LR": 1e-3, "DROPOUT0": 0.3, "DROPOUT1": 0.4, "BLOCKS": blocks,
+          "INIT_FILTERS": init_filters}
+    spec = build_model("custom_resnetv2", hp, (32, 32, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    params, batch_stats, n = copy_keras_weights(km, v["params"],
+                                                v["batch_stats"])
+    n_convs = sum(1 for s in spec.graph.layers
+                  if s.kind == G.KIND_CONV and s.name in params)
+    n_bns = sum(1 for s in spec.graph.layers
+                if s.kind == G.KIND_BN and s.name in params)
+    assert n == n_convs + n_bns + 1  # + logits
+
+    x_in = np.random.RandomState(1).rand(3, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(spec.module().apply(
+        {"params": params, "batch_stats": batch_stats}, jnp.asarray(x_in),
+        train=False))
+    want = km(x_in, training=False).numpy()
+    np.testing.assert_allclose(ours, want, atol=2e-5)
+
+
 def test_keras_h5_import():
     """Import weights from an h5 file written by Keras itself."""
     import tempfile
