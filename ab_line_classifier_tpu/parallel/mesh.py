@@ -74,3 +74,22 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     s = batch_sharding(mesh)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def host_local_batch(mesh: Mesh, *arrays):
+    """Assemble a global batch-sharded array from each process's local data.
+
+    On a multi-host pod slice every process loads only its own shard of the
+    global batch (leading dim = global_batch / n_processes); this stitches
+    the shards into one global ``P('data')`` array without any host
+    all-gather. Single-process, it degrades to a plain sharded device_put,
+    so the same input-feeding code runs on one chip, a virtual CPU mesh,
+    and a pod slice (docs/SCALING.md)."""
+    s = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        out = tuple(jax.device_put(a, s) for a in arrays)
+    else:
+        out = tuple(
+            jax.make_array_from_process_local_data(s, np.asarray(a))
+            for a in arrays)
+    return out if len(out) > 1 else out[0]

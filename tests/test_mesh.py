@@ -84,3 +84,16 @@ def test_metrics_psum_reduction():
     got = M.compute_metrics(st)
     for k in ("accuracy", "auc"):
         np.testing.assert_allclose(float(got[k]), float(ref[k]), atol=1e-5)
+
+
+def test_host_local_batch_single_process():
+    """host_local_batch degrades to a sharded device_put single-process and
+    preserves values + the P('data') sharding."""
+    mesh = mesh_lib.make_mesh(n_data=4, n_trial=2)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    y = np.arange(8, dtype=np.int32)
+    gx, gy = mesh_lib.host_local_batch(mesh, x, y)
+    np.testing.assert_array_equal(np.asarray(gx), x)
+    np.testing.assert_array_equal(np.asarray(gy), y)
+    assert gx.sharding.spec == jax.sharding.PartitionSpec(
+        mesh_lib.DATA_AXIS)
