@@ -43,10 +43,100 @@ def _h5_layer_weights(h5_file, layer_name: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _keras3_class_of(node_kind: str, layer_params) -> str:
+    """The keras class prefix keras 3 uses as the h5 group name."""
+    if layer_params is not None and "depthwise" in layer_params:
+        return "separable_conv2d"
+    return {
+        "conv": "conv2d",
+        "depthwise": "depthwise_conv2d",
+        "bn": "batch_normalization",
+        "dense": "dense",
+        "norm": "normalization",
+    }.get(node_kind, node_kind)
+
+
+def _import_keras3_h5(f, params, batch_stats, graph, verbose) -> int:
+    """Keras 3 ``.weights.h5`` layout: ``layers/<class>[_N]/vars/<i>``, named
+    by per-class creation counters rather than layer names. Weighted graph
+    nodes map onto the groups by (keras class, creation order) — valid
+    because this graph IR appends nodes in the reference's Keras call order.
+    Var order per class follows keras ``layer.weights``."""
+    groups: Dict[str, list] = {}
+    for gname in f["layers"]:
+        cls, _, suffix = gname.rpartition("_")
+        if suffix.isdigit() and cls:
+            groups.setdefault(cls, []).append((int(suffix), gname))
+        else:
+            groups.setdefault(gname, []).append((-1, gname))
+    for v in groups.values():
+        v.sort()
+    cursor = {k: 0 for k in groups}
+
+    copied = 0
+    for spec in graph.layers:
+        name = spec.name
+        has_p = name in params
+        has_bs = name in batch_stats
+        if not (has_p or has_bs):
+            continue
+        cls = _keras3_class_of(spec.kind, params.get(name))
+        if cls not in groups or cursor[cls] >= len(groups[cls]):
+            if verbose:
+                print(f"{name} ({cls}) is not in the h5 file.")
+            continue
+        gname = groups[cls][cursor[cls]][1]
+        cursor[cls] += 1
+        g = f["layers"][gname]["vars"]
+        ws = [np.asarray(g[str(i)]) for i in range(len(g))]
+        p = params.get(name)
+        try:
+            if cls == "separable_conv2d":
+                p["depthwise"] = dict(p["depthwise"])
+                p["depthwise"]["kernel"] = ws[0].transpose(0, 1, 3, 2)
+                p["pointwise"] = dict(p["pointwise"])
+                p["pointwise"]["kernel"] = ws[1]
+                if len(ws) > 2 and "bias" in p["pointwise"]:
+                    p["pointwise"]["bias"] = ws[2]
+            elif cls == "depthwise_conv2d":
+                p["kernel"] = ws[0].transpose(0, 1, 3, 2)
+                if len(ws) > 1 and "bias" in p:
+                    p["bias"] = ws[1]
+            elif cls == "batch_normalization":
+                i = 0
+                if "scale" in p:  # keras var order: [gamma] beta mean var
+                    p["scale"] = ws[i]
+                    i += 1
+                p["bias"] = ws[i]
+                batch_stats[name]["mean"] = ws[-2]
+                batch_stats[name]["var"] = ws[-1]
+            elif cls == "normalization":
+                batch_stats[name]["mean"] = ws[0].reshape(-1)
+                batch_stats[name]["variance"] = ws[1].reshape(-1)
+            else:  # conv2d / dense
+                if p["kernel"].shape != ws[0].shape:
+                    raise ValueError(f"shape mismatch {p['kernel'].shape} "
+                                     f"vs {ws[0].shape}")
+                p["kernel"] = ws[0]
+                if len(ws) > 1 and "bias" in p:
+                    p["bias"] = ws[1]
+            copied += 1
+        except Exception as e:
+            if verbose:
+                print(f"could not copy {name}: {e}")
+    return copied
+
+
 def import_h5_weights(h5_path: str, variables: Dict[str, Any],
-                      verbose: bool = True) -> Tuple[Dict[str, Any], int]:
-    """Copy name-matched weights from a Keras h5 into a variables pytree
-    ``{params, batch_stats}``. Returns (new_variables, n_layers_copied)."""
+                      verbose: bool = True,
+                      graph=None) -> Tuple[Dict[str, Any], int]:
+    """Copy weights from a Keras h5 into a variables pytree
+    ``{params, batch_stats}``. Returns (new_variables, n_layers_copied).
+
+    Two layouts are supported: the Keras 2.x / TF-2.9 layout the reference's
+    checkpoints use (name-addressable ``model_weights/<layer>/...``,
+    reference predict.py:50), and Keras 3 ``.weights.h5`` (class+order
+    addressed — requires ``graph`` to recover the layer order)."""
     import h5py
 
     params = {k: dict(v) for k, v in variables["params"].items()}
@@ -55,6 +145,18 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
     copied = 0
 
     with h5py.File(h5_path, "r") as f:
+        if "layers" in f and "model_weights" not in f:
+            if graph is None:
+                raise ValueError(
+                    "this is a Keras 3 .weights.h5 (layer groups are not "
+                    "name-addressable); pass graph= to map by layer order")
+            copied = _import_keras3_h5(f, params, batch_stats, graph,
+                                       verbose)
+            out = dict(variables)
+            out["params"] = params
+            if batch_stats:
+                out["batch_stats"] = batch_stats
+            return out, copied
         for layer_name in list(params):
             w = _h5_layer_weights(f, layer_name)
             if not w:

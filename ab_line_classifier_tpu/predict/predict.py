@@ -109,7 +109,8 @@ class Predictor:
 
             variables = spec.init_variables(jax.random.PRNGKey(0))
             variables, copied = import_h5_weights(model_path, variables,
-                                                  verbose=False)
+                                                  verbose=False,
+                                                  graph=spec.graph)
             if copied == 0:
                 raise ValueError(
                     f"no layers matched while importing {model_path!r}")

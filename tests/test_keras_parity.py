@@ -370,7 +370,9 @@ def test_custom_resnetv2_equals_keras_reconstruction():
 
 
 def test_keras_h5_import():
-    """Import weights from an h5 file written by Keras itself."""
+    """Import weights from an h5 file written by Keras itself (Keras 3
+    .weights.h5 layout: class+order addressed groups, so the importer maps
+    through the graph's node order). Forward parity proves the mapping."""
     import tempfile
 
     from tensorflow.keras.applications import VGG16
@@ -379,19 +381,54 @@ def test_keras_h5_import():
 
     kvgg = VGG16(include_top=False, weights=None, input_shape=(64, 64, 3))
     with tempfile.NamedTemporaryFile(suffix=".weights.h5") as f:
-        try:
-            kvgg.save_weights(f.name)
-        except Exception as e:
-            pytest.skip(f"keras h5 save unsupported here: {e}")
+        kvgg.save_weights(f.name)
         g = vgg16_backbone()
         mod = G.GraphModule(graph=g)
         v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-        try:
-            v2, copied = import_h5_weights(f.name, v, verbose=False)
-        except Exception as e:
-            pytest.skip(f"keras3 h5 layout differs: {e}")
-        if copied == 0:
-            pytest.skip("keras3 h5 layout not name-addressable")
+        v2, copied = import_h5_weights(f.name, v, verbose=False, graph=g)
+        assert copied == 13
         ref = kvgg.get_layer("block1_conv1").get_weights()[0]
         np.testing.assert_array_equal(
             np.asarray(v2["params"]["block1_conv1"]["kernel"]), ref)
+        x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(
+            np.float32) * 2 - 1
+        ours = np.asarray(mod.apply({"params": v2["params"]},
+                                    jnp.asarray(x), train=False))
+        want = kvgg(x, training=False).numpy()
+        rel = np.abs(ours - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-4, rel
+
+
+def test_keras3_h5_import_with_bn_and_separable(tmp_path):
+    """Keras-3 import across mixed layer classes (conv/sepconv/BN) using a
+    small Xception-like stack."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.layers import (BatchNormalization, Conv2D,
+                                         SeparableConv2D)
+
+    from ab_line_classifier_tpu.models.weights import import_h5_weights
+
+    inp = Input((16, 16, 3))
+    x = Conv2D(8, 3, padding="same", use_bias=False, name="c1")(inp)
+    x = BatchNormalization(name="b1")(x)
+    x = SeparableConv2D(8, 3, padding="same", use_bias=False, name="s1")(x)
+    x = BatchNormalization(name="b2")(x)
+    km = Model(inp, x)
+
+    g = G.graph_of(
+        G.conv2d("c1", G.INPUT, 8, (3, 3), use_bias=False),
+        G.batch_norm("b1", "c1"),
+        G.separable_conv2d("s1", "b1", 8, (3, 3), use_bias=False),
+        G.batch_norm("b2", "s1"))
+    mod = G.GraphModule(graph=g)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    h5 = str(tmp_path / "w.weights.h5")
+    km.save_weights(h5)
+    v2, copied = import_h5_weights(h5, v, verbose=False, graph=g)
+    assert copied == 4
+    x_in = np.random.RandomState(2).rand(2, 16, 16, 3).astype(np.float32)
+    ours = np.asarray(mod.apply(
+        {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+        jnp.asarray(x_in), train=False))
+    want = km(x_in, training=False).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-5)
