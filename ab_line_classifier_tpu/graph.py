@@ -183,6 +183,11 @@ class GraphModule(nn.Module):
 
     graph: LayerGraph
     capture: Tuple[str, ...] = ()
+    # BN layers to run in inference mode even during training. Keras BN with
+    # ``trainable=False`` (the reference freezes every BN via freeze_layers,
+    # model_utils.py:26-41) normalizes with its moving statistics and never
+    # updates them; listing those layers here reproduces that.
+    inference_bn: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -203,7 +208,9 @@ class GraphModule(nn.Module):
             if spec.module_fn is not None:
                 mod = spec.module_fn(name=spec.name)
                 if spec.kind == KIND_BN:
-                    y = mod(ins[0], use_running_average=not train)
+                    frozen = spec.name in self.inference_bn
+                    y = mod(ins[0],
+                            use_running_average=(not train) or frozen)
                 elif spec.kind == KIND_DROPOUT:
                     y = mod(ins[0], deterministic=not train)
                 else:

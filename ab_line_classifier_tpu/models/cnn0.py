@@ -73,7 +73,10 @@ def build_cnn0(hparams: Dict[str, Any], input_shape: Tuple[int, int, int],
         fc0_kernel_init=C.he_uniform(), dtype=dtype)
     regs.update(head_regs)
 
-    phases = C.single_phase(graph, -1, float(hparams["LR"]))
+    # The reference cnn0 never calls freeze_layers (models.py:248-296):
+    # its BN layers train and update statistics.
+    phases = C.single_phase(graph, -1, float(hparams["LR"]),
+                            freeze_bn=False)
     return C.ModelSpec(name="cnn0", graph=graph, preprocess_mode="tf",
                        phases=phases, input_shape=tuple(input_shape),
                        n_classes=n_classes, activity_regularizers=regs)

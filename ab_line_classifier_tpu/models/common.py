@@ -106,15 +106,28 @@ class ModelSpec:
     logits_layer: str = "logits"
     output_layer: str = "output"
 
-    def module(self, capture: Tuple[str, ...] = ()) -> G.GraphModule:
-        return G.GraphModule(graph=self.graph, capture=capture)
+    def module(self, capture: Tuple[str, ...] = (),
+               inference_bn: Tuple[str, ...] = ()) -> G.GraphModule:
+        return G.GraphModule(graph=self.graph, capture=capture,
+                             inference_bn=inference_bn)
 
-    def logits_module(self, capture: Tuple[str, ...] = ()) -> G.GraphModule:
+    def logits_module(self, capture: Tuple[str, ...] = (),
+                      inference_bn: Tuple[str, ...] = ()) -> G.GraphModule:
         """Module whose output is the pre-softmax logits (loss is computed
         from logits for numerical stability; the reference trains on softmax
         probabilities with categorical_crossentropy)."""
         g = dataclasses.replace(self.graph, output=self.logits_layer)
-        return G.GraphModule(graph=g, capture=capture)
+        return G.GraphModule(graph=g, capture=capture,
+                             inference_bn=inference_bn)
+
+    def frozen_bn_layers(self, phase: TrainPhase) -> Tuple[str, ...]:
+        """BN layers frozen in this phase: Keras trainable=False BN runs in
+        inference mode during training and never updates its moving stats
+        (the reference's freeze_layers freezes every BN whenever called,
+        model_utils.py:26-41)."""
+        return tuple(
+            s.name for s in self.graph.layers
+            if s.kind == G.KIND_BN and not phase.trainable.get(s.name, True))
 
     def init_variables(self, rng: jax.Array, batch_size: int = 1):
         module = self.module()
@@ -123,7 +136,13 @@ class ModelSpec:
 
     @property
     def last_conv_layer(self) -> str:
-        return self.graph.last_layer_of_kind(G.KIND_CONV)
+        """Last conv-like layer for Grad-CAM. The reference scans keras api
+        names for 'Conv' (gradcam.py:33-38), which matches Conv2D,
+        SeparableConv2D AND DepthwiseConv2D — so depthwise nodes count."""
+        for spec in reversed(self.graph.layers):
+            if spec.kind in (G.KIND_CONV, G.KIND_DEPTHWISE):
+                return spec.name
+        raise ValueError("graph has no conv layer")
 
 
 def output_bias_init(output_bias: Optional[np.ndarray]) -> Optional[Callable]:
@@ -194,8 +213,15 @@ def classifier_head(
 
 
 def single_phase(graph: G.LayerGraph, freeze_idx: int, lr: float,
-                 optimizer: str = "adam") -> Tuple[TrainPhase, ...]:
+                 optimizer: str = "adam",
+                 freeze_bn: bool = True) -> Tuple[TrainPhase, ...]:
     """The one-phase Adam plan used by every model except CutoffVGG16
-    (reference models.py compiles each with ``Adam(learning_rate=lr)``)."""
+    (reference models.py compiles each with ``Adam(learning_rate=lr)``).
+
+    ``freeze_bn=True`` mirrors ``freeze_layers``'s always-freeze-BN behavior
+    and applies only to models whose reference builder calls it (mobilenetv2
+    models.py:82, vgg16 :135, efficientnetb7 :229); xception/cnn0/
+    custom_resnetv2 never freeze, so their BN trains (pass False)."""
     return (TrainPhase(name="train", optimizer=optimizer, lr=lr,
-                       trainable=graph.trainable_mask(freeze_idx)),)
+                       trainable=graph.trainable_mask(
+                           freeze_idx, freeze_bn_always=freeze_bn)),)

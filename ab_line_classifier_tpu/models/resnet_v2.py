@@ -126,7 +126,10 @@ def build_custom_resnetv2(hparams: Dict[str, Any],
     specs.append(G.softmax("output", "logits"))
 
     graph = G.graph_of(*specs, output="output")
-    phases = C.single_phase(graph, -1, float(hparams["LR"]))
+    # The reference custom_resnetv2 never calls freeze_layers
+    # (models.py:298-384): its BN layers train and update statistics.
+    phases = C.single_phase(graph, -1, float(hparams["LR"]),
+                            freeze_bn=False)
     return C.ModelSpec(name="custom_resnetv2", graph=graph,
                        preprocess_mode="tf", phases=phases,
                        input_shape=tuple(input_shape), n_classes=n_classes)

@@ -130,7 +130,8 @@ def build_xception(hparams: Dict[str, Any],
         backbone, n_classes=n_classes, dropout=float(hparams["DROPOUT"]),
         output_bias=output_bias, dtype=dtype)
     # The reference builder never freezes Xception layers (models.py:153-196).
-    phases = C.single_phase(graph, -1, float(hparams["LR"]))
+    phases = C.single_phase(graph, -1, float(hparams["LR"]),
+                            freeze_bn=False)
     return C.ModelSpec(name="xception", graph=graph, preprocess_mode="tf",
                        phases=phases, input_shape=tuple(input_shape),
                        n_classes=n_classes, activity_regularizers=regs)

@@ -107,8 +107,10 @@ def sliding_window_clip_probs(probs: jax.Array, window: int,
     # A window is only valid if it lies entirely within the clip's valid
     # frames: window starting at i valid iff i + W <= n_valid. With padding
     # zeros the means of invalid windows could still be > 0, so mask them.
-    n_valid = jnp.sum(m, axis=-1, keepdims=True)  # [..., 1]
-    starts = jnp.arange(win_means.shape[-1], dtype=probs.dtype)
+    # Validity arithmetic in int32: frame indices/counts above 256 are not
+    # exactly representable in low-precision prob dtypes (e.g. bf16).
+    n_valid = jnp.sum(m.astype(jnp.int32), axis=-1, keepdims=True)  # [..., 1]
+    starts = jnp.arange(win_means.shape[-1], dtype=jnp.int32)
     valid = (starts + window) <= n_valid  # [..., T-W+1]
     win_means = jnp.where(valid, win_means, -jnp.inf)
     max_b = jnp.max(win_means, axis=-1)

@@ -93,14 +93,17 @@ class ParallelFoldTrainer:
         logits = logits.astype(jnp.float32)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         per_ex = -jnp.sum(labels_oh * log_probs, axis=-1)
+        # Keras loss semantics: class-weighted CE in training (val loss
+        # unweighted) + activity regularization in both (see train/loop.py).
         w = jnp.sum(labels_oh * class_w, axis=-1) if train else 1.0
-        denom = jnp.maximum(jnp.sum(mask), 1.0)
-        loss = jnp.sum(per_ex * w * mask) / denom
+        per_ex_total = per_ex * w
         for name, lam in zip(self.reg_layers, self.reg_lambdas):
             a = caps[name].astype(jnp.float32)
-            loss = loss + lam * jnp.sum(
-                jnp.sum(a * a, axis=tuple(range(1, a.ndim))) * mask) / denom
-        return loss, (jax.nn.softmax(logits, -1), per_ex, new_state)
+            per_ex_total = per_ex_total + lam * jnp.sum(
+                a * a, axis=tuple(range(1, a.ndim)))
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        loss = jnp.sum(per_ex_total * mask) / denom
+        return loss, (jax.nn.softmax(logits, -1), per_ex_total, new_state)
 
     def _prepare(self, images_u8, rng, train: bool):
         x = images_u8.astype(jnp.float32)
@@ -243,6 +246,11 @@ class ParallelFoldTrainer:
                 max(0, epochs - epoch)
             if phase_epochs <= 0:
                 continue
+            # Frozen BN runs in inference mode during training (Keras
+            # trainable=False BN; see train/loop.py and models/common.py).
+            self.module = self.spec.logits_module(
+                capture=tuple(self.spec.activity_regularizers),
+                inference_bn=self.spec.frozen_bn_layers(phase))
             params, batch_stats, opt_state, tx = self.init_stacked(phase)
             if best_params is not None:
                 params = best_params          # phase hand-off (cutoffvgg16)

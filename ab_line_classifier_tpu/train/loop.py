@@ -89,8 +89,14 @@ class Trainer:
         self.reg_layers = tuple(spec.activity_regularizers)
         self.reg_lambdas = [spec.activity_regularizers[n] for n in self.reg_layers]
         self.module = spec.logits_module(capture=self.reg_layers)
-        self._step_fns: Dict[str, Callable] = {}
-        self._eval_fn: Optional[Callable] = None
+
+    def _set_phase_module(self, phase: TrainPhase) -> None:
+        """Rebuild the module for a phase: its frozen BN layers run in
+        inference mode and keep their moving statistics (Keras
+        trainable=False BN semantics; reference model_utils.py:26-41)."""
+        self.module = self.spec.logits_module(
+            capture=self.reg_layers,
+            inference_bn=self.spec.frozen_bn_layers(phase))
 
     # ------------------------------------------------------------------
     def init_state(self, phase: TrainPhase,
@@ -133,15 +139,19 @@ class Trainer:
         logits = logits.astype(jnp.float32)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         per_ex = -jnp.sum(labels_oh * log_probs, axis=-1)
+        # Keras loss semantics (train.py:135): the logged/monitored loss is
+        # the optimized total — class-weighted CE during training (val_loss
+        # is unweighted) plus activity-regularization penalties in both.
         w = jnp.sum(labels_oh * self.class_weight, axis=-1) if train else 1.0
-        denom = jnp.maximum(jnp.sum(mask), 1.0)
-        loss = jnp.sum(per_ex * w * mask) / denom
+        per_ex_total = per_ex * w
         for name, lam in zip(self.reg_layers, self.reg_lambdas):
             a = caps[name].astype(jnp.float32)
-            loss = loss + lam * jnp.sum(
-                jnp.sum(a * a, axis=tuple(range(1, a.ndim))) * mask) / denom
+            per_ex_total = per_ex_total + lam * jnp.sum(
+                a * a, axis=tuple(range(1, a.ndim)))
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+        loss = jnp.sum(per_ex_total * mask) / denom
         probs = jax.nn.softmax(logits, axis=-1)
-        return loss, (probs, per_ex, new_state)
+        return loss, (probs, per_ex_total, new_state)
 
     def _prepare_images(self, images, rng, train: bool):
         x = images.astype(jnp.float32)
@@ -151,10 +161,15 @@ class Trainer:
         return x.astype(self.compute_dtype)
 
     # ------------------------------------------------------------------
-    def make_train_step(self, phase: TrainPhase, tx) -> Callable:
+    def make_train_step(self, phase: TrainPhase, tx,
+                        phase_idx: int = 0) -> Callable:
         def train_step(state: TrainState, metrics: M.MetricsState, images,
                        labels, mask):
-            rng = jax.random.fold_in(self.base_rng, state.step)
+            # Fold in the phase index too: step counters reset per phase, and
+            # without it each phase would replay the identical augmentation /
+            # dropout stream (Keras draws fresh randomness per fit() call).
+            rng = jax.random.fold_in(
+                jax.random.fold_in(self.base_rng, phase_idx), state.step)
             rng_aug, rng_drop = jax.random.split(rng)
             labels_oh = jax.nn.one_hot(labels, self.spec.n_classes,
                                        dtype=jnp.float32)
@@ -213,7 +228,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def _save_resume(self, path: str, state: TrainState, *, epoch: int,
                      phase_idx: int, epoch_in_phase: int, best_val: float,
-                     wait: int, plateau_wait: int, best_vars) -> None:
+                     wait: int, plateau_wait: int, best_vars,
+                     best_plateau: Optional[float] = None,
+                     phase_done: bool = False) -> None:
         """Mid-training checkpoint: full optimizer/callback state so an
         interrupted run (or a preempted sweep trial) resumes exactly.
         The reference has no mid-training checkpointing (final .h5 only,
@@ -234,8 +251,13 @@ class Trainer:
         with open(os.path.join(path, "progress.json"), "w") as f:
             json.dump({"epoch": epoch, "phase_idx": phase_idx,
                        "epoch_in_phase": int(epoch_in_phase),
-                       "best_val": float(best_val), "wait": int(wait),
-                       "plateau_wait": int(plateau_wait)}, f)
+                       "best_val": float(best_val),
+                       "best_plateau": float(best_plateau
+                                             if best_plateau is not None
+                                             else best_val),
+                       "wait": int(wait),
+                       "plateau_wait": int(plateau_wait),
+                       "phase_done": bool(phase_done)}, f)
 
     def _load_resume(self, path: str, template: TrainState):
         import json
@@ -265,20 +287,17 @@ class Trainer:
             callback counters, best weights) is checkpointed every epoch.
         :param resume: restore from ``checkpoint_dir`` and continue.
         """
-        import os as _os
-
         history: List[EpochLog] = []
         epoch = 0
         state = None
         n_classes = self.spec.n_classes
-        eval_fn = self.make_eval_step()
 
         resume_progress = None
         if (resume and checkpoint_dir
-                and _os.path.isfile(_os.path.join(checkpoint_dir,
-                                                  "progress.json"))):
+                and os.path.isfile(os.path.join(checkpoint_dir,
+                                                "progress.json"))):
             import json
-            with open(_os.path.join(checkpoint_dir, "progress.json")) as f:
+            with open(os.path.join(checkpoint_dir, "progress.json")) as f:
                 resume_progress = json.load(f)
             epoch = resume_progress["epoch"] + 1
 
@@ -287,37 +306,62 @@ class Trainer:
                 continue  # phase fully covered by the checkpoint
 
             # Per-phase callback state (Keras resets callbacks per fit()).
+            # EarlyStopping and ReduceLROnPlateau track improvement
+            # *independently*, with Keras's defaults: min_delta=0 (strict <)
+            # for early stopping, min_delta=1e-4 for the LR plateau
+            # (reference train.py:149-168).
             best_val = np.inf
+            best_plateau = np.inf
             best_vars = None
             wait = 0
             plateau_wait = 0
             plateau_patience = max(1, patience // 2)
             epoch_in_phase = 0
+            phase_done = False
 
             restoring = (resume_progress
                          and phase_idx == resume_progress["phase_idx"])
             if restoring:
                 epoch_in_phase = resume_progress.get("epoch_in_phase", 0) + 1
+                phase_done = resume_progress.get("phase_done", False)
 
-            # Remaining epochs for this phase: fixed-length phases subtract
-            # the epochs already completed (resume); open-ended phases budget
-            # from the global epoch counter, which resume fast-forwards.
-            if phase.epochs is not None:
-                remaining = phase.epochs - epoch_in_phase
-            else:
-                remaining = max(0, epochs - epoch)
-            if remaining <= 0:
-                continue
+            self._set_phase_module(phase)
             state, tx = self.init_state(phase, variables)
-            train_fn = self.make_train_step(phase, tx)
+            train_fn = self.make_train_step(phase, tx, phase_idx)
+            eval_fn = self.make_eval_step()
 
             if restoring:
                 state, best_vars, progress = self._load_resume(
                     checkpoint_dir, state)
                 best_val = progress["best_val"]
+                best_plateau = progress.get("best_plateau",
+                                            progress["best_val"])
                 wait = progress["wait"]
                 plateau_wait = progress["plateau_wait"]
                 resume_progress = None  # later phases run normally
+
+            # Remaining epochs for this phase: fixed-length phases subtract
+            # the epochs already completed (resume); open-ended phases budget
+            # from the global epoch counter, which resume fast-forwards. A
+            # phase checkpointed as done (early-stopped) never re-enters.
+            if phase.epochs is not None:
+                remaining = phase.epochs - epoch_in_phase
+            else:
+                remaining = max(0, epochs - epoch)
+            if phase_done:
+                remaining = 0
+            if remaining <= 0:
+                # No training left in this phase, but its (restored) weights
+                # must still carry into the next phase / the return value.
+                if best_vars is not None:
+                    variables = best_vars
+                elif restoring:
+                    variables = {
+                        "params": jax.tree.map(np.asarray, state.params),
+                        "batch_stats": jax.tree.map(np.asarray,
+                                                    state.batch_stats),
+                    }
+                continue
 
             for _ in range(remaining):
                 t0 = time.time()
@@ -349,13 +393,14 @@ class Trainer:
                 epoch += 1
 
                 # EarlyStopping + ReduceLROnPlateau on val_loss
-                # (reference train.py:155-159).
+                # (reference train.py:155-159), each with its own best and
+                # min_delta (Keras defaults: 0 and 1e-4 respectively).
                 monitored = val_m.get("loss")
+                stopped = False
                 if monitored is not None:
-                    if monitored < best_val - 1e-4:
+                    if monitored < best_val:
                         best_val = monitored
                         wait = 0
-                        plateau_wait = 0
                         best_vars = {
                             "params": jax.tree.map(np.asarray, state.params),
                             "batch_stats": jax.tree.map(np.asarray,
@@ -363,36 +408,36 @@ class Trainer:
                         }
                     else:
                         wait += 1
+                    if monitored < best_plateau - 1e-4:
+                        best_plateau = monitored
+                        plateau_wait = 0
+                    else:
                         plateau_wait += 1
                         if plateau_wait >= plateau_patience:
                             cur = get_learning_rate(state.opt_state) or 0.0
-                            if cur * 0.5 >= 1e-8:
+                            new_lr = max(cur * 0.5, 1e-8)  # Keras min_lr clamp
+                            if new_lr < cur:
                                 state = dataclasses.replace(
                                     state,
                                     opt_state=scale_learning_rate(
-                                        state.opt_state, 0.5))
+                                        state.opt_state, new_lr / cur))
                                 if verbose:
-                                    print(f"  ReduceLROnPlateau: lr -> {cur*0.5:.2e}")
+                                    print(f"  ReduceLROnPlateau: lr -> {new_lr:.2e}")
                             plateau_wait = 0
-                        if wait >= patience:
-                            if verbose:
-                                print(f"  EarlyStopping at epoch {epoch-1} "
-                                      f"(best val_loss {best_val:.4f})")
-                            if checkpoint_dir:
-                                self._save_resume(
-                                    checkpoint_dir, state, epoch=epoch - 1,
-                                    phase_idx=phase_idx,
-                                    epoch_in_phase=epoch_in_phase,
-                                    best_val=best_val, wait=wait,
-                                    plateau_wait=plateau_wait,
-                                    best_vars=best_vars)
-                            break
+                    if wait >= patience:
+                        stopped = True
+                        if verbose:
+                            print(f"  EarlyStopping at epoch {epoch-1} "
+                                  f"(best val_loss {best_val:.4f})")
                 if checkpoint_dir:
                     self._save_resume(
                         checkpoint_dir, state, epoch=epoch - 1,
                         phase_idx=phase_idx, epoch_in_phase=epoch_in_phase,
-                        best_val=best_val, wait=wait,
-                        plateau_wait=plateau_wait, best_vars=best_vars)
+                        best_val=best_val, best_plateau=best_plateau,
+                        wait=wait, plateau_wait=plateau_wait,
+                        best_vars=best_vars, phase_done=stopped)
+                if stopped:
+                    break
                 epoch_in_phase += 1
 
             # Restore best weights at phase end (EarlyStopping

@@ -1,5 +1,6 @@
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from ab_line_classifier_tpu import graph as G
@@ -79,3 +80,55 @@ def test_params_flat_by_layer_name():
     v = mod.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 3)))
     assert set(v["params"].keys()) == {"c1", "bn1", "c2", "logits"}
     assert set(v["batch_stats"].keys()) == {"bn1"}
+
+
+def test_frozen_bn_runs_in_inference_mode():
+    """BN listed in inference_bn behaves like Keras trainable=False BN: in
+    training it normalizes with running stats and never updates them."""
+    import jax.numpy as jnp
+
+    g = G.graph_of(G.conv2d("c", G.INPUT, 4, (3, 3)),
+                   G.batch_norm("b", "c"))
+    live = G.GraphModule(graph=g)
+    frozen = G.GraphModule(graph=g, inference_bn=("b",))
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8, 8, 3),
+                    jnp.float32)
+    v = live.init(jax.random.PRNGKey(0), x)
+
+    y_live, st_live = live.apply(v, x, train=True, mutable=["batch_stats"])
+    y_frozen, st_frozen = frozen.apply(v, x, train=True,
+                                       mutable=["batch_stats"])
+    # live BN updated its moving stats; frozen did not
+    assert not np.allclose(np.asarray(st_live["batch_stats"]["b"]["mean"]),
+                           np.asarray(v["batch_stats"]["b"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(st_frozen["batch_stats"]["b"]["mean"]),
+        np.asarray(v["batch_stats"]["b"]["mean"]))
+    # frozen training output == inference output (running-stat normalization)
+    y_eval = frozen.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_frozen), np.asarray(y_eval),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(y_frozen), np.asarray(y_live))
+
+
+def test_frozen_bn_layers_per_model():
+    """Only models whose reference builder calls freeze_layers freeze BN
+    (mobilenetv2/vgg16/efficientnetb7); xception/cnn0/custom_resnetv2 train
+    theirs (reference models.py:82,135,229 vs :153-196,248-296,298-384)."""
+    from ab_line_classifier_tpu.models import build_model
+
+    mn = build_model("mobilenetv2", {"LR": 1e-4, "DROPOUT": 0.35,
+                                     "L2_LAMBDA": 1e-3, "NODES_DENSE0": 8,
+                                     "FREEZE_IDX": 116, "CUTOFF_IDX": 115},
+                     (96, 96, 3), 2)
+    frozen = mn.frozen_bn_layers(mn.phases[0])
+    n_bn = sum(1 for s in mn.graph.layers if s.kind == G.KIND_BN)
+    assert len(frozen) == n_bn > 0
+
+    cn = build_model("cnn0", {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0,
+                              "NODES_DENSE0": 8, "KERNEL_SIZE": 3,
+                              "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
+                              "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2},
+                     (32, 32, 3), 2)
+    assert cn.frozen_bn_layers(cn.phases[0]) == ()
+    assert cn.phases[0].trainable["bn_block0"] is True

@@ -48,6 +48,48 @@ def test_resume_matches_uninterrupted(data, tmp_path):
         atol=1e-6)
 
 
+def test_resume_after_full_completion_returns_trained_weights(data, tmp_path):
+    """Resuming a run whose epoch budget is already exhausted must return
+    the checkpointed weights, not retrain or lose them."""
+    tds, vds = data
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    ckdir = str(tmp_path / "ckpt_done")
+    done, h1 = Trainer(spec, seed=3).fit(
+        tds, vds, batch_size=16, epochs=2, patience=10, verbose=False,
+        checkpoint_dir=ckdir)
+    resumed, h2 = Trainer(spec, seed=3).fit(
+        tds, vds, batch_size=16, epochs=2, patience=10, verbose=False,
+        checkpoint_dir=ckdir, resume=True)
+    assert h2 == []  # nothing left to train
+    assert resumed is not None
+    np.testing.assert_allclose(
+        np.asarray(done["params"]["conv2d_block0_0"]["kernel"]),
+        np.asarray(resumed["params"]["conv2d_block0_0"]["kernel"]),
+        atol=1e-6)
+
+
+def test_resume_after_early_stop_does_not_retrain(data, tmp_path):
+    """An early-stopped phase is checkpointed as done: resume must not
+    re-enter it and train extra epochs past the deliberate stop."""
+    tds, vds = data
+    # LR=0 + no dropout: val_loss is constant, so epoch 1 shows no strict
+    # improvement and patience=1 stops the run at epoch 1 of 30.
+    spec = build_model("cnn0", dict(HP, LR=0.0, DROPOUT=0.0), (32, 32, 3), 2)
+    ckdir = str(tmp_path / "ckpt_es")
+    stopped, h1 = Trainer(spec, seed=4).fit(
+        tds, vds, batch_size=16, epochs=30, patience=1, verbose=False,
+        checkpoint_dir=ckdir)
+    assert len(h1) < 30  # early stopping fired
+    resumed, h2 = Trainer(spec, seed=4).fit(
+        tds, vds, batch_size=16, epochs=30, patience=1, verbose=False,
+        checkpoint_dir=ckdir, resume=True)
+    assert h2 == []
+    np.testing.assert_allclose(
+        np.asarray(stopped["params"]["conv2d_block0_0"]["kernel"]),
+        np.asarray(resumed["params"]["conv2d_block0_0"]["kernel"]),
+        atol=1e-6)
+
+
 def test_resume_without_checkpoint_trains_fresh(data, tmp_path):
     tds, vds = data
     spec = build_model("cnn0", HP, (32, 32, 3), 2)
