@@ -42,6 +42,11 @@ class UnetSegmentation:
 
     def __init__(self, model_path: Optional[str] = None,
                  base_filters: int = 16):
+        # cv2 must be imported BEFORE any jax computation runs in this
+        # process (container OpenMP/XLA clash deadlocks otherwise), and
+        # __init__ below runs jax (model init / checkpoint restore) — so the
+        # ETL's cv2 import happens here, first.
+        import cv2  # noqa: F401
         import jax
 
         self.model = UNet(base_filters=base_filters)
@@ -120,8 +125,13 @@ class UnetSegmentation:
                 edge_preserve: float = 0.95,
                 save_cropped_roi: bool = False) -> None:
         """Reference CLI surface (auto_masking.py:28-106): walk mp4s under
-        ``input_paths``, write masked jpgs/mp4 + ``mask.jpg`` per clip."""
-        import cv2  # deferred; caller must respect cv2-before-jax ordering
+        ``input_paths``, write masked jpgs/mp4 + ``mask.jpg`` per clip.
+
+        Memory discipline for the 1-CPU host: only the ~10% sampled frames
+        are held for the batched U-Net pass; masking + writing then streams
+        the clip frame-by-frame (like the reference), so peak RAM is one
+        frame + the samples, not 3x the decoded clip."""
+        import cv2
 
         video_files = glob.glob(input_paths + "/**/*.mp4", recursive=True)
         os.makedirs(output_path, exist_ok=True)
@@ -137,37 +147,52 @@ class UnetSegmentation:
             fh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             fps = float(cap.get(cv2.CAP_PROP_FPS))
 
-            frames = []
+            # Pass 1: stream-decode, keeping every step-th frame for the
+            # U-Net sample (reference samples 10%, auto_masking.py:55,63).
+            # Count frames while reading — container metadata can be wrong.
+            sampled = []
+            step = max(int(num_frames * 0.1), 1) if num_frames > 0 else 10
+            idx = 0
             while True:
                 ret, frame = cap.read()
                 if not ret:
                     break
-                frames.append(frame[..., ::-1])
+                if idx % step == 0:
+                    sampled.append(frame[..., ::-1].copy())
+                idx += 1
             cap.release()
-            if not frames:
+            if not sampled:
                 logging.warning("no frames in %s", file)
                 continue
-            frames = np.stack(frames)
-
-            step = max(int(num_frames * 0.1), 1)
-            sampled = frames[::step]
-            mask, bbox = self.clip_mask(sampled, (fh, fw),
+            mask, bbox = self.clip_mask(np.stack(sampled), (fh, fw),
                                         edge_preserve=edge_preserve)
+            del sampled
+            crop = (bbox if (save_cropped_roi and output_format == "jpg")
+                    else None)
+            mask_u8 = mask.astype(np.uint8)[:, :, None]
 
-            masked = self.mask_frames(frames, mask,
-                                      bbox if (save_cropped_roi
-                                               and output_format == "jpg")
-                                      else None)
-            if output_format == "jpg":
-                for i, fr in enumerate(masked):
-                    cv2.imwrite(os.path.join(out_dir, f"{i}.jpg"),
-                                fr[..., ::-1])
-            elif output_format == "mp4":
+            # Pass 2: stream mask-and-write (frame at a time).
+            cap = cv2.VideoCapture(file)
+            video = None
+            if output_format == "mp4":
                 video = cv2.VideoWriter(
                     os.path.join(out_dir, tail[:-4] + ".mp4"),
                     cv2.VideoWriter_fourcc(*"mp4v"), fps, (fw, fh), True)
-                for fr in masked:
-                    video.write(np.ascontiguousarray(fr[..., ::-1]))
+            i = 0
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                fr = frame * mask_u8  # BGR throughout pass 2
+                if crop is not None:
+                    fr = fr[crop[0]:crop[1], crop[2]:crop[3]]
+                if output_format == "jpg":
+                    cv2.imwrite(os.path.join(out_dir, f"{i}.jpg"), fr)
+                elif video is not None:
+                    video.write(np.ascontiguousarray(fr))
+                i += 1
+            cap.release()
+            if video is not None:
                 video.release()
             cv2.imwrite(os.path.join(out_dir, "mask.jpg"),
                         (mask * 255).astype(np.uint8))

@@ -116,6 +116,7 @@ class FrameDataset:
             order = order[: (len(order) // batch_size) * batch_size]
 
         all_paths = self.paths
+        all_labels = self.labels  # hoisted: one pandas->numpy conversion
 
         def make_batch(idxs: np.ndarray) -> Batch:
             b = len(idxs)
@@ -124,7 +125,7 @@ class FrameDataset:
             labels = np.zeros((batch_size,), np.int32)
             mask = np.zeros((batch_size,), np.float32)
             indices = np.full((batch_size,), -1, np.int32)
-            lab = self.labels
+            lab = all_labels
             if self.use_native:
                 from ab_line_classifier_tpu.data import native
                 native.decode_jpeg_batch(
@@ -152,16 +153,29 @@ class FrameDataset:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that stays responsive to ``stop`` — a producer
+            parked in a plain q.put() on a full queue would never observe
+            an abandoned consumer and leak the thread + its batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for c in chunks:
                     if stop.is_set():
                         return
-                    q.put(make_batch(c))
+                    if not put_or_stop(make_batch(c)):
+                        return
             except Exception as e:  # surface decode errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -175,6 +189,11 @@ class FrameDataset:
                 yield item
         finally:
             stop.set()
+            while True:  # unblock a mid-put producer promptly
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     # ------------------------------------------------------------------
     def load_all(self) -> Tuple[np.ndarray, np.ndarray]:

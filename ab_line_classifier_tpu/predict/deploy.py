@@ -9,8 +9,11 @@ inference over a clip, including blanking the 50x160 top-left UI region
 fixed here).
 
 The mp4 decode uses cv2, which in this environment must be imported before
-any jax work — the import is deferred into the function and will fail loudly
-with guidance if the ordering is wrong.
+any jax COMPUTATION has run in the process (importing it later hangs — an
+OpenMP/XLA runtime clash, not an exception). ``predict_wavebase_mp4``
+therefore decodes the clip before touching the checkpoint/model; if your
+process has already executed jax, pre-decode with ``decode_mp4_frames`` in a
+fresh process (or import cv2 at startup) and pass ``frames=``.
 """
 
 from __future__ import annotations
@@ -43,13 +46,16 @@ def ab_classifier_preprocess(image: np.ndarray,
 
 
 def decode_mp4_frames(mp4_path: str) -> np.ndarray:
-    """Decode all frames of an mp4 to uint8 [T, H, W, 3] RGB."""
+    """Decode all frames of an mp4 to uint8 [T, H, W, 3] RGB.
+
+    WARNING: cv2 is imported here, and importing cv2 after jax computation
+    has run in this process HANGS (it is not catchable); call this before
+    any jax execution, or import cv2 at process startup."""
     try:
-        import cv2  # noqa: deferred; must precede jax in-process
-    except Exception as e:  # pragma: no cover
+        import cv2
+    except ImportError as e:  # pragma: no cover
         raise RuntimeError(
-            "cv2 required for mp4 decode; import it before any jax use "
-            "(see project notes on the cv2/XLA import-order deadlock)"
+            "cv2 is required for mp4 decode (or pass pre-decoded frames=)"
         ) from e
     vc = cv2.VideoCapture(mp4_path)
     frames = []

@@ -60,8 +60,9 @@ class StepTimer:
 
     @property
     def times(self) -> np.ndarray:
-        return np.asarray(self._times[self.warmup:]
-                          if len(self._times) > self.warmup else self._times)
+        # Warmup samples are ALWAYS discarded — returning them when the run
+        # is short would report compile latency as steady-state step time.
+        return np.asarray(self._times[self.warmup:])
 
     def summary(self) -> Dict[str, float]:
         t = self.times
