@@ -172,10 +172,13 @@ def validate_config(data: Dict[str, Any]) -> None:
         )
     if int(train.get("BATCH_SIZE", 0)) <= 0:
         raise ConfigError("TRAIN.BATCH_SIZE must be a positive integer")
-    if int(train.get("N_CLASSES", 0)) != len(data["DATA"]["CLASSES"]):
+    classes = data["DATA"].get("CLASSES")
+    if not classes:
+        raise ConfigError("DATA.CLASSES must be a non-empty list")
+    if int(train.get("N_CLASSES", 0)) != len(classes):
         raise ConfigError(
             "TRAIN.N_CLASSES must equal len(DATA.CLASSES) "
-            f"({train.get('N_CLASSES')} vs {len(data['DATA']['CLASSES'])})"
+            f"({train.get('N_CLASSES')} vs {len(classes)})"
         )
 
     img_dim = data["DATA"].get("IMG_DIM")

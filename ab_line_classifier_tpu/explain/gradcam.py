@@ -55,6 +55,76 @@ def jet_colormap(x: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def heatmap_overlay(orig_img: np.ndarray, cam: np.ndarray,
+                    intensity: float = 0.5) -> np.ndarray:
+    """JET-colormapped heat blended over the original frame (reference
+    gradcam.py:82-83: 0.5/0.5 addWeighted)."""
+    heat_rgb = jet_colormap(cam).astype(np.float32)
+    blend = (heat_rgb * intensity
+             + np.asarray(orig_img, np.float32) * (1.0 - intensity))
+    return np.clip(blend, 0, 255).astype(np.uint8)
+
+
+def build_fused_gradcam(spec: ModelSpec, mode: str = "normal",
+                        prep_fn=None, out_hw: Optional[Tuple[int, int]] = None):
+    """One jitted probs+heatmap pass (shared by :class:`GradCAMExplainer`
+    and the per-epoch prediction-table callback).
+
+    :param prep_fn: uint8 frames -> model input; defaults to the fused
+        device preprocess (resize + normalize). Callers whose frames are
+        already at model resolution pass just the normalization.
+    :param out_hw: heatmap output size (defaults to the model input size).
+    """
+    from ab_line_classifier_tpu import graph as G
+
+    conv = spec.last_conv_layer
+    head_module = spec.module()                       # full graph
+    cut_module = G.GraphModule(graph=spec.graph.cut(conv))
+    hw = tuple(out_hw or spec.input_shape[:2])
+    if prep_fn is None:
+        def prep_fn(u8):
+            return fused_preprocess(u8, out_hw=tuple(spec.input_shape[:2]),
+                                    preprocess_mode=spec.preprocess_mode)
+
+    @jax.jit
+    def fused(variables, frames_u8):
+        x = prep_fn(frames_u8)
+        a = cut_module.apply(variables, x, train=False)
+
+        def head(a_):
+            return head_module.apply(variables, x, train=False,
+                                     overrides={conv: a_})
+
+        probs, vjp_fn = jax.vjp(head, a)
+        cls = jnp.argmax(probs, axis=-1)
+        cotangent = jax.nn.one_hot(cls, probs.shape[-1], dtype=probs.dtype)
+        grads = vjp_fn(cotangent)[0]                  # dScore/dA [B,h,w,C]
+
+        if mode == "plusplus":
+            # Grad-CAM++ (Chattopadhay et al. 2018): alpha-weighted
+            # positive gradients.
+            g2 = grads * grads
+            g3 = g2 * grads
+            denom = 2.0 * g2 + jnp.sum(a * g3, axis=(1, 2), keepdims=True)
+            alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
+            weights = jnp.sum(alpha * jax.nn.relu(grads), axis=(1, 2))
+        else:
+            # 'normal': channel-mean pooled gradients (reference
+            # gradcam.py:74).
+            weights = jnp.mean(grads, axis=(1, 2))
+
+        cam = jnp.einsum("bhwc,bc->bhw", a, weights)
+        cam = jax.nn.relu(cam)
+        cam_max = jnp.max(cam, axis=(1, 2), keepdims=True)
+        cam = cam / jnp.maximum(cam_max, 1e-12)
+        # Bilinear upsample on device (reference resizes with cv2 default
+        # bilinear, gradcam.py:81).
+        cam = jax.image.resize(cam, (cam.shape[0],) + hw, "bilinear")
+        return probs, cam
+
+    return fused
+
+
 class GradCAMExplainer:
     """Reference ``GradCAMExplainer`` (gradcam.py:20-118) on a fused pass."""
 
@@ -79,54 +149,7 @@ class GradCAMExplainer:
 
     # ------------------------------------------------------------------
     def _build_fused(self):
-        spec = self.spec
-        conv = self.conv_layer
-        head_module = spec.module()                       # full graph
-        cut_module_graph = spec.graph.cut(conv)
-        from ab_line_classifier_tpu import graph as G
-        cut_module = G.GraphModule(graph=cut_module_graph)
-        mode = self.mode
-        out_hw = self.img_dim
-
-        @jax.jit
-        def fused(variables, frames_u8):
-            x = fused_preprocess(frames_u8, out_hw=tuple(spec.input_shape[:2]),
-                                 preprocess_mode=spec.preprocess_mode)
-            a = cut_module.apply(variables, x, train=False)
-
-            def head(a_):
-                return head_module.apply(variables, x, train=False,
-                                         overrides={conv: a_})
-
-            probs, vjp_fn = jax.vjp(head, a)
-            cls = jnp.argmax(probs, axis=-1)
-            cotangent = jax.nn.one_hot(cls, probs.shape[-1],
-                                       dtype=probs.dtype)
-            grads = vjp_fn(cotangent)[0]                  # dScore/dA [B,h,w,C]
-
-            if mode == "plusplus":
-                # Grad-CAM++ (Chattopadhay et al. 2018): alpha-weighted
-                # positive gradients.
-                g2 = grads * grads
-                g3 = g2 * grads
-                denom = 2.0 * g2 + jnp.sum(a * g3, axis=(1, 2), keepdims=True)
-                alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
-                weights = jnp.sum(alpha * jax.nn.relu(grads), axis=(1, 2))
-            else:
-                # 'normal': channel-mean pooled gradients
-                # (reference gradcam.py:74).
-                weights = jnp.mean(grads, axis=(1, 2))
-
-            cam = jnp.einsum("bhwc,bc->bhw", a, weights)
-            cam = jax.nn.relu(cam)
-            cam_max = jnp.max(cam, axis=(1, 2), keepdims=True)
-            cam = cam / jnp.maximum(cam_max, 1e-12)
-            # Bilinear upsample to IMG_DIM on device (reference resizes with
-            # cv2 default bilinear, gradcam.py:81).
-            cam = jax.image.resize(cam, (cam.shape[0],) + out_hw, "bilinear")
-            return probs, cam
-
-        return fused
+        return build_fused_gradcam(self.spec, self.mode, out_hw=self.img_dim)
 
     # ------------------------------------------------------------------
     def explain_frames(self, frames_u8: np.ndarray
@@ -138,10 +161,7 @@ class GradCAMExplainer:
 
     def heatmap_overlay(self, orig_img: np.ndarray,
                         cam: np.ndarray) -> np.ndarray:
-        heat_rgb = jet_colormap(cam).astype(np.float32)
-        blend = (heat_rgb * self.hm_intensity
-                 + orig_img.astype(np.float32) * (1.0 - self.hm_intensity))
-        return np.clip(blend, 0, 255).astype(np.uint8)
+        return heatmap_overlay(orig_img, cam, self.hm_intensity)
 
     def apply_gradcam(self, frame_df: pd.DataFrame,
                       save: bool = True) -> np.ndarray:

@@ -159,6 +159,22 @@ def output_bias_init(output_bias: Optional[np.ndarray]) -> Optional[Callable]:
     return init
 
 
+def correct_pad(size: Tuple[int, int], kernel: int):
+    """Keras ``imagenet_utils.correct_pad``: explicit zero padding for a
+    stride-2 VALID conv so the output is ``ceil(size/2)`` (shared by the
+    MobileNetV2 and EfficientNet backbones)."""
+    adjust = (1 - size[0] % 2, 1 - size[1] % 2)
+    correct = kernel // 2
+    return ((correct - adjust[0], correct), (correct - adjust[1], correct))
+
+
+def stride2_out(size: Tuple[int, int]) -> Tuple[int, int]:
+    """Spatial size after a correct_pad + stride-2 VALID conv: ceil(s/2)
+    for BOTH parities (floor would drift on odd sizes and desync every
+    later correct_pad from the real tensor)."""
+    return ((size[0] + 1) // 2, (size[1] + 1) // 2)
+
+
 def he_uniform():
     return jax.nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 

@@ -69,12 +69,6 @@ def _conv_init():
                                                 "truncated_normal")
 
 
-def _correct_pad(size: Tuple[int, int], kernel: int):
-    adjust = (1 - size[0] % 2, 1 - size[1] % 2)
-    correct = kernel // 2
-    return ((correct - adjust[0], correct), (correct - adjust[1], correct))
-
-
 def efficientnet_backbone(variant: str = "b7",
                           input_size: Tuple[int, int] = (128, 128),
                           drop_connect_rate: float = 0.2,
@@ -116,11 +110,11 @@ def efficientnet_backbone(variant: str = "b7",
 
     stem_filters = round_filters(32, width)
     specs.append(G.zero_pad("stem_conv_pad", stem_in,
-                            _correct_pad(size, 3)))
+                            C.correct_pad(size, 3)))
     specs.append(G.conv2d("stem_conv", "stem_conv_pad", stem_filters, (3, 3),
                           strides=(2, 2), padding="VALID", use_bias=False,
                           kernel_init=_conv_init(), dtype=dtype))
-    size = (size[0] // 2, size[1] // 2)
+    size = C.stride2_out(size)
     specs.append(G.batch_norm("stem_bn", "stem_conv", dtype=dtype, **_BN))
     specs.append(G.activation("stem_activation", "stem_bn", swish))
     prev = "stem_activation"
@@ -151,12 +145,12 @@ def efficientnet_backbone(variant: str = "b7",
 
             if s == 2:
                 specs.append(G.zero_pad(f"{b}_dwconv_pad", x,
-                                        _correct_pad(size, kernel)))
+                                        C.correct_pad(size, kernel)))
                 specs.append(G.depthwise_conv2d(
                     f"{b}_dwconv", f"{b}_dwconv_pad", filters,
                     (kernel, kernel), strides=(2, 2), padding="VALID",
                     dtype=dtype))
-                size = (size[0] // 2, size[1] // 2)
+                size = C.stride2_out(size)
             else:
                 specs.append(G.depthwise_conv2d(
                     f"{b}_dwconv", x, filters, (kernel, kernel),

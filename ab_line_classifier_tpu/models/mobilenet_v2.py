@@ -42,13 +42,6 @@ def relu6(x):
     return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
 
 
-def _correct_pad(size: Tuple[int, int], kernel: int):
-    """Keras ``imagenet_utils.correct_pad`` for stride-2 depthwise convs."""
-    adjust = (1 - size[0] % 2, 1 - size[1] % 2)
-    correct = kernel // 2
-    return ((correct - adjust[0], correct), (correct - adjust[1], correct))
-
-
 def mobilenetv2_backbone(input_size: Tuple[int, int] = (128, 128),
                          dtype=None) -> G.LayerGraph:
     """Full MobileNetV2 backbone, Keras layer order/names."""
@@ -83,12 +76,12 @@ def mobilenetv2_backbone(input_size: Tuple[int, int] = (128, 128),
                 x = f"{p}_expand_relu"
 
             if stride == 2:
-                pad = _correct_pad(size, 3)
+                pad = C.correct_pad(size, 3)
                 specs.append(G.zero_pad(f"{p}_pad", x, pad))
                 specs.append(G.depthwise_conv2d(
                     f"{p}_depthwise", f"{p}_pad", dw_in, (3, 3),
                     strides=(2, 2), padding="VALID", dtype=dtype))
-                size = (size[0] // 2, size[1] // 2)
+                size = C.stride2_out(size)
             else:
                 specs.append(G.depthwise_conv2d(
                     f"{p}_depthwise", x, dw_in, (3, 3), padding="SAME",

@@ -159,6 +159,18 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
             return out, copied
         for layer_name in list(params):
             w = _h5_layer_weights(f, layer_name)
+            if not w and layer_name == "logits":
+                # The head Dense carries different names in the reference:
+                # cutoffvgg16/custom_resnetv2 call it 'output'
+                # (models.py:418,376), cnn0's is Keras-auto-named 'dense'
+                # (models.py:287). Alias by name + kernel-shape match.
+                for alias in ("output", "logits_dense", "dense", "dense_1"):
+                    cand = _h5_layer_weights(f, alias)
+                    if ("kernel" in cand
+                            and cand["kernel"].shape
+                            == params[layer_name]["kernel"].shape):
+                        w = cand
+                        break
             if not w:
                 if verbose:
                     print(f"{layer_name} is not in the h5 file.")

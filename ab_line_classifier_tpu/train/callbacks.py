@@ -89,55 +89,30 @@ class PredictionTableLogger:
                          index=False)
 
         if heat_frames and self.heatmap_dir:
-            from ab_line_classifier_tpu.explain.gradcam import jet_colormap
+            from ab_line_classifier_tpu.explain.gradcam import (
+                build_fused_gradcam, heatmap_overlay)
             from ab_line_classifier_tpu.viz.visualization import (
                 visualize_heatmap)
 
             if self._gradcam is None:
-                self._gradcam = _make_gradcam_fn(self.spec)
+                # Frames from the dataset are already at model resolution,
+                # so the prep is just the model's normalization.
+                from ab_line_classifier_tpu.models.preprocess import (
+                    get_preprocess_fn)
+                prep = get_preprocess_fn(self.spec.preprocess_mode)
+                self._gradcam = build_fused_gradcam(
+                    self.spec,
+                    prep_fn=lambda u8: prep(u8.astype(jnp.float32)))
             images = np.stack([im for _, im, _, _ in heat_frames])
             _, cams = self._gradcam(variables, jnp.asarray(images))
             cams = np.asarray(cams)
             for k, (frame, im, label, probs) in enumerate(heat_frames):
-                heat = jet_colormap(cams[k]).astype(np.float32)
-                overlay = np.clip(heat * 0.5 + im.astype(np.float32) * 0.5,
-                                  0, 255).astype(np.uint8)
-                visualize_heatmap(im, overlay, f"epoch{epoch}_{frame}",
-                                  label, probs,
+                overlay = heatmap_overlay(im, cams[k])
+                # visualize_heatmap keeps only the basename of the name it
+                # is given — tag epoch + row index there so heatmaps from
+                # same-named frames / consecutive epochs don't collide.
+                name = f"epoch{epoch:03d}_{k}_{os.path.basename(frame)}"
+                visualize_heatmap(im, overlay, name, label, probs,
                                   [str(i) for i in range(len(probs))],
                                   dir_path=self.heatmap_dir)
         return table
-
-
-def _make_gradcam_fn(spec):
-    """Fused probs+heatmap pass on preprocessed-from-uint8 inputs."""
-    from ab_line_classifier_tpu import graph as G
-    from ab_line_classifier_tpu.models.preprocess import get_preprocess_fn
-
-    conv = spec.last_conv_layer
-    head_module = spec.module()
-    cut_module = G.GraphModule(graph=spec.graph.cut(conv))
-    prep = get_preprocess_fn(spec.preprocess_mode)
-    out_hw = tuple(spec.input_shape[:2])
-
-    @jax.jit
-    def fused(variables, frames_u8):
-        x = prep(frames_u8.astype(jnp.float32))
-        a = cut_module.apply(variables, x, train=False)
-
-        def head(a_):
-            return head_module.apply(variables, x, train=False,
-                                     overrides={conv: a_})
-
-        probs, vjp_fn = jax.vjp(head, a)
-        cls = jnp.argmax(probs, axis=-1)
-        grads = vjp_fn(jax.nn.one_hot(cls, probs.shape[-1],
-                                      dtype=probs.dtype))[0]
-        weights = jnp.mean(grads, axis=(1, 2))
-        cam = jax.nn.relu(jnp.einsum("bhwc,bc->bhw", a, weights))
-        cam = cam / jnp.maximum(jnp.max(cam, axis=(1, 2), keepdims=True),
-                                1e-12)
-        cam = jax.image.resize(cam, (cam.shape[0],) + out_hw, "bilinear")
-        return probs, cam
-
-    return fused

@@ -306,16 +306,20 @@ def hparam_search(cfg: Config, save_weights: bool = False,
         os.path.join(out_dir,
                      f"hparam_search_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
         index=False)
-    if hasattr(controller, "partial_dependence") and len(results) >= 2:
-        try:  # GP landscape plot (reference visualization.py:142-178)
-            from ab_line_classifier_tpu.viz.visualization import (
-                plot_bayesian_hparam_opt)
-            plot_bayesian_hparam_opt(
-                controller,
-                dir_path=cfg["PATHS"].get("EXPERIMENT_VISUALIZATIONS",
-                                          cfg["PATHS"]["IMAGES"]))
+    plot_dir = cfg["PATHS"].get("EXPERIMENT_VISUALIZATIONS",
+                                cfg["PATHS"]["IMAGES"])
+    if len(results) >= 2:
+        try:  # sweep plots (reference visualization.py:142-178)
+            if hasattr(controller, "partial_dependence"):
+                from ab_line_classifier_tpu.viz.visualization import (
+                    plot_bayesian_hparam_opt)
+                plot_bayesian_hparam_opt(controller, dir_path=plot_dir)
+            else:  # grid/random: progress plot (objectives are maximized)
+                from ab_line_classifier_tpu.viz.visualization import (
+                    plot_hparam_search)
+                plot_hparam_search(results, dir_path=plot_dir)
         except Exception as e:
-            print(f"(bayes-opt plot skipped: {e})")
+            print(f"(sweep plot skipped: {e})")
     if verbose:
         print(f"best: {best_params} (objective {best_obj:.4f})")
     return {"best_params": best_params, "best_objective": best_obj,
@@ -456,6 +460,15 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
     pd.DataFrame(rows).to_csv(os.path.join(
         out_dir, f"lr_sweep_parallel_{time.strftime('%Y%m%d-%H%M%S')}.csv"),
         index=False)
+    try:  # sweep progress plot over the raw (direction-aware) metric
+        from ab_line_classifier_tpu.viz.visualization import (
+            plot_hparam_search)
+        plot_hparam_search(rows, goal=goal,
+                           dir_path=cfg["PATHS"].get(
+                               "EXPERIMENT_VISUALIZATIONS",
+                               cfg["PATHS"]["IMAGES"]))
+    except Exception as e:
+        print(f"(sweep plot skipped: {e})")
     best_params = {k: float(v[best_t]) for k, v in swept.items()}
     if verbose:
         print(f"best {best_params} ({col}={per_trial[best_t]:.4f})")

@@ -115,12 +115,15 @@ def visualize_heatmap(orig_img: np.ndarray, heatmap_img: np.ndarray,
 
 
 def plot_hparam_search(trials: List[Dict], objective_key: str = "objective",
+                       goal: str = "maximize",
                        dir_path: Optional[str] = None) -> plt.Figure:
-    """Sweep progress plot — objective vs trial with running best (the local
-    stand-in for skopt's ``plot_objective``, reference
-    visualization.py:142-178)."""
+    """Sweep progress plot — objective vs trial with running best. ``goal``
+    must match the metric's direction: lr_search_parallel trial rows carry
+    the raw metric (possibly minimize), while the serial sweep's objectives
+    are sign-normalized to maximize."""
     objs = [t[objective_key] for t in trials]
-    best = np.maximum.accumulate(objs)
+    best = (np.maximum.accumulate(objs) if goal == "maximize"
+            else np.minimum.accumulate(objs))
     fig, ax = plt.subplots(figsize=(7, 4.5))
     ax.plot(objs, "o-", label="trial objective")
     ax.plot(best, "r--", label="running best")

@@ -96,3 +96,26 @@ def test_bn_stats_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(v2_imported["batch_stats"]["bn_block0"]["mean"]),
         np.asarray(v1["batch_stats"]["bn_block0"]["mean"]))
+
+
+def test_head_dense_alias_output(tmp_path):
+    """Reference checkpoints name the head Dense 'output'
+    (models.py:418,376) or auto 'dense' (cnn0); the importer aliases it to
+    our 'logits' by name + kernel-shape match."""
+    import h5py
+
+    spec = build_model("cutoffvgg16", HP, (64, 64, 3), 2)
+    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    h5_path = str(tmp_path / "ref.h5")
+    export_h5_weights(h5_path, v1)
+    # rename the exported 'logits' group to the reference's 'output'
+    with h5py.File(h5_path, "r+") as f:
+        f["model_weights"].move("logits", "output")
+        f["model_weights"]["output"].move("logits", "output")
+
+    v2 = spec.init_variables(jax.random.PRNGKey(1))
+    v2_imported, copied = import_h5_weights(h5_path, v2, verbose=False)
+    assert copied == len(v1["params"])
+    np.testing.assert_array_equal(
+        np.asarray(v1["params"]["logits"]["kernel"]),
+        np.asarray(v2_imported["params"]["logits"]["kernel"]))
