@@ -369,6 +369,46 @@ def test_custom_resnetv2_equals_keras_reconstruction():
     np.testing.assert_allclose(ours, want, atol=2e-5)
 
 
+def test_frame_auc_parity_with_keras():
+    """BASELINE.md north-star condition: frame-level AUC parity with the
+    Keras reference. With weights copied into the rebuilt cutoffvgg16, both
+    stacks produce the same probabilities on a shared fixture, hence the
+    same sklearn frame AUC."""
+    from sklearn.metrics import roc_auc_score
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.applications import VGG16
+    from tensorflow.keras.layers import Dense, Dropout, GlobalAveragePooling2D
+
+    from ab_line_classifier_tpu.models import build_model
+
+    inp = Input((64, 64, 3))
+    kvgg = VGG16(input_shape=(64, 64, 3), include_top=False, weights=None)
+    x = inp
+    for layer in kvgg.layers[1:10]:
+        x = layer(x)
+    x = GlobalAveragePooling2D(name="global_avgpool")(x)
+    x = Dropout(0.45)(x)
+    y = Dense(2, activation="softmax", name="logits")(x)
+    km = Model(inp, y)
+
+    hp = {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6, "DROPOUT": 0.45,
+          "CUTOFF_LAYER": 10, "FINETUNE_LAYER": 7, "EXTRACT_EPOCHS": 6}
+    spec = build_model("cutoffvgg16", hp, (64, 64, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    p, _, _ = copy_keras_weights(km, v["params"], {})
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(64, 64, 64, 3).astype(np.float32) * 255
+    labels = rng.randint(0, 2, 64)
+    x_in = np.asarray(preprocess_caffe(jnp.asarray(frames)))
+    ours = np.asarray(spec.module().apply({"params": p}, jnp.asarray(x_in),
+                                          train=False))
+    theirs = km(x_in, training=False).numpy()
+    auc_ours = roc_auc_score(labels, ours[:, 1])
+    auc_theirs = roc_auc_score(labels, theirs[:, 1])
+    assert abs(auc_ours - auc_theirs) < 1e-6, (auc_ours, auc_theirs)
+
+
 def test_keras_h5_import():
     """Import weights from an h5 file written by Keras itself (Keras 3
     .weights.h5 layout: class+order addressed groups, so the importer maps
