@@ -22,6 +22,47 @@ import optax
 from ab_line_classifier_tpu import graph as G
 
 
+def _scale_by_keras_adam(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam moment scaling with Keras's exact epsilon placement
+    (keras/src/optimizers/adam.py update_step):
+
+        var -= m * (lr * sqrt(1-b2^t)/(1-b1^t)) / (sqrt(v) + eps)
+
+    i.e. eps is added to sqrt of the UNCORRECTED second moment. Optax's
+    adam adds eps to sqrt(v_hat) instead, which diverges on near-zero
+    gradient components early in training (verified by the one-step
+    training-parity test)."""
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree.map(
+            lambda m, v: (m * alpha / (jnp.sqrt(v) + eps)).astype(m.dtype),
+            mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _keras_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-7) -> optax.GradientTransformation:
+    """Keras-exact Adam (defaults b1=0.9, b2=0.999, epsilon=1e-7)."""
+    return optax.chain(_scale_by_keras_adam(b1, b2, eps),
+                       optax.scale_by_learning_rate(learning_rate))
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainPhase:
     """One stage of the optimizer plan.
@@ -54,9 +95,11 @@ class TrainPhase:
             return {k: label_of.get(k, "train") for k in params}
 
         if self.optimizer == "adam":
-            base = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr)
+            base = optax.inject_hyperparams(_keras_adam)(
+                learning_rate=self.lr)
         elif self.optimizer == "rmsprop":
-            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum.
+            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum; its
+            # denominator sqrt(v + eps) matches optax's scale_by_rms form.
             base = optax.inject_hyperparams(optax.rmsprop)(
                 learning_rate=self.lr, decay=0.9, eps=1e-7)
         elif self.optimizer == "sgd":

@@ -409,6 +409,73 @@ def test_frame_auc_parity_with_keras():
     assert abs(auc_ours - auc_theirs) < 1e-6, (auc_ours, auc_theirs)
 
 
+def test_one_train_step_parity_with_keras():
+    """End-to-end TRAINING parity for one optimizer step: same weights, same
+    batch, categorical CE + Adam + frozen backbone (cutoffvgg16 extract
+    phase) must move the head weights identically in Keras and here. This
+    pins loss gradients, the freeze mask, and Adam semantics (incl.
+    eps=1e-7) in one shot."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.applications import VGG16
+    from tensorflow.keras.layers import Dense, Dropout, GlobalAveragePooling2D
+    from tensorflow.keras.optimizers import Adam
+
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.train.loop import Trainer
+    from ab_line_classifier_tpu.ops import metrics as M
+
+    lr = 3e-3
+    cutoff = 10
+    inp = Input((64, 64, 3))
+    kvgg = VGG16(input_shape=(64, 64, 3), include_top=False, weights=None)
+    x = inp
+    for layer in kvgg.layers[1:cutoff]:
+        layer.trainable = False            # extract phase: backbone frozen
+        x = layer(x)
+    x = GlobalAveragePooling2D(name="global_avgpool")(x)
+    x = Dropout(0.0)(x)
+    y = Dense(2, activation="softmax", name="logits")(x)
+    km = Model(inp, y)
+    km.compile(optimizer=Adam(learning_rate=lr),
+               loss="categorical_crossentropy")
+
+    hp = {"LR_EXTRACT": lr, "LR_FINETUNE": 9.3e-6, "DROPOUT": 0.0,
+          "CUTOFF_LAYER": cutoff, "FINETUNE_LAYER": 7, "EXTRACT_EPOCHS": 6}
+    spec = build_model("cutoffvgg16", hp, (64, 64, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    params, _, _ = copy_keras_weights(km, v["params"], {})
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(16, 64, 64, 3).astype(np.float32) * 255
+    labels = rng.randint(0, 2, 16).astype(np.int32)
+    x_in = np.asarray(preprocess_caffe(jnp.asarray(frames)))
+    y_oh = np.eye(2, dtype=np.float32)[labels]
+
+    # one keras step
+    km.train_on_batch(x_in, y_oh)
+    k_kernel = km.get_layer("logits").get_weights()[0]
+
+    # one step here (extract phase; no augmentation, uniform class weights)
+    trainer = Trainer(spec, seed=0)
+    phase = spec.phases[0]
+    trainer._set_phase_module(phase)
+    state, tx = trainer.init_state(phase, {"params": params})
+    step = trainer.make_train_step(phase, tx, 0)
+    # bypass uint8 quantization: feed the exact float batch by monkeypatching
+    # the prepare step to only normalize (images passed pre-scaled).
+    trainer.preprocess_fn = lambda z: z
+    trainer.aug_params = None
+    state, _ = step(state, M.init_metrics(2), jnp.asarray(x_in),
+                    jnp.asarray(labels), jnp.ones(16, jnp.float32))
+
+    ours_kernel = np.asarray(state.params["logits"]["kernel"])
+    np.testing.assert_allclose(ours_kernel, k_kernel, atol=2e-5)
+    # frozen backbone really frozen on both sides
+    np.testing.assert_array_equal(
+        np.asarray(state.params["block1_conv1"]["kernel"]),
+        np.asarray(params["block1_conv1"]["kernel"]))
+
+
 def test_keras_h5_import():
     """Import weights from an h5 file written by Keras itself (Keras 3
     .weights.h5 layout: class+order addressed groups, so the importer maps
