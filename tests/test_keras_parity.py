@@ -476,6 +476,72 @@ def test_one_train_step_parity_with_keras():
         np.asarray(params["block1_conv1"]["kernel"]))
 
 
+def test_one_finetune_step_parity_with_keras():
+    """Same as the extract-phase test but for phase 2: RMSprop @
+    LR_FINETUNE with backbone layers >= FINETUNE_LAYER unfrozen (reference
+    models.py:429-434) — pins RMSprop semantics and the partial-freeze
+    mask."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.applications import VGG16
+    from tensorflow.keras.layers import Dense, Dropout, GlobalAveragePooling2D
+    from tensorflow.keras.optimizers import RMSprop
+
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.train.loop import Trainer
+    from ab_line_classifier_tpu.ops import metrics as M
+
+    lr = 1e-4
+    cutoff, finetune_layer = 10, 7
+    inp = Input((64, 64, 3))
+    kvgg = VGG16(input_shape=(64, 64, 3), include_top=False, weights=None)
+    x = inp
+    for i, layer in enumerate(kvgg.layers[1:cutoff]):
+        layer.trainable = i >= finetune_layer
+        x = layer(x)
+    x = GlobalAveragePooling2D(name="global_avgpool")(x)
+    x = Dropout(0.0)(x)
+    y = Dense(2, activation="softmax", name="logits")(x)
+    km = Model(inp, y)
+    km.compile(optimizer=RMSprop(learning_rate=lr),
+               loss="categorical_crossentropy")
+
+    hp = {"LR_EXTRACT": 3e-4, "LR_FINETUNE": lr, "DROPOUT": 0.0,
+          "CUTOFF_LAYER": cutoff, "FINETUNE_LAYER": finetune_layer,
+          "EXTRACT_EPOCHS": 6}
+    spec = build_model("cutoffvgg16", hp, (64, 64, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    params, _, _ = copy_keras_weights(km, v["params"], {})
+
+    rng = np.random.RandomState(1)
+    frames = rng.rand(16, 64, 64, 3).astype(np.float32) * 255
+    labels = rng.randint(0, 2, 16).astype(np.int32)
+    x_in = np.asarray(preprocess_caffe(jnp.asarray(frames)))
+    km.train_on_batch(x_in, np.eye(2, dtype=np.float32)[labels])
+
+    trainer = Trainer(spec, seed=0)
+    phase = spec.phases[1]
+    assert phase.optimizer == "rmsprop"
+    trainer._set_phase_module(phase)
+    state, tx = trainer.init_state(phase, {"params": params})
+    step = trainer.make_train_step(phase, tx, 1)
+    trainer.preprocess_fn = lambda z: z
+    trainer.aug_params = None
+    state, _ = step(state, M.init_metrics(2), jnp.asarray(x_in),
+                    jnp.asarray(labels), jnp.ones(16, jnp.float32))
+
+    for lname in ("logits", "block3_conv3"):  # head + unfrozen backbone
+        np.testing.assert_allclose(
+            np.asarray(state.params[lname]["kernel"]),
+            km.get_layer(lname).get_weights()[0], atol=2e-5)
+    # layers below FINETUNE_LAYER stay bit-identical on both sides
+    np.testing.assert_array_equal(
+        np.asarray(state.params["block1_conv1"]["kernel"]),
+        np.asarray(params["block1_conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        km.get_layer("block1_conv1").get_weights()[0],
+        np.asarray(params["block1_conv1"]["kernel"]))
+
+
 def test_keras_h5_import():
     """Import weights from an h5 file written by Keras itself (Keras 3
     .weights.h5 layout: class+order addressed groups, so the importer maps
