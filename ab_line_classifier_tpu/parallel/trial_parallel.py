@@ -123,7 +123,17 @@ class ParallelFoldTrainer:
         keys = jax.random.split(self.base_rng, self.n_folds)
         params, batch_stats, opt_state = jax.vmap(init_one)(keys)
         if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P(mesh_lib.TRIAL_AXIS))
+            n_trial = self.mesh.shape[mesh_lib.TRIAL_AXIS]
+            if self.n_folds % n_trial:
+                # The stacked fold axis can only shard over 'trial' when
+                # divisible; otherwise replicate the stacked state (the vmap
+                # still runs all folds; batches still shard over 'data').
+                print(f"trial axis ({n_trial}) does not divide "
+                      f"{self.n_folds} folds/trials; replicating fold state "
+                      f"across the mesh")
+                sh = mesh_lib.replicated(self.mesh)
+            else:
+                sh = NamedSharding(self.mesh, P(mesh_lib.TRIAL_AXIS))
             params = jax.device_put(params, sh)
             opt_state = jax.device_put(opt_state, sh)
             if batch_stats:
@@ -231,7 +241,8 @@ class ParallelFoldTrainer:
         n_val_batches = -(-val_table.shape[1] // batch_size)
 
         history = []
-        best_val = np.full(F, np.inf)
+        best_val = np.full(F, np.inf)       # EarlyStopping best (min_delta 0)
+        best_plateau = np.full(F, np.inf)   # plateau best (min_delta 1e-4)
         wait = np.zeros(F, int)
         plateau_wait = np.zeros(F, int)
         plateau_patience = max(1, patience // 2)
@@ -259,6 +270,7 @@ class ParallelFoldTrainer:
             train_step = self.make_train_step(tx)
             # callback state resets per phase, like Keras fit() calls
             best_val[:] = np.inf
+            best_plateau[:] = np.inf
             wait[:] = 0
             plateau_wait[:] = 0
             if isinstance(lr_factors, dict):
@@ -320,7 +332,10 @@ class ParallelFoldTrainer:
                 val_final = jax.vmap(M.compute_metrics)(val_metrics)
                 val_loss = np.asarray(val_final["loss"])
                 val_auc = np.asarray(val_final["auc"])
-                improved = val_loss < best_val - 1e-4
+                # EarlyStopping and ReduceLROnPlateau track improvement
+                # independently with Keras's min_deltas (0 strict vs 1e-4),
+                # matching train/loop.py.
+                improved = val_loss < best_val
                 if best_params is None:
                     best_params = params
                     best_bs = batch_stats
@@ -335,10 +350,18 @@ class ParallelFoldTrainer:
                         best_bs = jax.tree.map(sel, batch_stats, best_bs)
                 best_val = np.where(improved, val_loss, best_val)
                 wait = np.where(improved, 0, wait + 1)
-                plateau_wait = np.where(improved, 0, plateau_wait + 1)
+                plateau_improved = val_loss < best_plateau - 1e-4
+                best_plateau = np.where(plateau_improved, val_loss,
+                                        best_plateau)
+                plateau_wait = np.where(plateau_improved, 0,
+                                        plateau_wait + 1)
                 reduce = plateau_wait >= plateau_patience
+                # Keras min_lr=1e-8 is absolute; the factor multiplies
+                # phase.lr, so the factor floor is 1e-8 / phase.lr.
+                min_factor = 1e-8 / max(float(phase.lr), 1e-30)
                 lr_factor = jnp.asarray(np.where(
-                    reduce, np.maximum(np.asarray(lr_factor) * 0.5, 1e-8),
+                    reduce,
+                    np.maximum(np.asarray(lr_factor) * 0.5, min_factor),
                     np.asarray(lr_factor)), jnp.float32)
                 plateau_wait = np.where(reduce, 0, plateau_wait)
                 active = jnp.asarray((wait < patience).astype(np.float32))
