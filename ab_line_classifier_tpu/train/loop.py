@@ -61,6 +61,50 @@ class EpochLog:
     seconds: float
 
 
+@dataclasses.dataclass
+class CallbackState:
+    """Keras EarlyStopping + ReduceLROnPlateau decision logic as pure state
+    (reference train.py:149-168): EarlyStopping(val_loss, patience,
+    min_delta=0, restore_best_weights) and ReduceLROnPlateau(factor=0.5,
+    patience=patience//2, min_delta=1e-4, min_lr=1e-8). The two callbacks
+    track improvement INDEPENDENTLY, exactly like the Keras classes.
+    Fuzz-verified against the real Keras callbacks in
+    tests/test_keras_parity.py."""
+
+    patience: int
+    plateau_patience: int
+    factor: float = 0.5
+    min_lr: float = 1e-8
+    plateau_min_delta: float = 1e-4
+
+    best_val: float = np.inf
+    best_plateau: float = np.inf
+    wait: int = 0
+    plateau_wait: int = 0
+
+    def update(self, monitored: float, lr: float):
+        """One epoch's val_loss -> (improved, stop, new_lr or None)."""
+        improved = monitored < self.best_val
+        if improved:
+            self.best_val = monitored
+            self.wait = 0
+        else:
+            self.wait += 1
+        new_lr = None
+        if monitored < self.best_plateau - self.plateau_min_delta:
+            self.best_plateau = monitored
+            self.plateau_wait = 0
+        else:
+            self.plateau_wait += 1
+            if self.plateau_wait >= self.plateau_patience:
+                reduced = max(lr * self.factor, self.min_lr)
+                if reduced < lr:
+                    new_lr = reduced
+                self.plateau_wait = 0
+        stop = self.wait >= self.patience
+        return improved, stop, new_lr
+
+
 class Trainer:
     """Drives a :class:`ModelSpec` through its phase plan."""
 
@@ -306,16 +350,9 @@ class Trainer:
                 continue  # phase fully covered by the checkpoint
 
             # Per-phase callback state (Keras resets callbacks per fit()).
-            # EarlyStopping and ReduceLROnPlateau track improvement
-            # *independently*, with Keras's defaults: min_delta=0 (strict <)
-            # for early stopping, min_delta=1e-4 for the LR plateau
-            # (reference train.py:149-168).
-            best_val = np.inf
-            best_plateau = np.inf
+            ctl = CallbackState(patience=patience,
+                                plateau_patience=max(1, patience // 2))
             best_vars = None
-            wait = 0
-            plateau_wait = 0
-            plateau_patience = max(1, patience // 2)
             epoch_in_phase = 0
             phase_done = False
 
@@ -333,11 +370,11 @@ class Trainer:
             if restoring:
                 state, best_vars, progress = self._load_resume(
                     checkpoint_dir, state)
-                best_val = progress["best_val"]
-                best_plateau = progress.get("best_plateau",
-                                            progress["best_val"])
-                wait = progress["wait"]
-                plateau_wait = progress["plateau_wait"]
+                ctl.best_val = progress["best_val"]
+                ctl.best_plateau = progress.get("best_plateau",
+                                                progress["best_val"])
+                ctl.wait = progress["wait"]
+                ctl.plateau_wait = progress["plateau_wait"]
                 resume_progress = None  # later phases run normally
 
             # Remaining epochs for this phase: fixed-length phases subtract
@@ -393,48 +430,37 @@ class Trainer:
                 epoch += 1
 
                 # EarlyStopping + ReduceLROnPlateau on val_loss
-                # (reference train.py:155-159), each with its own best and
-                # min_delta (Keras defaults: 0 and 1e-4 respectively).
+                # (reference train.py:155-159) — CallbackState implements
+                # the Keras decision logic, fuzz-verified against the real
+                # callbacks.
                 monitored = val_m.get("loss")
                 stopped = False
                 if monitored is not None:
-                    if monitored < best_val:
-                        best_val = monitored
-                        wait = 0
+                    cur = get_learning_rate(state.opt_state) or 0.0
+                    improved, stopped, new_lr = ctl.update(monitored, cur)
+                    if improved:
                         best_vars = {
                             "params": jax.tree.map(np.asarray, state.params),
                             "batch_stats": jax.tree.map(np.asarray,
                                                         state.batch_stats),
                         }
-                    else:
-                        wait += 1
-                    if monitored < best_plateau - 1e-4:
-                        best_plateau = monitored
-                        plateau_wait = 0
-                    else:
-                        plateau_wait += 1
-                        if plateau_wait >= plateau_patience:
-                            cur = get_learning_rate(state.opt_state) or 0.0
-                            new_lr = max(cur * 0.5, 1e-8)  # Keras min_lr clamp
-                            if new_lr < cur:
-                                state = dataclasses.replace(
-                                    state,
-                                    opt_state=scale_learning_rate(
-                                        state.opt_state, new_lr / cur))
-                                if verbose:
-                                    print(f"  ReduceLROnPlateau: lr -> {new_lr:.2e}")
-                            plateau_wait = 0
-                    if wait >= patience:
-                        stopped = True
+                    if new_lr is not None:
+                        state = dataclasses.replace(
+                            state,
+                            opt_state=scale_learning_rate(
+                                state.opt_state, new_lr / cur))
                         if verbose:
-                            print(f"  EarlyStopping at epoch {epoch-1} "
-                                  f"(best val_loss {best_val:.4f})")
+                            print(f"  ReduceLROnPlateau: lr -> {new_lr:.2e}")
+                    if stopped and verbose:
+                        print(f"  EarlyStopping at epoch {epoch-1} "
+                              f"(best val_loss {ctl.best_val:.4f})")
                 if checkpoint_dir:
                     self._save_resume(
                         checkpoint_dir, state, epoch=epoch - 1,
                         phase_idx=phase_idx, epoch_in_phase=epoch_in_phase,
-                        best_val=best_val, best_plateau=best_plateau,
-                        wait=wait, plateau_wait=plateau_wait,
+                        best_val=ctl.best_val,
+                        best_plateau=ctl.best_plateau,
+                        wait=ctl.wait, plateau_wait=ctl.plateau_wait,
                         best_vars=best_vars, phase_done=stopped)
                 if stopped:
                     break

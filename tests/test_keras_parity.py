@@ -542,6 +542,54 @@ def test_one_finetune_step_parity_with_keras():
         np.asarray(params["block1_conv1"]["kernel"]))
 
 
+def test_callback_decision_parity_with_keras():
+    """Fuzz CallbackState against the REAL Keras EarlyStopping +
+    ReduceLROnPlateau on random val_loss sequences (with exact ties and
+    sub-min_delta wobbles): the stop decision and the LR trajectory must
+    match epoch for epoch (reference train.py:149-168)."""
+    from tensorflow.keras.callbacks import EarlyStopping, ReduceLROnPlateau
+
+    from ab_line_classifier_tpu.train.loop import CallbackState
+
+    rng = np.random.RandomState(0)
+    for trial in range(15):
+        patience = int(rng.randint(1, 6))
+        plateau_patience = max(1, patience // 2)
+        # quantize to 5e-5 so sequences contain exact repeats and
+        # differences straddling the 1e-4 plateau min_delta
+        seq = np.round(rng.rand(20) * 0.01 / 5e-5) * 5e-5 + 0.2
+
+        model = tf.keras.Sequential(
+            [tf.keras.layers.Dense(1, input_shape=(1,))])
+        model.compile(optimizer=tf.keras.optimizers.Adam(1e-3), loss="mse")
+        es = EarlyStopping(monitor="val_loss", patience=patience,
+                           restore_best_weights=False)
+        rl = ReduceLROnPlateau(monitor="val_loss", factor=0.5,
+                               patience=plateau_patience, min_lr=1e-8)
+        es.set_model(model)
+        rl.set_model(model)
+        es.on_train_begin()
+        rl.on_train_begin()
+
+        cb = CallbackState(patience=patience,
+                           plateau_patience=plateau_patience)
+        lr = 1e-3
+        for e, v in enumerate(seq):
+            logs = {"val_loss": float(v)}
+            rl.on_epoch_end(e, logs)
+            es.on_epoch_end(e, logs)
+            k_lr = float(model.optimizer.learning_rate)
+            _, stop, new_lr = cb.update(float(v), lr)
+            if new_lr is not None:
+                lr = new_lr
+            assert np.isclose(lr, k_lr, rtol=1e-6), \
+                (trial, e, lr, k_lr, seq[:e + 1])
+            assert stop == bool(model.stop_training), \
+                (trial, e, stop, seq[:e + 1])
+            if stop:
+                break
+
+
 def test_keras_h5_import():
     """Import weights from an h5 file written by Keras itself (Keras 3
     .weights.h5 layout: class+order addressed groups, so the importer maps
