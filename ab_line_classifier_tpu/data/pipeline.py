@@ -210,6 +210,92 @@ class FrameDataset:
         return images, self.labels
 
 
+class DeviceCachedDataset:
+    """A FrameDataset decoded ONCE and kept resident in HBM: per-epoch
+    batches are device-side gathers, so after the first epoch the host does
+    no decode work and no host->device pixel transfer at all.
+
+    Exposes the same ``batches()`` surface as :class:`FrameDataset`, so the
+    training loop is unchanged (its ``shard_batch`` device_put is a no-op on
+    already-resident arrays). The tf.data analogue is ``.cache()``
+    (reference preprocessor.py keeps everything host-side instead); on this
+    backend it removes the dominant cost for datasets that fit HBM — the
+    host decode + O(100 MB/s) tunnel transfer (docs/PERFORMANCE.md)."""
+
+    def __init__(self, ds: FrameDataset):
+        import jax
+        import jax.numpy as jnp
+
+        self.df = ds.df
+        self.img_dim = ds.img_dim
+        images, labels = ds.load_all()
+        self._frames = jnp.asarray(images)
+        self._labels = jnp.asarray(labels.astype(np.int32))
+        self._n = len(ds)
+
+        def gather(frames, labels_d, idx):
+            return (jnp.take(frames, idx, axis=0),
+                    jnp.take(labels_d, idx, axis=0))
+
+        self._gather = jax.jit(gather)
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.asarray(self._labels)
+
+    def n_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
+        return (self._n // batch_size if drop_remainder
+                else -(-self._n // batch_size))
+
+    def batches(self, batch_size: int, *, shuffle: bool = False,
+                seed: int = 0, drop_remainder: bool = False,
+                prefetch: int = 0) -> Iterator[Batch]:
+        import jax.numpy as jnp
+
+        order = np.arange(self._n)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        if drop_remainder:
+            order = order[: (len(order) // batch_size) * batch_size]
+        for i in range(0, len(order), batch_size):
+            idx = order[i:i + batch_size]
+            b = len(idx)
+            pad = np.zeros(batch_size - b, np.int32)  # gather row 0, masked
+            full_idx = np.concatenate([idx.astype(np.int32), pad])
+            mask = np.zeros(batch_size, np.float32)
+            mask[:b] = 1.0
+            indices = np.full(batch_size, -1, np.int32)
+            indices[:b] = idx
+            ims, lbs = self._gather(self._frames, self._labels,
+                                    jnp.asarray(full_idx))
+            yield Batch(ims, lbs, mask, indices)
+
+
+# Default HBM budget for auto device-caching (u8 pixels only; leaves room
+# for params/activations on a 16 GB chip).
+DEVICE_CACHE_BYTES = 2 << 30
+
+
+def maybe_device_cache(ds: FrameDataset, mode="auto"):
+    """Wrap in a DeviceCachedDataset when enabled (True) or when 'auto' and
+    the decoded pixels fit the cache budget. Falls back to the host
+    pipeline on any failure (e.g. HBM pressure)."""
+    if mode is False or mode is None:
+        return ds
+    h, w = ds.img_dim
+    nbytes = len(ds) * h * w * 3
+    if mode == "auto" and nbytes > DEVICE_CACHE_BYTES:
+        return ds
+    try:
+        return DeviceCachedDataset(ds)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"(device cache disabled: {e})")
+        return ds
+
+
 def class_distribution(frames_df: pd.DataFrame) -> np.ndarray:
     """Class histogram (reference ``np.bincount(train_df['Class'])``,
     train.py:49)."""

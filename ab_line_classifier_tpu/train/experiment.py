@@ -191,6 +191,16 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
         compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
     train_ds = FrameDataset(train_df, frames_dir, img_dim=cfg.img_dim)
     val_ds = FrameDataset(val_df, frames_dir, img_dim=cfg.img_dim)
+    # Device-resident dataset cache (TRAIN.CACHE_DATASET: auto|true|false):
+    # decode once, keep uint8 frames in HBM, gather batches on device — the
+    # host decode + tunnel transfer disappear after the first epoch.
+    from ab_line_classifier_tpu.data.pipeline import maybe_device_cache
+    cache_mode = cfg["TRAIN"].get("CACHE_DATASET", "auto")
+    if isinstance(cache_mode, str):
+        cache_mode = {"auto": "auto", "true": True,
+                      "false": False}[cache_mode.lower()]
+    train_ds = maybe_device_cache(train_ds, cache_mode)
+    val_ds = maybe_device_cache(val_ds, cache_mode)
 
     # Per-epoch validation prediction tables (the reference's
     # WandbGradcamEvalCallback capability, train_utils.py:238-293).

@@ -88,3 +88,39 @@ def test_bf16_output_dtype(frames):
     out = fused_preprocess(jnp.asarray(frames), out_hw=(128, 128),
                            preprocess_mode="tf", out_dtype=jnp.bfloat16)
     assert out.dtype == jnp.bfloat16
+
+
+def test_device_cached_dataset_matches_host_pipeline(tmp_path):
+    """DeviceCachedDataset yields the same batches (values, masks, indices,
+    shuffle order) as the host FrameDataset, with images resident on
+    device."""
+    import pandas as pd
+
+    from ab_line_classifier_tpu.data.pipeline import (DeviceCachedDataset,
+                                                      FrameDataset,
+                                                      maybe_device_cache)
+    from ab_line_classifier_tpu.data.synthetic import generate_dataset
+
+    ws = str(tmp_path)
+    fcsv, _, fdir = generate_dataset(ws, n_patients=6, clips_per_patient=2,
+                                     frames_per_clip=3, hw=(32, 32), seed=2)
+    ds = FrameDataset(pd.read_csv(fcsv), fdir, img_dim=(32, 32))
+    cached = DeviceCachedDataset(ds)
+    assert len(cached) == len(ds)
+
+    for shuffle in (False, True):
+        host = list(ds.batches(16, shuffle=shuffle, seed=3))
+        dev = list(cached.batches(16, shuffle=shuffle, seed=3))
+        assert len(host) == len(dev)
+        for hb, db in zip(host, dev):
+            valid = hb.mask > 0
+            np.testing.assert_array_equal(hb.mask, db.mask)
+            np.testing.assert_array_equal(hb.indices, db.indices)
+            np.testing.assert_array_equal(hb.labels[valid],
+                                          np.asarray(db.labels)[valid])
+            np.testing.assert_array_equal(hb.images[valid],
+                                          np.asarray(db.images)[valid])
+
+    # auto mode: tiny dataset -> cached; explicit False -> passthrough
+    assert isinstance(maybe_device_cache(ds, "auto"), DeviceCachedDataset)
+    assert maybe_device_cache(ds, False) is ds
