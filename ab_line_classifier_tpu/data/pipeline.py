@@ -246,9 +246,34 @@ class DeviceCachedDataset:
     def labels(self) -> np.ndarray:
         return np.asarray(self._labels)
 
+    @property
+    def frames(self):
+        """Device-resident uint8 frames [N, H, W, 3]."""
+        return self._frames
+
+    @property
+    def labels_dev(self):
+        """Device-resident int32 labels [N]."""
+        return self._labels
+
     def n_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
         return (self._n // batch_size if drop_remainder
                 else -(-self._n // batch_size))
+
+    def epoch_index_table(self, batch_size: int, *, shuffle: bool = False,
+                          seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """One epoch's batches as a padded [n_batches, B] index table plus
+        validity mask — the input to the scan-based single-program epoch
+        (train/loop.py make_epoch_fns)."""
+        order = np.arange(self._n, dtype=np.int32)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        nb = -(-self._n // batch_size)
+        pad = nb * batch_size - self._n
+        idx = np.concatenate([order, np.zeros(pad, np.int32)])
+        mask = np.concatenate([np.ones(self._n, np.float32),
+                               np.zeros(pad, np.float32)])
+        return (idx.reshape(nb, batch_size), mask.reshape(nb, batch_size))
 
     def batches(self, batch_size: int, *, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = False,

@@ -205,8 +205,10 @@ class Trainer:
         return x.astype(self.compute_dtype)
 
     # ------------------------------------------------------------------
-    def make_train_step(self, phase: TrainPhase, tx,
-                        phase_idx: int = 0) -> Callable:
+    def _train_step_core(self, phase_idx: int, tx) -> Callable:
+        """The per-batch training computation (un-jitted): jitted directly
+        for the host-streaming path, scanned over the whole epoch for the
+        device-cached path."""
         def train_step(state: TrainState, metrics: M.MetricsState, images,
                        labels, mask):
             # Fold in the phase index too: step counters reset per phase, and
@@ -235,11 +237,15 @@ class Trainer:
                                        loss=per_ex, sample_mask=mask)
             return new_state, metrics
 
+        return train_step
+
+    def make_train_step(self, phase: TrainPhase, tx,
+                        phase_idx: int = 0) -> Callable:
         # No buffer donation: the axon TPU backend rejects donated buffers
         # (INVALID_ARGUMENT at compile); state sizes here are small.
-        return jax.jit(train_step)
+        return jax.jit(self._train_step_core(phase_idx, tx))
 
-    def make_eval_step(self) -> Callable:
+    def _eval_step_core(self) -> Callable:
         def eval_step(state: TrainState, metrics: M.MetricsState, images,
                       labels, mask):
             labels_oh = jax.nn.one_hot(labels, self.spec.n_classes,
@@ -251,20 +257,87 @@ class Trainer:
             return M.update_metrics(metrics, probs, labels_oh, loss=per_ex,
                                     sample_mask=mask)
 
-        return jax.jit(eval_step)
+        return eval_step
+
+    def make_eval_step(self) -> Callable:
+        return jax.jit(self._eval_step_core())
+
+    def make_epoch_fns(self, phase: TrainPhase, tx, phase_idx: int = 0):
+        """The WHOLE epoch as one compiled program for device-cached
+        datasets: ``lax.scan`` of the train/eval step over a device-side
+        gathered batch sequence. One dispatch per epoch instead of one per
+        batch — on this tunneled backend that removes the dominant
+        steady-state cost (docs/PERFORMANCE.md)."""
+        train_core = self._train_step_core(phase_idx, tx)
+        eval_core = self._eval_step_core()
+        batch_sh = (mesh_lib.batch_sharding(self.mesh)
+                    if self.mesh is not None else None)
+
+        def gather(frames, labels_all, idx, mask):
+            images = jnp.take(frames, idx, axis=0)
+            labels = jnp.take(labels_all, idx, axis=0)
+            # Zero padded rows like the host pipeline does (bit-identical
+            # partial-batch BN statistics between the two paths).
+            images = jnp.where(mask[:, None, None, None] > 0, images, 0)
+            if batch_sh is not None:  # keep batches data-parallel in-scan
+                images = jax.lax.with_sharding_constraint(images, batch_sh)
+                labels = jax.lax.with_sharding_constraint(labels, batch_sh)
+            return images, labels
+
+        @jax.jit
+        def train_epoch(state, metrics0, frames, labels_all, idx_tab,
+                        mask_tab):
+            def body(carry, xs):
+                st, m = carry
+                idx, mask = xs
+                images, labels = gather(frames, labels_all, idx, mask)
+                return train_core(st, m, images, labels, mask), None
+
+            (state, metrics), _ = jax.lax.scan(
+                body, (state, metrics0), (idx_tab, mask_tab))
+            return state, metrics
+
+        @jax.jit
+        def eval_epoch(state, metrics0, frames, labels_all, idx_tab,
+                       mask_tab):
+            def body(m, xs):
+                idx, mask = xs
+                images, labels = gather(frames, labels_all, idx, mask)
+                return eval_core(state, m, images, labels, mask), None
+
+            metrics, _ = jax.lax.scan(body, metrics0, (idx_tab, mask_tab))
+            return metrics
+
+        return train_epoch, eval_epoch
 
     # ------------------------------------------------------------------
     def _run_epoch(self, state, metrics_init, step_fn, dataset: FrameDataset,
-                   batch_size: int, *, train: bool, shuffle_seed: int = 0):
-        metrics = metrics_init
-        for batch in dataset.batches(batch_size, shuffle=train,
-                                     seed=shuffle_seed):
-            images, labels, mask = mesh_lib.shard_batch(
-                self.mesh, batch.images, batch.labels, batch.mask)
+                   batch_size: int, *, train: bool, shuffle_seed: int = 0,
+                   epoch_fn: Optional[Callable] = None):
+        # Device-cached datasets run the whole epoch as ONE compiled scan.
+        from ab_line_classifier_tpu.data.pipeline import DeviceCachedDataset
+
+        if epoch_fn is not None and isinstance(dataset, DeviceCachedDataset):
+            idx_tab, mask_tab = dataset.epoch_index_table(
+                batch_size, shuffle=train, seed=shuffle_seed)
             if train:
-                state, metrics = step_fn(state, metrics, images, labels, mask)
+                state, metrics = epoch_fn(state, metrics_init,
+                                          dataset.frames, dataset.labels_dev,
+                                          idx_tab, mask_tab)
             else:
-                metrics = step_fn(state, metrics, images, labels, mask)
+                metrics = epoch_fn(state, metrics_init, dataset.frames,
+                                   dataset.labels_dev, idx_tab, mask_tab)
+        else:
+            metrics = metrics_init
+            for batch in dataset.batches(batch_size, shuffle=train,
+                                         seed=shuffle_seed):
+                images, labels, mask = mesh_lib.shard_batch(
+                    self.mesh, batch.images, batch.labels, batch.mask)
+                if train:
+                    state, metrics = step_fn(state, metrics, images, labels,
+                                             mask)
+                else:
+                    metrics = step_fn(state, metrics, images, labels, mask)
         out = {k: float(v) for k, v in
                M.compute_metrics(metrics, self.class_names).items()}
         return state, out
@@ -366,6 +439,10 @@ class Trainer:
             state, tx = self.init_state(phase, variables)
             train_fn = self.make_train_step(phase, tx, phase_idx)
             eval_fn = self.make_eval_step()
+            # Scan-based single-program epochs for device-cached datasets
+            # (jit is lazy: nothing compiles unless the cached path runs).
+            train_epoch_fn, eval_epoch_fn = self.make_epoch_fns(
+                phase, tx, phase_idx)
 
             if restoring:
                 state, best_vars, progress = self._load_resume(
@@ -404,12 +481,13 @@ class Trainer:
                 t0 = time.time()
                 state, train_m = self._run_epoch(
                     state, M.init_metrics(n_classes), train_fn, train_ds,
-                    batch_size, train=True, shuffle_seed=epoch)
+                    batch_size, train=True, shuffle_seed=epoch,
+                    epoch_fn=train_epoch_fn)
                 val_m: Dict[str, float] = {}
                 if val_ds is not None and len(val_ds):
                     _, val_m = self._run_epoch(
                         state, M.init_metrics(n_classes), eval_fn, val_ds,
-                        batch_size, train=False)
+                        batch_size, train=False, epoch_fn=eval_epoch_fn)
                 lr = get_learning_rate(state.opt_state)
                 log = EpochLog(epoch=epoch, phase=phase.name, train=train_m,
                                val=val_m, lr=lr, seconds=time.time() - t0)

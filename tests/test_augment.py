@@ -66,3 +66,38 @@ def test_config_plumbing():
     assert p["rotation_deg"] == 45
     out = augment_from_config(_batch(), jax.random.PRNGKey(0), cfg)
     assert out.shape == (4, 32, 32, 3)
+
+
+def test_matmul_resample_matches_gather_reference():
+    """The two-pass tent-matmul resampler agrees with the direct 4-tap
+    gather implementation (kept as the reference oracle): exactly for
+    separable maps, and to sub-pixel interpolation differences for
+    rotations (the two-pass kernel blends rows at per-row x positions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ab_line_classifier_tpu.data.augment import (_affine_resample_matmul,
+                                                     _bilinear_sample)
+
+    rng = np.random.RandomState(0)
+    # smooth image: sub-pixel kernel differences stay small
+    yy, xx = np.mgrid[0:48, 0:40].astype(np.float32)
+    img = np.stack([100 + 50 * np.sin(xx / 7) + 40 * np.cos(yy / 9)] * 3,
+                   axis=-1).astype(np.float32)
+
+    # separable map (zoom + translate, no rotation): exact agreement
+    aff = np.array([[1.1, 0.0, -3.2], [0.0, 0.9, 2.5]], np.float32)
+    got = np.asarray(_affine_resample_matmul(jnp.asarray(img),
+                                             jnp.asarray(aff)))
+    want = np.asarray(_bilinear_sample(jnp.asarray(img), jnp.asarray(aff)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    # rotation: sub-pixel kernel difference only
+    th = np.deg2rad(17.0)
+    aff = np.array([[np.cos(th), np.sin(th), 1.0],
+                    [-np.sin(th), np.cos(th), -2.0]], np.float32)
+    got = np.asarray(_affine_resample_matmul(jnp.asarray(img),
+                                             jnp.asarray(aff)))
+    want = np.asarray(_bilinear_sample(jnp.asarray(img), jnp.asarray(aff)))
+    assert np.abs(got - want).mean() < 1.0
+    assert np.abs(got - want).max() < 25.0  # edges/fill boundary only

@@ -98,3 +98,25 @@ def test_resume_without_checkpoint_trains_fresh(data, tmp_path):
         tds, vds, batch_size=16, epochs=1, patience=5, verbose=False,
         checkpoint_dir=str(tmp_path / "empty"), resume=True)
     assert len(hist) == 1
+
+
+def test_device_cached_epoch_matches_streaming(data):
+    """The scan-based single-program epoch (device-cached path) trains
+    numerically identically to the streaming per-batch path: same shuffles,
+    same RNG stream, same padding. (Exact bit equality is not expected —
+    scanned vs unrolled programs fuse differently in XLA.)"""
+    from ab_line_classifier_tpu.data.pipeline import DeviceCachedDataset
+
+    tds, vds = data
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    stream_vars, h1 = Trainer(spec, seed=11).fit(
+        tds, vds, batch_size=16, epochs=2, patience=10, verbose=False)
+    cached_vars, h2 = Trainer(spec, seed=11).fit(
+        DeviceCachedDataset(tds), DeviceCachedDataset(vds),
+        batch_size=16, epochs=2, patience=10, verbose=False)
+    np.testing.assert_allclose([h.val["loss"] for h in h1],
+                               [h.val["loss"] for h in h2], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stream_vars["params"]["conv2d_block0_0"]["kernel"]),
+        np.asarray(cached_vars["params"]["conv2d_block0_0"]["kernel"]),
+        atol=1e-4)
