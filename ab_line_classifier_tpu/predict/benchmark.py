@@ -169,7 +169,13 @@ def training_throughput_benchmark(model_name: str = "cutoffvgg16",
     from ab_line_classifier_tpu.ops import metrics as M
 
     spec = _build_flagship(model_name, img_dim)
-    trainer = Trainer(spec, seed=0, compute_dtype=jnp.bfloat16)
+    # Full production step incl. the fused matmul augmentation (the
+    # reference's five Keras augment layers, config.yml:78-85).
+    aug = {"ZOOM_RANGE": 0.1, "WIDTH_SHIFT_RANGE": 0.2,
+           "HEIGHT_SHIFT_RANGE": 0.2, "ROTATION_RANGE": 45,
+           "HORIZONTAL_FLIP": True, "BRIGHTNESS_RANGE": 0.2}
+    trainer = Trainer(spec, seed=0, compute_dtype=jnp.bfloat16,
+                      aug_config=aug)
     phase = spec.phases[-1]
     state, tx = trainer.init_state(phase)
     step = trainer.make_train_step(phase, tx)
