@@ -560,7 +560,7 @@ def test_callback_decision_parity_with_keras():
         seq = np.round(rng.rand(20) * 0.01 / 5e-5) * 5e-5 + 0.2
 
         model = tf.keras.Sequential(
-            [tf.keras.layers.Dense(1, input_shape=(1,))])
+            [tf.keras.Input((1,)), tf.keras.layers.Dense(1)])
         model.compile(optimizer=tf.keras.optimizers.Adam(1e-3), loss="mse")
         es = EarlyStopping(monitor="val_loss", patience=patience,
                            restore_best_weights=False)
