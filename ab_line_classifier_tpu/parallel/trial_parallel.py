@@ -140,8 +140,9 @@ class ParallelFoldTrainer:
                 batch_stats = jax.device_put(batch_stats, sh)
         return params, batch_stats, opt_state, tx
 
-    def make_train_step(self, tx):
-        """One vmapped step over the fold axis.
+    def _train_step_core(self, tx):
+        """Un-jitted vmapped step over the fold axis (jitted directly, or
+        scanned over the whole epoch by :meth:`make_epoch_fns`).
 
         Args (leading F axis): params, batch_stats, opt_state, images
         [F,B,H,W,3] u8, labels [F,B], mask [F,B], lr_factor [F], active [F].
@@ -186,9 +187,12 @@ class ParallelFoldTrainer:
             return vstep(params, batch_stats, opt_state, images, labels,
                          mask, self.class_weights, lr_factor, active, rngs)
 
-        return jax.jit(step)
+        return step
 
-    def make_eval_step(self):
+    def make_train_step(self, tx):
+        return jax.jit(self._train_step_core(tx))
+
+    def _eval_step_core(self):
         def one_fold(params, batch_stats, images, labels, mask, metrics):
             labels_oh = jax.nn.one_hot(labels, self.spec.n_classes,
                                        dtype=jnp.float32)
@@ -199,16 +203,69 @@ class ParallelFoldTrainer:
             return M.update_metrics(metrics, probs, labels_oh, loss=per_ex,
                                     sample_mask=mask)
 
-        vstep = jax.vmap(one_fold)
-        return jax.jit(vstep)
+        return jax.vmap(one_fold)
 
-    def make_gather(self):
-        """Device-side batch gather: frames[idx] per fold."""
-        def gather(frames, labels, idx, valid):
-            ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)
-            lbs = jax.vmap(lambda ix: jnp.take(labels, ix, axis=0))(idx)
-            return ims, lbs, valid
-        return jax.jit(gather)
+    def make_eval_step(self):
+        return jax.jit(self._eval_step_core())
+
+    @staticmethod
+    def _gather(frames, labels, idx):
+        ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)
+        lbs = jax.vmap(lambda ix: jnp.take(labels, ix, axis=0))(idx)
+        return ims, lbs
+
+    def make_epoch_fns(self, tx):
+        """The whole F-fold epoch as ONE compiled program: ``lax.scan`` of
+        the vmapped fold step over a device-side gathered batch sequence
+        (one dispatch per epoch instead of one per batch; same motivation
+        as train/loop.py make_epoch_fns)."""
+        train_core = self._train_step_core(tx)
+        eval_core = self._eval_step_core()
+        F = self.n_folds
+
+        @jax.jit
+        def train_epoch(params, batch_stats, opt_state, frames, labels_d,
+                        idx_tab, mask_tab, lr_factor, active, epoch_base):
+            # idx_tab/mask_tab: [nb, F, B]
+            nb = idx_tab.shape[0]
+            metrics0 = jax.vmap(
+                lambda _: M.init_metrics(self.spec.n_classes)
+            )(jnp.arange(F))
+
+            def body(carry, xs):
+                params, bs, opt, metrics = carry
+                idx, msk, b = xs
+                ims, lbs = self._gather(frames, labels_d, idx)
+                params, bs, opt, st = train_core(
+                    params, bs, opt, ims, lbs, msk, lr_factor, active,
+                    epoch_base + b)
+                metrics = jax.tree.map(lambda a, s: a + s, metrics, st)
+                return (params, bs, opt, metrics), None
+
+            (params, batch_stats, opt_state, metrics), _ = jax.lax.scan(
+                body, (params, batch_stats, opt_state, metrics0),
+                (idx_tab, mask_tab, jnp.arange(nb)))
+            return params, batch_stats, opt_state, metrics
+
+        @jax.jit
+        def eval_epoch(params, batch_stats, frames, labels_d, idx_tab,
+                       mask_tab):
+            metrics0 = jax.vmap(
+                lambda _: M.init_metrics(self.spec.n_classes)
+            )(jnp.arange(F))
+
+            def body(metrics, xs):
+                idx, msk = xs
+                ims, lbs = self._gather(frames, labels_d, idx)
+                st = eval_core(params, batch_stats, ims, lbs, msk,
+                               jax.vmap(lambda _: M.init_metrics(
+                                   self.spec.n_classes))(jnp.arange(F)))
+                return jax.tree.map(lambda a, s: a + s, metrics, st), None
+
+            metrics, _ = jax.lax.scan(body, metrics0, (idx_tab, mask_tab))
+            return metrics
+
+        return train_epoch, eval_epoch
 
     # ------------------------------------------------------------------
     def fit(self, frames_u8: np.ndarray, labels: np.ndarray,
@@ -235,10 +292,19 @@ class ParallelFoldTrainer:
             frames = jax.device_put(frames, rep)
             labels_d = jax.device_put(labels_d, rep)
 
-        gather = self.make_gather()
-        eval_step = self.make_eval_step()
+        def to_batch_tables(table, tmask):
+            """[F, N] padded index/mask -> [nb, F, B] scan tables."""
+            nb = -(-table.shape[1] // batch_size)
+            pad_cols = nb * batch_size - table.shape[1]
+            if pad_cols:
+                table = np.pad(table, ((0, 0), (0, pad_cols)))
+                tmask = np.pad(tmask, ((0, 0), (0, pad_cols)))
+            idx_tab = table.reshape(F, nb, batch_size).transpose(1, 0, 2)
+            mask_tab = tmask.reshape(F, nb, batch_size).transpose(1, 0, 2)
+            return jnp.asarray(idx_tab), jnp.asarray(mask_tab)
+
         val_table, val_mask = pad_index_table(val_idx)
-        n_val_batches = -(-val_table.shape[1] // batch_size)
+        v_idx_tab, v_mask_tab = to_batch_tables(val_table, val_mask)
 
         history = []
         best_val = np.full(F, np.inf)       # EarlyStopping best (min_delta 0)
@@ -267,7 +333,7 @@ class ParallelFoldTrainer:
                 params = best_params          # phase hand-off (cutoffvgg16)
                 if best_bs is not None:
                     batch_stats = best_bs
-            train_step = self.make_train_step(tx)
+            train_epoch, eval_epoch = self.make_epoch_fns(tx)
             # callback state resets per phase, like Keras fit() calls
             best_val[:] = np.inf
             best_plateau[:] = np.inf
@@ -292,41 +358,16 @@ class ParallelFoldTrainer:
                 t0 = time.time()
                 rng = np.random.RandomState(epoch)
                 shuffled = [rng.permutation(ix) for ix in train_idx]
-                table, tmask = pad_index_table(shuffled)
-                n_batches = -(-table.shape[1] // batch_size)
-                pad_cols = n_batches * batch_size - table.shape[1]
-                if pad_cols:
-                    table = np.pad(table, ((0, 0), (0, pad_cols)))
-                    tmask = np.pad(tmask, ((0, 0), (0, pad_cols)))
+                idx_tab, mask_tab = to_batch_tables(
+                    *pad_index_table(shuffled))
 
-                train_metrics = None
-                for b in range(n_batches):
-                    sl = slice(b * batch_size, (b + 1) * batch_size)
-                    ims, lbs, valid = gather(frames, labels_d,
-                                             jnp.asarray(table[:, sl]),
-                                             jnp.asarray(tmask[:, sl]))
-                    params, batch_stats, opt_state, st = train_step(
-                        params, batch_stats, opt_state, ims, lbs, valid,
-                        lr_factor, active, epoch * 10000 + b)
-                    train_metrics = st if train_metrics is None else \
-                        jax.tree.map(lambda a, b: a + b, train_metrics, st)
-
-                # validation sweep
-                vt = np.pad(val_table, ((0, 0), (0, n_val_batches * batch_size
-                                                 - val_table.shape[1])))
-                vm = np.pad(val_mask, ((0, 0), (0, n_val_batches * batch_size
-                                                - val_mask.shape[1])))
-                val_metrics = None
-                for b in range(n_val_batches):
-                    sl = slice(b * batch_size, (b + 1) * batch_size)
-                    ims, lbs, valid = gather(frames, labels_d,
-                                             jnp.asarray(vt[:, sl]),
-                                             jnp.asarray(vm[:, sl]))
-                    st = eval_step(params, batch_stats, ims, lbs, valid,
-                                   jax.vmap(lambda _: M.init_metrics(
-                                       self.spec.n_classes))(jnp.arange(F)))
-                    val_metrics = st if val_metrics is None else \
-                        jax.tree.map(lambda a, b: a + b, val_metrics, st)
+                # Whole train epoch + validation sweep: two compiled
+                # programs per epoch (scan over batches on device).
+                params, batch_stats, opt_state, train_metrics = train_epoch(
+                    params, batch_stats, opt_state, frames, labels_d,
+                    idx_tab, mask_tab, lr_factor, active, epoch * 10000)
+                val_metrics = eval_epoch(params, batch_stats, frames,
+                                         labels_d, v_idx_tab, v_mask_tab)
 
                 # host-side vectorized callbacks
                 val_final = jax.vmap(M.compute_metrics)(val_metrics)
