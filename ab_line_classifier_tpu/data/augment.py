@@ -158,7 +158,12 @@ def augment_batch(images: jax.Array, key: jax.Array, *, zoom: float = 0.0,
     affines = _sample_affines(k_affine, b, (h, w), zoom=zoom, shift_w=shift_w,
                               shift_h=shift_h, rotation_deg=rotation_deg,
                               horizontal_flip=horizontal_flip)
-    out = jax.vmap(_affine_resample_matmul)(images, affines)
+    # The matmul warp needs a22 bounded away from 0 (rotations < ~60 deg)
+    # and materializes O(H*W*max(H,W)) weights per image — outside those
+    # bounds fall back to the 4-tap gather sampler (slower but unrestricted).
+    use_matmul = (rotation_deg < 60.0) and (max(h, w) <= 160)
+    sampler = _affine_resample_matmul if use_matmul else _bilinear_sample
+    out = jax.vmap(sampler)(images, affines)
     if brightness:
         delta = jax.random.uniform(k_bright, (b, 1, 1, 1),
                                    minval=-brightness, maxval=brightness) * 255.0

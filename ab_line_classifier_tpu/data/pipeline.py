@@ -222,7 +222,7 @@ class DeviceCachedDataset:
     backend it removes the dominant cost for datasets that fit HBM — the
     host decode + O(100 MB/s) tunnel transfer (docs/PERFORMANCE.md)."""
 
-    def __init__(self, ds: FrameDataset):
+    def __init__(self, ds: FrameDataset, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -231,11 +231,23 @@ class DeviceCachedDataset:
         images, labels = ds.load_all()
         self._frames = jnp.asarray(images)
         self._labels = jnp.asarray(labels.astype(np.int32))
+        if mesh is not None:
+            # Replicate across the mesh ONCE — otherwise every epoch
+            # program re-broadcasts the whole array from one device.
+            from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+            rep = mesh_lib.replicated(mesh)
+            self._frames = jax.device_put(self._frames, rep)
+            self._labels = jax.device_put(self._labels, rep)
         self._n = len(ds)
 
-        def gather(frames, labels_d, idx):
-            return (jnp.take(frames, idx, axis=0),
-                    jnp.take(labels_d, idx, axis=0))
+        def gather(frames, labels_d, idx, mask):
+            images = jnp.take(frames, idx, axis=0)
+            lbs = jnp.take(labels_d, idx, axis=0)
+            # Zero padded rows + labels like the host pipeline (identical
+            # partial-batch BN statistics, identical Batch contract).
+            images = jnp.where(mask[:, None, None, None] > 0, images, 0)
+            lbs = jnp.where(mask > 0, lbs, 0)
+            return images, lbs
 
         self._gather = jax.jit(gather)
 
@@ -280,22 +292,16 @@ class DeviceCachedDataset:
                 prefetch: int = 0) -> Iterator[Batch]:
         import jax.numpy as jnp
 
-        order = np.arange(self._n)
-        if shuffle:
-            np.random.RandomState(seed).shuffle(order)
-        if drop_remainder:
-            order = order[: (len(order) // batch_size) * batch_size]
-        for i in range(0, len(order), batch_size):
-            idx = order[i:i + batch_size]
-            b = len(idx)
-            pad = np.zeros(batch_size - b, np.int32)  # gather row 0, masked
-            full_idx = np.concatenate([idx.astype(np.int32), pad])
-            mask = np.zeros(batch_size, np.float32)
-            mask[:b] = 1.0
-            indices = np.full(batch_size, -1, np.int32)
-            indices[:b] = idx
+        idx_tab, mask_tab = self.epoch_index_table(batch_size,
+                                                   shuffle=shuffle, seed=seed)
+        nb = idx_tab.shape[0]
+        if drop_remainder and self._n % batch_size:
+            nb -= 1
+        for b in range(nb):
+            idx, mask = idx_tab[b], mask_tab[b]
+            indices = np.where(mask > 0, idx, -1).astype(np.int32)
             ims, lbs = self._gather(self._frames, self._labels,
-                                    jnp.asarray(full_idx))
+                                    jnp.asarray(idx), jnp.asarray(mask))
             yield Batch(ims, lbs, mask, indices)
 
 
@@ -304,18 +310,20 @@ class DeviceCachedDataset:
 DEVICE_CACHE_BYTES = 2 << 30
 
 
-def maybe_device_cache(ds: FrameDataset, mode="auto"):
+def maybe_device_cache(ds: FrameDataset, mode="auto", mesh=None,
+                       budget: int = DEVICE_CACHE_BYTES):
     """Wrap in a DeviceCachedDataset when enabled (True) or when 'auto' and
-    the decoded pixels fit the cache budget. Falls back to the host
-    pipeline on any failure (e.g. HBM pressure)."""
+    the decoded pixels fit ``budget``. Callers caching several datasets
+    (train + val) should split the budget between them. Falls back to the
+    host pipeline on any failure (e.g. HBM pressure)."""
     if mode is False or mode is None:
         return ds
     h, w = ds.img_dim
     nbytes = len(ds) * h * w * 3
-    if mode == "auto" and nbytes > DEVICE_CACHE_BYTES:
+    if mode == "auto" and nbytes > budget:
         return ds
     try:
-        return DeviceCachedDataset(ds)
+        return DeviceCachedDataset(ds, mesh=mesh)
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"(device cache disabled: {e})")
         return ds

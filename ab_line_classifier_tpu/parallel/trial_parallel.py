@@ -209,9 +209,13 @@ class ParallelFoldTrainer:
         return jax.jit(self._eval_step_core())
 
     @staticmethod
-    def _gather(frames, labels, idx):
+    def _gather(frames, labels, idx, mask):
         ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)
         lbs = jax.vmap(lambda ix: jnp.take(labels, ix, axis=0))(idx)
+        # Zero padded rows: masking removes them from loss/metrics but NOT
+        # from BN batch statistics — match the host pipeline's zero padding
+        # (see train/loop.py make_epoch_fns).
+        ims = jnp.where(mask[..., None, None, None] > 0, ims, 0)
         return ims, lbs
 
     def make_epoch_fns(self, tx):
@@ -235,7 +239,7 @@ class ParallelFoldTrainer:
             def body(carry, xs):
                 params, bs, opt, metrics = carry
                 idx, msk, b = xs
-                ims, lbs = self._gather(frames, labels_d, idx)
+                ims, lbs = self._gather(frames, labels_d, idx, msk)
                 params, bs, opt, st = train_core(
                     params, bs, opt, ims, lbs, msk, lr_factor, active,
                     epoch_base + b)
@@ -256,7 +260,7 @@ class ParallelFoldTrainer:
 
             def body(metrics, xs):
                 idx, msk = xs
-                ims, lbs = self._gather(frames, labels_d, idx)
+                ims, lbs = self._gather(frames, labels_d, idx, msk)
                 st = eval_core(params, batch_stats, ims, lbs, msk,
                                jax.vmap(lambda _: M.init_metrics(
                                    self.spec.n_classes))(jnp.arange(F)))

@@ -193,14 +193,25 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
     val_ds = FrameDataset(val_df, frames_dir, img_dim=cfg.img_dim)
     # Device-resident dataset cache (TRAIN.CACHE_DATASET: auto|true|false):
     # decode once, keep uint8 frames in HBM, gather batches on device — the
-    # host decode + tunnel transfer disappear after the first epoch.
-    from ab_line_classifier_tpu.data.pipeline import maybe_device_cache
+    # host decode + tunnel transfer disappear after the first epoch. The
+    # auto budget is shared across train+val so the pair cannot commit 2x.
+    from ab_line_classifier_tpu.data.pipeline import (DEVICE_CACHE_BYTES,
+                                                      maybe_device_cache)
     cache_mode = cfg["TRAIN"].get("CACHE_DATASET", "auto")
     if isinstance(cache_mode, str):
-        cache_mode = {"auto": "auto", "true": True,
-                      "false": False}[cache_mode.lower()]
-    train_ds = maybe_device_cache(train_ds, cache_mode)
-    val_ds = maybe_device_cache(val_ds, cache_mode)
+        lowered = cache_mode.lower()
+        valid = {"auto": "auto", "true": True, "false": False,
+                 "on": True, "off": False}
+        if lowered not in valid:
+            raise ValueError(
+                f"TRAIN.CACHE_DATASET {cache_mode!r} is not one of "
+                f"auto/true/false")
+        cache_mode = valid[lowered]
+    frac = len(train_ds) / max(len(train_ds) + len(val_ds), 1)
+    train_ds = maybe_device_cache(train_ds, cache_mode, mesh=mesh,
+                                  budget=int(DEVICE_CACHE_BYTES * frac))
+    val_ds = maybe_device_cache(val_ds, cache_mode, mesh=mesh,
+                                budget=int(DEVICE_CACHE_BYTES * (1 - frac)))
 
     # Per-epoch validation prediction tables (the reference's
     # WandbGradcamEvalCallback capability, train_utils.py:238-293).
