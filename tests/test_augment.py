@@ -101,3 +101,18 @@ def test_matmul_resample_matches_gather_reference():
     want = np.asarray(_bilinear_sample(jnp.asarray(img), jnp.asarray(aff)))
     assert np.abs(got - want).mean() < 1.0
     assert np.abs(got - want).max() < 25.0  # edges/fill boundary only
+
+
+def test_large_rotation_falls_back_to_gather():
+    """ROTATION_RANGE >= 60 deg exceeds the matmul warp's a22 bound; the
+    gather sampler must take over with finite, in-range output."""
+    import jax
+    import jax.numpy as jnp
+
+    from ab_line_classifier_tpu.data.augment import augment_batch
+
+    x = np.random.RandomState(0).rand(4, 32, 32, 3).astype(np.float32) * 255
+    out = np.asarray(augment_batch(jnp.asarray(x), jax.random.PRNGKey(0),
+                                   rotation_deg=90.0))
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 255.0
