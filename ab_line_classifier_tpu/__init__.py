@@ -31,7 +31,10 @@ try:  # pragma: no cover - environment dependent
         "jax_compilation_cache_dir",
         _os.environ.get("JAX_COMPILATION_CACHE_DIR",
                         _os.path.expanduser("~/.cache/ablc_jax_cache")))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                              0.5)))
     # Backend override for CI / CPU-only machines. The container's
     # sitecustomize force-registers the TPU platform and clobbers
     # JAX_PLATFORMS, so an explicit config.update (which wins) is the only

@@ -76,8 +76,12 @@ class LocalTracker(NullTracker):
 
     def __init__(self, root: str, run_name: Optional[str] = None,
                  group: Optional[str] = None, job_type: str = "train"):
+        import uuid
+
         ts = time.strftime("%Y%m%d-%H%M%S")
-        self.run_id = run_name or f"run{ts}-{os.getpid()}"
+        # uuid suffix: sweep/k-fold runs start back-to-back in one process;
+        # a second-resolution timestamp alone would collide run directories.
+        self.run_id = run_name or f"run{ts}-{uuid.uuid4().hex[:6]}"
         self.group = group
         self.job_type = job_type
         self.run_dir = os.path.join(root, self.run_id)
@@ -178,10 +182,12 @@ class TensorBoardTracker(NullTracker):
     ``src/train_legacy.py:239-279``); same layout here."""
 
     def __init__(self, log_root: str, run_name: Optional[str] = None):
+        import uuid
+
         from torch.utils.tensorboard import SummaryWriter
 
         ts = time.strftime("%Y%m%d-%H%M%S")
-        self.run_id = run_name or ts
+        self.run_id = run_name or f"{ts}-{uuid.uuid4().hex[:6]}"
         self.run_dir = os.path.join(log_root, self.run_id)
         self._writer = SummaryWriter(self.run_dir)
 

@@ -14,6 +14,13 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
 
+# cv2 must be imported BEFORE jax in this environment (OpenMP/XLA runtime
+# clash deadlocks if the order is reversed).
+try:
+    import cv2  # noqa: F401
+except ImportError:
+    pass
+
 # The container's sitecustomize force-registers the TPU platform and
 # overrides JAX_PLATFORMS; config.update is the authoritative switch.
 import jax  # noqa: E402
@@ -23,24 +30,3 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
-
-# cv2 must be imported before jax in this environment (OpenMP/XLA runtime
-# clash deadlocks if the order is reversed).
-try:
-    import cv2  # noqa: F401
-except ImportError:
-    pass
-
-import numpy as np
-import pytest
-
-
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.RandomState(0)
-
-
-@pytest.fixture()
-def tiny_frames(rng):
-    """A small batch of random uint8 'ultrasound frames'."""
-    return rng.randint(0, 256, (4, 96, 128, 3)).astype(np.uint8)
