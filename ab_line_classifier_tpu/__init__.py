@@ -21,16 +21,53 @@ __version__ = "0.1.0"
 
 import os as _os
 
+def _toolchain_fingerprint():  # pragma: no cover - environment dependent
+    """Short hash identifying the compile toolchain: jax/jaxlib/libtpu
+    versions plus host CPU features.
+
+    Used to segregate the persistent XLA cache per toolchain so a libtpu
+    roll (stale AOT executables -> FAILED_PRECONDITION version mismatch) or
+    a host swap (CPU-feature mismatch -> SIGILL-risk cpu_aot_loader
+    warnings) can never poison runs with entries from a different build.
+    """
+    import hashlib
+
+    parts = []
+    try:
+        import importlib.metadata as _md
+        for pkg in ("jax", "jaxlib", "libtpu", "libtpu-nightly"):
+            try:
+                parts.append(f"{pkg}={_md.version(pkg)}")
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.strip())
+                    break
+    except Exception:
+        import platform as _pf
+        parts.append(_pf.machine())
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 # Persistent XLA compilation cache: first compiles on this TPU backend go
 # through a remote compiler and are slow; the cache makes every subsequent
-# process start fast. Env vars win if already set.
+# process start fast. Env vars win if already set. The cache dir is keyed by
+# a toolchain fingerprint (see above) so stale AOT entries from a different
+# libtpu/host build are never loaded.
 try:  # pragma: no cover - environment dependent
     import jax as _jax
 
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                        _os.path.expanduser("~/.cache/ablc_jax_cache")))
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~/.cache/ablc_jax_cache"),
+                          _toolchain_fingerprint())))
     _jax.config.update(
         "jax_persistent_cache_min_compile_time_secs",
         float(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",

@@ -92,13 +92,30 @@ class Predictor:
         Native checkpoints are self-describing Orbax dirs. A ``.h5`` path (a
         reference-produced Keras checkpoint) is also accepted when ``cfg``
         supplies the architecture (TRAIN.MODEL_DEF + HPARAMS): the model is
-        rebuilt and weights imported by layer name. ``.onnx`` is not
-        supported (no onnx runtime in this environment) and raises clearly.
+        rebuilt and weights imported by layer name. ``.onnx`` (the
+        reference's other serving format, reference predict.py:39-51) is
+        restored the same way via the runtime-free protobuf weight importer
+        (``models/onnx_weights.py``) — the model then serves on the normal
+        jitted TPU path instead of the reference's per-frame onnx-tf loop.
         """
         if model_path.endswith(".onnx"):
-            raise NotImplementedError(
-                "ONNX restore is not supported (no onnx runtime available); "
-                "serve the Orbax checkpoint or a Keras .h5 instead")
+            if cfg is None:
+                raise ValueError(
+                    ".onnx restore needs cfg to rebuild the architecture "
+                    "(TRAIN.MODEL_DEF + HPARAMS)")
+            from ab_line_classifier_tpu.models.onnx_weights import (
+                import_onnx_weights)
+
+            spec = build_model(cfg.model_name, cfg.model_hparams(),
+                               cfg.img_dim + (3,), cfg.n_classes)
+            variables = spec.init_variables(jax.random.PRNGKey(0))
+            variables, copied = import_onnx_weights(
+                model_path, variables, graph=spec.graph, verbose=False)
+            if copied == 0:
+                raise ValueError(
+                    f"no layers matched while importing {model_path!r}")
+            return cls(spec, variables, batch_size=batch_size,
+                       compute_dtype=compute_dtype)
         if model_path.endswith(".h5"):
             if cfg is None:
                 raise ValueError(
@@ -108,8 +125,6 @@ class Predictor:
 
             spec = build_model(cfg.model_name, cfg.model_hparams(),
                                cfg.img_dim + (3,), cfg.n_classes)
-            import jax
-
             variables = spec.init_variables(jax.random.PRNGKey(0))
             variables, copied = import_h5_weights(model_path, variables,
                                                   verbose=False,

@@ -2,25 +2,64 @@
 """Headline benchmark: cutoffvgg16 clip inference frames/sec on one chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N,
+     "train_frames_per_sec": N, ...}
 
 ``vs_baseline`` is measured against the 20,000 frames/sec/chip north-star
 (BASELINE.md; the reference publishes no numbers of its own).
+``train_frames_per_sec`` tracks the full jitted train step (fwd+bwd+update
+incl. fused matmul augmentation) so rounds track training perf too.
 """
 
 import json
+import shutil
 import sys
 
 
+def _purge_compile_cache() -> None:
+    """Drop this toolchain's persistent-cache shard.
+
+    A stale AOT executable compiled against a different libtpu build fails
+    at load with FAILED_PRECONDITION "libtpu version mismatch" (observed in
+    MULTICHIP_r01.json). The cache dir is already fingerprint-keyed; this is
+    the belt-and-suspenders path for skew the fingerprint can't see (e.g.
+    the remote terminal rolled under the same client build).
+    """
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+def _is_cache_skew(e: Exception) -> bool:
+    msg = str(e)
+    return "libtpu version mismatch" in msg or (
+        "FAILED_PRECONDITION" in msg and "AOT" in msg)
+
+
+def _run(fn, **kw):
+    try:
+        return fn(**kw, verbose=False)
+    except Exception as e:
+        if not _is_cache_skew(e):
+            raise
+        print("stale compile cache detected; purging and retrying",
+              file=sys.stderr)
+        _purge_compile_cache()
+        return fn(**kw, verbose=False)
+
+
 def main() -> int:
-    from ab_line_classifier_tpu.predict.benchmark import clip_inference_benchmark
+    from ab_line_classifier_tpu.predict.benchmark import (
+        clip_inference_benchmark, training_throughput_benchmark)
 
     best = 0.0
     detail = {}
     for batch in (1024, 2048):
         try:
-            r = clip_inference_benchmark(
-                model_name="cutoffvgg16", batch_size=batch, verbose=False)
+            r = _run(clip_inference_benchmark,
+                     model_name="cutoffvgg16", batch_size=batch)
         except Exception as e:  # keep going; report best successful config
             print(f"batch {batch} failed: {e}", file=sys.stderr)
             continue
@@ -32,6 +71,15 @@ def main() -> int:
                           "value": 0, "unit": "frames/sec",
                           "vs_baseline": 0.0, "error": "all configs failed"}))
         return 1
+
+    train_fps = 0.0
+    try:
+        t = _run(training_throughput_benchmark,
+                 model_name="cutoffvgg16", batch_size=256)
+        train_fps = t["train_frames_per_sec"]
+    except Exception as e:
+        print(f"training benchmark failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "cutoffvgg16_clip_inference",
         "value": round(best, 1),
@@ -39,6 +87,7 @@ def main() -> int:
         "vs_baseline": round(best / 20000.0, 4),
         "batch_size": detail.get("batch_size"),
         "ms_per_batch": round(detail.get("ms_per_batch", 0.0), 3),
+        "train_frames_per_sec": round(train_fps, 1),
     }))
     return 0
 
