@@ -54,6 +54,7 @@ class ParallelFoldTrainer:
 
     def __init__(self, spec: ModelSpec, n_folds: int, *,
                  class_weights: np.ndarray,  # [F, C]
+                 output_biases: Optional[np.ndarray] = None,  # [F, C]
                  aug_config: Optional[Dict] = None,
                  mesh=None, seed: int = 0, compute_dtype=jnp.float32):
         self.spec = spec
@@ -65,6 +66,11 @@ class ParallelFoldTrainer:
         self.aug_params = (affine_params_from_config(aug_config)
                           if aug_config else None)
         self.class_weights = jnp.asarray(class_weights, jnp.float32)
+        # Per-fold log-odds prior for the head Dense bias (reference
+        # train.py:71-81,233-234 initializes it on EVERY run; folds have
+        # different class histograms, so each fold needs its own).
+        self.output_biases = (None if output_biases is None
+                              else jnp.asarray(output_biases, jnp.float32))
         self.module = spec.logits_module(capture=tuple(
             spec.activity_regularizers))
         self.reg_layers = tuple(spec.activity_regularizers)
@@ -122,6 +128,11 @@ class ParallelFoldTrainer:
 
         keys = jax.random.split(self.base_rng, self.n_folds)
         params, batch_stats, opt_state = jax.vmap(init_one)(keys)
+        if self.output_biases is not None:
+            head = self.spec.logits_layer
+            bias = self.output_biases.astype(params[head]["bias"].dtype)
+            params = {**params,
+                      head: {**params[head], "bias": bias}}
         if self.mesh is not None:
             n_trial = self.mesh.shape[mesh_lib.TRIAL_AXIS]
             if self.n_folds % n_trial:

@@ -45,3 +45,15 @@ def compute_output_bias(train_df: pd.DataFrame,
     hist = class_histogram(train_df, class_key).astype(np.float64)
     total = hist.sum()
     return np.log(hist / (total - hist)).astype(np.float32)
+
+
+def output_bias_array(train_df: pd.DataFrame, n_classes: int,
+                      class_key: str = "Class") -> np.ndarray:
+    """Fixed-width [C] form of :func:`compute_output_bias` for stacked/
+    vmapped trainers. Classes absent from a (small) fold get a guarded
+    count of 1 so the log-odds prior stays finite."""
+    hist = np.bincount(train_df[class_key].to_numpy().astype(int),
+                       minlength=n_classes).astype(np.float64)
+    hist = np.maximum(hist, 1.0)
+    total = hist.sum()
+    return np.log(hist / (total - hist)).astype(np.float32)

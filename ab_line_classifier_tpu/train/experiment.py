@@ -33,9 +33,12 @@ from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.predict.metrics import compute_metrics
 from ab_line_classifier_tpu.predict.predict import Predictor
 from ab_line_classifier_tpu.train.class_balance import (
-    class_weight_array, compute_class_weight, compute_output_bias)
+    class_weight_array, compute_class_weight, compute_output_bias,
+    output_bias_array)
 from ab_line_classifier_tpu.train.loop import Trainer
-from ab_line_classifier_tpu.train.sweep import make_controller, space_from_config
+from ab_line_classifier_tpu.train.sweep import (SweepExhausted,
+                                                make_controller,
+                                                space_from_config)
 from ab_line_classifier_tpu.train.tracker import make_tracker
 from ab_line_classifier_tpu.utils import checkpoint as ckpt
 
@@ -307,7 +310,14 @@ def hparam_search(cfg: Config, save_weights: bool = False,
             print(f"resuming sweep {group}: {len(results)} trials done")
 
     for trial in range(len(results), n_evals):
-        params = controller.suggest()
+        try:
+            params = controller.suggest()
+        except SweepExhausted as e:
+            # W&B grid agents stop at exhaustion instead of re-running
+            # duplicate configurations (reference train.py:364-368).
+            print(f"stopping sweep early: {e} "
+                  f"(N_EVALS={n_evals} > grid size)")
+            break
         if verbose:
             print(f"--- sweep trial {trial}/{n_evals}: {params}")
         result = perform_single_run(cfg, hparam_overrides=params,
@@ -531,6 +541,7 @@ def cross_validation_parallel(cfg: Config, mesh=None,
         val_idx.append(va.index.to_numpy())
         test_idx.append(te.index.to_numpy())
         cls_w.append(class_weight_array(tr, cfg.n_classes))
+        biases.append(output_bias_array(tr, cfg.n_classes))
 
     mixed = bool(cfg["TRAIN"].get("MIXED_PRECISION", False))
     hparams = cfg.model_hparams()
@@ -542,6 +553,7 @@ def cross_validation_parallel(cfg: Config, mesh=None,
 
     trainer = ParallelFoldTrainer(
         spec, n_folds, class_weights=np.stack(cls_w),
+        output_biases=np.stack(biases),
         aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
         seed=int(cfg["TRAIN"]["SEED"]),
         compute_dtype=jnp.bfloat16 if mixed else jnp.float32)

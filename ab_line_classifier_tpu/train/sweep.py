@@ -87,6 +87,13 @@ def space_from_config(search_cfg: Dict[str, Dict]) -> List[SweepVar]:
     return out
 
 
+class SweepExhausted(Exception):
+    """Raised by suggest() when the search space has no new configurations
+    (finite grids). W&B grid agents stop at exhaustion rather than re-running
+    duplicates (reference train.py:364-368 semantics); callers should end
+    the sweep."""
+
+
 class Controller:
     """suggest() -> params dict; observe(params, objective) records it.
     Objectives are always *maximized* (callers negate for minimize)."""
@@ -151,8 +158,17 @@ class GridController(Controller):
     def __len__(self):
         return len(self._grid)
 
+    def observe(self, params: Dict[str, Any], objective: float) -> None:
+        super().observe(params, objective)
+        # Resumed sweeps replay completed trials through observe() without
+        # suggest(); keep the grid cursor past everything already run.
+        self._i = max(self._i, len(self.history))
+
     def suggest(self) -> Dict[str, Any]:
-        vals = self._grid[self._i % len(self._grid)]
+        if self._i >= len(self._grid):
+            raise SweepExhausted(
+                f"grid exhausted after {len(self._grid)} configurations")
+        vals = self._grid[self._i]
         self._i += 1
         return {v.name: val for v, val in zip(self.space, vals)}
 

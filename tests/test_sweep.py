@@ -126,3 +126,27 @@ def test_make_controller_dispatch():
     assert isinstance(make_controller("random", SPACE), RandomController)
     with pytest.raises(ValueError):
         make_controller("annealing", SPACE)
+
+
+def test_grid_exhaustion_raises():
+    """W&B grid agents stop at exhaustion; suggest() past the grid raises
+    instead of silently re-running duplicates (reference train.py:364-368)."""
+    from ab_line_classifier_tpu.train.sweep import SweepExhausted
+
+    space = [SweepVar("INIT_FILTERS", "set", (16, 32))]
+    c = GridController(space, seed=0)
+    assert len(c) == 2
+    c.suggest()
+    c.suggest()
+    with pytest.raises(SweepExhausted):
+        c.suggest()
+
+
+def test_grid_resume_skips_completed():
+    """Replaying completed trials through observe() (sweep resume) advances
+    the grid cursor past them."""
+    space = [SweepVar("BLOCKS", "int_uniform", (1, 3))]
+    c = GridController(space, seed=0)
+    c.observe({"BLOCKS": 1}, 0.1)
+    c.observe({"BLOCKS": 2}, 0.2)
+    assert c.suggest() == {"BLOCKS": 3}
