@@ -305,19 +305,48 @@ class DeviceCachedDataset:
             yield Batch(ims, lbs, mask, indices)
 
 
-# Default HBM budget for auto device-caching (u8 pixels only; leaves room
-# for params/activations on a 16 GB chip).
+# Fallback HBM budget for auto device-caching when the backend exposes no
+# memory stats (u8 pixels only; leaves room for params/activations on a
+# 16 GB chip).
 DEVICE_CACHE_BYTES = 2 << 30
+
+# Fraction of free HBM the pixel cache may claim; the rest stays for the
+# model's params, optimizer state, and peak activations.
+_FREE_HBM_FRACTION = 0.5
+
+
+def device_cache_budget(default: int = DEVICE_CACHE_BYTES) -> int:
+    """HBM budget for the device pixel cache.
+
+    Measured when the backend reports memory stats
+    (``device.memory_stats()``: half of currently-free HBM), else
+    ``default``. Never below ``default`` when the device reports *more*
+    free memory than 2x default — i.e. the measured path can only raise
+    the ceiling on big-HBM chips and lower it under real pressure."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit:
+            return int((int(limit) - int(in_use)) * _FREE_HBM_FRACTION)
+    except Exception:  # pragma: no cover - backend-dependent
+        pass
+    return default
 
 
 def maybe_device_cache(ds: FrameDataset, mode="auto", mesh=None,
-                       budget: int = DEVICE_CACHE_BYTES):
+                       budget: Optional[int] = None):
     """Wrap in a DeviceCachedDataset when enabled (True) or when 'auto' and
-    the decoded pixels fit ``budget``. Callers caching several datasets
+    the decoded pixels fit ``budget`` (measured free HBM when available,
+    else :data:`DEVICE_CACHE_BYTES`). Callers caching several datasets
     (train + val) should split the budget between them. Falls back to the
     host pipeline on any failure (e.g. HBM pressure)."""
     if mode is False or mode is None:
         return ds
+    if budget is None:
+        budget = device_cache_budget()
     h, w = ds.img_dim
     nbytes = len(ds) * h * w * 3
     if mode == "auto" and nbytes > budget:

@@ -2,9 +2,13 @@
 
 The reference tracks accuracy, AUC, and per-class Precision/Recall at
 threshold ``1/n_classes`` during training via Keras metric objects (reference
-``src/train.py:108-115``). Keras's ``AUC`` is a binned Riemann approximation
+``src/train.py:108-115``). Keras's ``AUC`` is a binned approximation
 (200 thresholds, micro-averaged over every class column when fed softmax
-output); the semantics are reproduced here so train/val curves are comparable.
+output) whose default ``summation_method='interpolation'`` on the ROC curve
+is exactly the trapezoid over the binned (fpr, tpr) points — reproduced here
+bit-for-bit (same threshold placement, half-open comparisons, flattening;
+pinned to ``tf.keras.metrics.AUC`` by
+``tests/test_keras_parity.py::TestStreamingAUCExactness``).
 
 Design: :class:`MetricsState` holds only *sums* (confusion counts per
 threshold bin, correct counts, loss totals), so it

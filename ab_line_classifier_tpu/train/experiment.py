@@ -198,7 +198,7 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
     # decode once, keep uint8 frames in HBM, gather batches on device — the
     # host decode + tunnel transfer disappear after the first epoch. The
     # auto budget is shared across train+val so the pair cannot commit 2x.
-    from ab_line_classifier_tpu.data.pipeline import (DEVICE_CACHE_BYTES,
+    from ab_line_classifier_tpu.data.pipeline import (device_cache_budget,
                                                       maybe_device_cache)
     cache_mode = cfg["TRAIN"].get("CACHE_DATASET", "auto")
     if isinstance(cache_mode, str):
@@ -211,10 +211,11 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
                 f"auto/true/false")
         cache_mode = valid[lowered]
     frac = len(train_ds) / max(len(train_ds) + len(val_ds), 1)
+    budget = device_cache_budget()
     train_ds = maybe_device_cache(train_ds, cache_mode, mesh=mesh,
-                                  budget=int(DEVICE_CACHE_BYTES * frac))
+                                  budget=int(budget * frac))
     val_ds = maybe_device_cache(val_ds, cache_mode, mesh=mesh,
-                                budget=int(DEVICE_CACHE_BYTES * (1 - frac)))
+                                budget=int(budget * (1 - frac)))
 
     # Per-epoch validation prediction tables (the reference's
     # WandbGradcamEvalCallback capability, train_utils.py:238-293).

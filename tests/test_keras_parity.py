@@ -653,3 +653,56 @@ def test_keras3_h5_import_with_bn_and_separable(tmp_path):
         jnp.asarray(x_in), train=False))
     want = km(x_in, training=False).numpy()
     np.testing.assert_allclose(ours, want, atol=1e-5)
+
+
+class TestStreamingAUCExactness:
+    """compute_metrics AUC == tf.keras.metrics.AUC to float tolerance.
+
+    Keras ROC-AUC with the default ``summation_method='interpolation'`` IS
+    the trapezoid over the binned (fpr, tpr) curve (keras AUC.result falls
+    through to trapezoidal heights for curve='ROC'); this pins our streaming
+    accumulator to it exactly — eps-guarded denominators vs Keras
+    divide_no_nan, threshold placement, micro-flattening — including coarse
+    bins and tie-heavy inputs (reference train.py:108-115 uses this metric)."""
+
+    @pytest.mark.parametrize("num_thresholds", [200, 16])
+    @pytest.mark.parametrize("seed,ties", [(0, False), (1, True)])
+    def test_auc_matches_keras(self, num_thresholds, seed, ties):
+        import numpy as np
+
+        from ab_line_classifier_tpu.ops import metrics as M
+
+        rng = np.random.RandomState(seed)
+        n, c = 257, 2
+        logits = rng.randn(n, c).astype(np.float32)
+        if ties:  # quantize so many probs collide with bin boundaries
+            logits = np.round(logits * 2) / 2
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        labels = rng.randint(0, c, n)
+        onehot = np.eye(c, dtype=np.float32)[labels]
+
+        st = M.init_metrics(c, num_thresholds=num_thresholds)
+        # two chunks: exercises streaming accumulation
+        for sl in (slice(0, 100), slice(100, n)):
+            st = M.update_metrics(st, jnp.asarray(probs[sl]),
+                                  jnp.asarray(onehot[sl]))
+        ours = float(M.compute_metrics(st)["auc"])
+
+        ka = tf.keras.metrics.AUC(num_thresholds=num_thresholds)
+        ka.update_state(onehot, probs)
+        theirs = float(ka.result().numpy())
+        assert ours == pytest.approx(theirs, abs=2e-6)
+
+    def test_auc_no_positives_matches_keras(self):
+        import numpy as np
+
+        from ab_line_classifier_tpu.ops import metrics as M
+
+        probs = np.array([[0.9, 0.1], [0.8, 0.2]], np.float32)
+        onehot = np.array([[1, 0], [1, 0]], np.float32)  # one column empty
+        st = M.update_metrics(M.init_metrics(2), jnp.asarray(probs),
+                              jnp.asarray(onehot))
+        ours = float(M.compute_metrics(st)["auc"])
+        ka = tf.keras.metrics.AUC(num_thresholds=200)
+        ka.update_state(onehot, probs)
+        assert ours == pytest.approx(float(ka.result().numpy()), abs=2e-6)

