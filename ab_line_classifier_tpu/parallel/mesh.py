@@ -56,6 +56,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def full_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over EVERY mesh device (trial x data
+    flattened) — serving has no trial axis, so inference batches spread
+    across the whole slice."""
+    return NamedSharding(mesh, P((TRIAL_AXIS, DATA_AXIS)))
+
+
 def trial_batch_sharding(mesh: Mesh) -> NamedSharding:
     """[trial, batch, ...] arrays: trial axis over 'trial', batch over
     'data'."""
@@ -65,6 +72,21 @@ def trial_batch_sharding(mesh: Mesh) -> NamedSharding:
 def trial_replicated(mesh: Mesh) -> NamedSharding:
     """Per-trial params: leading trial axis sharded, rest replicated."""
     return NamedSharding(mesh, P(TRIAL_AXIS))
+
+
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the PARALLEL.MESH mesh from a config, or None on a single
+    device / no PARALLEL section / invalid shape."""
+    pcfg = cfg.get("PARALLEL")
+    if not pcfg or len(jax.devices()) <= 1:
+        return None
+    mesh_cfg = pcfg.get("MESH", {})
+    try:
+        return make_mesh(int(mesh_cfg.get("DATA", -1)),
+                         int(mesh_cfg.get("TRIAL", 1)))
+    except ValueError as e:
+        print(f"mesh config invalid ({e}); running single-device")
+        return None
 
 
 def shard_batch(mesh: Optional[Mesh], *arrays):

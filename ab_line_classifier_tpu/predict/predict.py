@@ -61,11 +61,28 @@ def load_class_idx_map(cfg: Config) -> Dict[str, int]:
 
 
 class Predictor:
-    """A restored model bound to a jitted batched forward pass."""
+    """A restored model bound to a jitted batched forward pass.
+
+    With ``mesh``, serving is data-parallel over EVERY mesh device:
+    parameters replicate, each static-shape chunk shards over the flattened
+    (trial x data) axes, and XLA inserts the ICI collectives — the reference
+    has no distributed inference at all (SURVEY §2 parallelism census)."""
 
     def __init__(self, spec: ModelSpec, variables: Dict, *,
-                 batch_size: int = 64, compute_dtype=jnp.bfloat16):
+                 batch_size: int = 64, compute_dtype=jnp.bfloat16,
+                 mesh=None):
         self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+
+            n_dev = int(np.prod(mesh.devices.shape))
+            # static chunk shape must divide evenly over the devices
+            batch_size = -(-batch_size // n_dev) * n_dev
+            variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+            self._batch_sharding = mesh_lib.full_batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
         self.variables = variables
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
@@ -83,9 +100,15 @@ class Predictor:
         self.forward = forward
         self._forward = jax.jit(forward)
 
+    def _put_chunk(self, chunk):
+        arr = jnp.asarray(chunk)
+        if self._batch_sharding is not None:
+            arr = jax.device_put(arr, self._batch_sharding)
+        return arr
+
     @classmethod
     def restore(cls, model_path: str, *, batch_size: int = 64,
-                compute_dtype=jnp.bfloat16,
+                compute_dtype=jnp.bfloat16, mesh=None,
                 cfg: Optional[Config] = None) -> "Predictor":
         """``restore_model`` equivalent (reference predict.py:39-51).
 
@@ -115,7 +138,7 @@ class Predictor:
                 raise ValueError(
                     f"no layers matched while importing {model_path!r}")
             return cls(spec, variables, batch_size=batch_size,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, mesh=mesh)
         if model_path.endswith(".h5"):
             if cfg is None:
                 raise ValueError(
@@ -133,14 +156,14 @@ class Predictor:
                 raise ValueError(
                     f"no layers matched while importing {model_path!r}")
             return cls(spec, variables, batch_size=batch_size,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, mesh=mesh)
         variables, meta = ckpt.load_model(model_path)
         spec = build_model(meta["model_name"], meta["hparams"],
                            tuple(meta["input_shape"]), int(meta["n_classes"]),
                            mixed_precision=bool(meta.get("mixed_precision",
                                                          False)))
         return cls(spec, variables, batch_size=batch_size,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, mesh=mesh)
 
     # ------------------------------------------------------------------
     def predict_probs(self, frames_u8: np.ndarray) -> np.ndarray:
@@ -155,7 +178,7 @@ class Predictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            probs = self._forward(self.variables, jnp.asarray(chunk))
+            probs = self._forward(self.variables, self._put_chunk(chunk))
             out[i:i + bs] = np.asarray(probs)[: bs - pad]
         return out
 
@@ -165,7 +188,7 @@ class Predictor:
         out = np.zeros((len(ds), self.spec.n_classes), np.float32)
         for batch in ds.batches(self.batch_size):
             probs = np.asarray(self._forward(self.variables,
-                                             jnp.asarray(batch.images)))
+                                             self._put_chunk(batch.images)))
             valid = batch.mask > 0
             out[batch.indices[valid]] = probs[valid]
         return out
@@ -217,8 +240,11 @@ def compute_clip_predictions(cfg: Config, frames_table_path: str,
     """Reference ``compute_clip_predictions`` (predict.py:125-188), as one
     batched device sweep + one compiled aggregation call."""
     if predictor is None:
+        from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+
         predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size, cfg=cfg)
+                                      batch_size=cfg.batch_size, cfg=cfg,
+                                      mesh=mesh_from_config(cfg))
     frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
     set_name = os.path.basename(frames_table_path).split(".")[0] + "_clips"
 
@@ -272,8 +298,11 @@ def compute_frame_predictions(cfg: Config, dataset_files_path: str,
                               frames_dir: Optional[str] = None) -> pd.DataFrame:
     """Reference ``compute_frame_predictions`` (predict.py:191-222)."""
     if predictor is None:
+        from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+
         predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size, cfg=cfg)
+                                      batch_size=cfg.batch_size, cfg=cfg,
+                                      mesh=mesh_from_config(cfg))
     frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
     set_name = os.path.basename(dataset_files_path).split(".")[0] + "_frames"
 

@@ -622,17 +622,8 @@ def cross_validation(cfg: Config, save_weights: bool = False,
 
 def _mesh_from_config(cfg: Config):
     """Build the PARALLEL.MESH mesh, or None on a single device."""
-    pcfg = cfg.get("PARALLEL")
-    if not pcfg or len(jax.devices()) <= 1:
-        return None
-    from ab_line_classifier_tpu.parallel.mesh import make_mesh
-    mesh_cfg = pcfg.get("MESH", {})
-    try:
-        return make_mesh(int(mesh_cfg.get("DATA", -1)),
-                         int(mesh_cfg.get("TRIAL", 1)))
-    except ValueError as e:
-        print(f"mesh config invalid ({e}); running single-device")
-        return None
+    from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+    return mesh_from_config(cfg)
 
 
 def train_experiment(cfg: Config, experiment: Optional[str] = None,

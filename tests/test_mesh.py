@@ -97,3 +97,42 @@ def test_host_local_batch_single_process():
     np.testing.assert_array_equal(np.asarray(gy), y)
     assert gx.sharding.spec == jax.sharding.PartitionSpec(
         mesh_lib.DATA_AXIS)
+
+
+def test_mesh_sharded_predictor_matches_single_device():
+    """Data-parallel serving over the full (trial x data) mesh == the
+    single-device Predictor, and the chunk size rounds up to the device
+    count (distributed inference the reference has none of)."""
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.predict.predict import Predictor
+
+    hp = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
+          "KERNEL_SIZE": 3, "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
+          "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
+    spec = build_model("cnn0", hp, (32, 32, 3), 2)
+    variables = spec.init_variables(jax.random.PRNGKey(0))
+    frames = np.random.RandomState(0).randint(
+        0, 256, (21, 32, 32, 3)).astype(np.uint8)  # ragged tail
+
+    single = Predictor(spec, variables, batch_size=6,
+                       compute_dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh(n_data=4, n_trial=2)
+    sharded = Predictor(spec, variables, batch_size=6,
+                        compute_dtype=jnp.float32, mesh=mesh)
+    assert sharded.batch_size == 8  # rounded up to 8 devices
+
+    p0 = single.predict_probs(frames)
+    p1 = sharded.predict_probs(frames)
+    np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
+def test_mesh_from_config():
+    from ab_line_classifier_tpu.config import Config
+
+    cfg = Config({"PARALLEL": {"MESH": {"DATA": 4, "TRIAL": 2}}})
+    mesh = mesh_lib.mesh_from_config(cfg)
+    assert mesh is not None and mesh.devices.shape == (2, 4)
+    assert mesh_lib.mesh_from_config(Config({})) is None
+    # invalid shape degrades to single-device, not an exception
+    bad = Config({"PARALLEL": {"MESH": {"DATA": 5, "TRIAL": 3}}})
+    assert mesh_lib.mesh_from_config(bad) is None
