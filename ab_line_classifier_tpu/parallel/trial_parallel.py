@@ -283,10 +283,43 @@ class ParallelFoldTrainer:
         return train_epoch, eval_epoch
 
     # ------------------------------------------------------------------
+    def _save_resume(self, path: str, payload_arrays: Dict, *,
+                     host_state: Dict) -> None:
+        """Mid-training checkpoint of the stacked F-fold state (params,
+        batch_stats, optimizer, best weights, per-fold callback vectors), so
+        an interrupted trial-parallel run resumes exactly — the SPMD
+        counterpart of the serial Trainer's resume (train/loop.py)."""
+        import json
+        import os
+
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        arrays = serialization.to_state_dict(
+            jax.tree.map(np.asarray, payload_arrays))
+        with open(os.path.join(path, "trial_state.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(arrays))
+        with open(os.path.join(path, "progress.json"), "w") as f:
+            json.dump(host_state, f)
+
+    def _load_resume(self, path: str, template: Dict):
+        import json
+        import os
+
+        from flax import serialization
+
+        with open(os.path.join(path, "trial_state.msgpack"), "rb") as f:
+            arrays = serialization.msgpack_restore(f.read())
+        arrays = serialization.from_state_dict(template, arrays)
+        with open(os.path.join(path, "progress.json")) as f:
+            host_state = json.load(f)
+        return arrays, host_state
+
     def fit(self, frames_u8: np.ndarray, labels: np.ndarray,
             train_idx: List[np.ndarray], val_idx: List[np.ndarray], *,
             batch_size: int, epochs: int, patience: int = 15,
-            lr_factors=None, verbose: bool = True):
+            lr_factors=None, verbose: bool = True,
+            checkpoint_dir: Optional[str] = None, resume: bool = False):
         """Train all folds. Returns (best stacked variables, history: list of
         per-epoch dicts of per-fold arrays).
 
@@ -298,7 +331,10 @@ class ParallelFoldTrainer:
             the same moment trajectory), so scaling each fold's updates is
             exactly training it at ``lr * factor`` — this is how LR
             hyperparameter sweeps run trial-parallel.
+        :param checkpoint_dir: if set, the full stacked state checkpoints
+            every epoch; ``resume=True`` restores and continues exactly.
         """
+        import os
         F = self.n_folds
         frames = jnp.asarray(frames_u8)
         labels_d = jnp.asarray(labels.astype(np.int32))
@@ -333,10 +369,33 @@ class ParallelFoldTrainer:
         best_bs = None
         epoch = 0
 
-        for phase in self.spec.phases:
-            phase_epochs = phase.epochs if phase.epochs is not None else \
-                max(0, epochs - epoch)
-            if phase_epochs <= 0:
+        resume_progress = None
+        if (resume and checkpoint_dir
+                and os.path.isfile(os.path.join(checkpoint_dir,
+                                                "progress.json"))):
+            import json
+
+            with open(os.path.join(checkpoint_dir, "progress.json")) as f:
+                resume_progress = json.load(f)
+            epoch = resume_progress["epoch"] + 1
+
+        for phase_idx, phase in enumerate(self.spec.phases):
+            if resume_progress and phase_idx < resume_progress["phase_idx"]:
+                continue  # phase fully covered by the checkpoint
+            restoring = (resume_progress
+                         and phase_idx == resume_progress["phase_idx"])
+            epoch_in_phase = 0
+            phase_done = False
+            if restoring:
+                epoch_in_phase = resume_progress.get("epoch_in_phase", 0) + 1
+                phase_done = resume_progress.get("phase_done", False)
+            if phase.epochs is not None:
+                phase_epochs = phase.epochs - epoch_in_phase
+            else:
+                phase_epochs = max(0, epochs - epoch)
+            if phase_done:
+                phase_epochs = 0
+            if phase_epochs <= 0 and not restoring:
                 continue
             # Frozen BN runs in inference mode during training (Keras
             # trainable=False BN; see train/loop.py and models/common.py).
@@ -368,6 +427,28 @@ class ParallelFoldTrainer:
                             else np.ones(F, np.float32))
             lr_factor = jnp.asarray(base_factors)
             active = jnp.ones((F,), jnp.float32)
+
+            if restoring:
+                template = {"params": params, "batch_stats": batch_stats,
+                            "opt_state": opt_state,
+                            "best_params": params,
+                            "best_bs": batch_stats,
+                            "lr_factor": lr_factor, "active": active}
+                arrays, host = self._load_resume(checkpoint_dir, template)
+                params = arrays["params"]
+                batch_stats = arrays["batch_stats"]
+                opt_state = arrays["opt_state"]
+                best_params = arrays["best_params"]
+                best_bs = arrays["best_bs"] or None
+                lr_factor = jnp.asarray(arrays["lr_factor"])
+                active = jnp.asarray(arrays["active"])
+                best_val = np.asarray(host["best_val"], np.float64)
+                best_plateau = np.asarray(host["best_plateau"], np.float64)
+                wait = np.asarray(host["wait"], int)
+                plateau_wait = np.asarray(host["plateau_wait"], int)
+                resume_progress = None  # later phases run normally
+            if phase_epochs <= 0:
+                continue
 
             for _ in range(phase_epochs):
                 t0 = time.time()
@@ -437,8 +518,26 @@ class ParallelFoldTrainer:
                           f"val_auc={np.round(val_auc, 3)} "
                           f"active={int(np.asarray(active).sum())} "
                           f"({history[-1]['seconds']:.1f}s)")
+                stopped = np.asarray(active).sum() == 0
+                if checkpoint_dir:
+                    self._save_resume(
+                        checkpoint_dir,
+                        {"params": params, "batch_stats": batch_stats,
+                         "opt_state": opt_state, "best_params": best_params,
+                         "best_bs": best_bs if best_bs else {},
+                         "lr_factor": lr_factor, "active": active},
+                        host_state={
+                            "epoch": epoch, "phase_idx": phase_idx,
+                            "epoch_in_phase": int(epoch_in_phase),
+                            "best_val": [float(v) for v in best_val],
+                            "best_plateau": [float(v)
+                                             for v in best_plateau],
+                            "wait": [int(v) for v in wait],
+                            "plateau_wait": [int(v) for v in plateau_wait],
+                            "phase_done": bool(stopped)})
                 epoch += 1
-                if np.asarray(active).sum() == 0:
+                epoch_in_phase += 1
+                if stopped:
                     break
 
         best = {"params": best_params}

@@ -510,8 +510,9 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
                                       best_vars)}
 
 
-def cross_validation_parallel(cfg: Config, mesh=None,
-                              verbose: bool = True) -> pd.DataFrame:
+def cross_validation_parallel(cfg: Config, mesh=None, verbose: bool = True,
+                              checkpoint_dir: Optional[str] = None,
+                              resume: bool = False) -> pd.DataFrame:
     """All k folds trained simultaneously as one SPMD program (fold axis
     vmapped and sharded over the mesh's ``trial`` axis) — the TPU-native
     replacement for the reference's serial sweep-agent folds. Returns the
@@ -561,7 +562,8 @@ def cross_validation_parallel(cfg: Config, mesh=None,
     best, history = trainer.fit(
         frames, labels, train_idx, val_idx,
         batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
-        patience=int(cfg["TRAIN"]["PATIENCE"]), verbose=verbose)
+        patience=int(cfg["TRAIN"]["PATIENCE"]), verbose=verbose,
+        checkpoint_dir=checkpoint_dir, resume=resume)
 
     # Per-fold test evaluation with each fold's best weights.
     import jax

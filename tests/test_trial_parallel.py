@@ -302,3 +302,37 @@ def test_serial_parallel_one_step_equivalence(fold_setup):
         flat_s, _ = jax.tree.flatten(serial_params[f])
         for g, s in zip(flat_g, flat_s):
             np.testing.assert_allclose(g, s, atol=2e-6, rtol=1e-5)
+
+
+def test_parallel_fit_resume_bitexact(fold_setup, tmp_path):
+    """Interrupt a trial-parallel run after 2 epochs, resume from the
+    checkpoint, and land bit-exactly where the uninterrupted 4-epoch run
+    lands (stacked params + history) — SPMD counterpart of the serial
+    resume regression in test_resume.py."""
+    frames, labels, train_idx, val_idx, cls_w = fold_setup
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+
+    def make():
+        return ParallelFoldTrainer(spec, 2,
+                                   class_weights=cls_w.astype(np.float32),
+                                   seed=0)
+
+    best_full, hist_full = make().fit(
+        frames, labels, train_idx, val_idx, batch_size=16, epochs=4,
+        patience=10, verbose=False)
+
+    ck = str(tmp_path / "ck")
+    # "interrupted" run: stop after 2 epochs (epochs=2 with checkpointing)
+    make().fit(frames, labels, train_idx, val_idx, batch_size=16, epochs=2,
+               patience=10, verbose=False, checkpoint_dir=ck)
+    # resume and run to epoch 4
+    best_res, hist_res = make().fit(
+        frames, labels, train_idx, val_idx, batch_size=16, epochs=4,
+        patience=10, verbose=False, checkpoint_dir=ck, resume=True)
+
+    assert len(hist_res) == 2 and hist_res[0]["epoch"] == 2
+    np.testing.assert_array_equal(hist_full[-1]["val_loss"],
+                                  hist_res[-1]["val_loss"])
+    for a, b in zip(jax.tree.leaves(best_full["params"]),
+                    jax.tree.leaves(best_res["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
