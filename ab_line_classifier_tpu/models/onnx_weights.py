@@ -65,6 +65,25 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
             weights = {"kernel": w}
             if len(node.input) > 2 and node.input[2] in inits:
                 weights["bias"] = inits[node.input[2]]
+            else:
+                # Unfused conv bias: follow the output through layout
+                # Transposes to an Add with a constant operand (exporters —
+                # incl. ours — often emit Conv + Transpose + Add(bias)).
+                cur = node.output[0] if node.output else None
+                for j in range(i + 1, min(i + 6, len(gp.node))):
+                    nxt = gp.node[j]
+                    if cur not in nxt.input:
+                        continue
+                    if nxt.op_type == "Transpose":
+                        cur = nxt.output[0]
+                        continue
+                    if nxt.op_type == "Add":
+                        const = [x for x in nxt.input
+                                 if x != cur and x in inits]
+                        if const and inits[const[0]].size == w.shape[0]:
+                            weights["bias"] = inits[const[0]].reshape(-1)
+                            names += [nxt.name] + list(nxt.input)
+                    break
             entries.append({"kind": kind, "weights": weights, "names": names})
         elif op == "Gemm" and len(node.input) > 1 and node.input[1] in inits:
             w = inits[node.input[1]]

@@ -1,0 +1,136 @@
+"""ONNX export: numerical parity via an independent evaluator + round-trip.
+
+The exported graph is executed by ``utils/onnx_eval.py`` — an interpreter
+written from the ONNX operator spec (NCHW Conv/Pool, numpy broadcasting),
+independent of the jaxpr that produced the graph — and compared against the
+model's own forward. Outbound half of the reference's ONNX deployment
+workflow (reference predict.py:39-51, deploy.py:36-68)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.models.onnx_export import export_onnx
+from ab_line_classifier_tpu.models.onnx_weights import import_onnx_weights
+from ab_line_classifier_tpu.utils import onnx_proto as OP
+from ab_line_classifier_tpu.utils.onnx_eval import evaluate
+
+HP = {
+    "cutoffvgg16": {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6,
+                    "DROPOUT": 0.45, "CUTOFF_LAYER": 10,
+                    "FINETUNE_LAYER": 7, "EXTRACT_EPOCHS": 6},
+    "cnn0": {"LR": 1e-3, "DROPOUT": 0.35, "L2_LAMBDA": 1e-4,
+             "NODES_DENSE0": 16, "KERNEL_SIZE": 3, "STRIDES": 1,
+             "MAXPOOL_SIZE": 2, "BLOCKS": 2, "INIT_FILTERS": 4,
+             "FILTER_EXP_BASE": 2},
+    "custom_resnetv2": {"LR": 4.6e-5, "DROPOUT0": 0.45, "DROPOUT1": 0.4,
+                        "STRIDES": 1, "BLOCKS": 1, "INIT_FILTERS": 8},
+    "mobilenetv2": {"LR": 1e-4, "DROPOUT": 0.35, "L2_LAMBDA": 1e-3,
+                    "NODES_DENSE0": 32, "FREEZE_IDX": 116,
+                    "CUTOFF_IDX": 115},
+    "xception": {"LR": 1e-4, "DROPOUT": 0.4, "FREEZE_IDX": 50,
+                 "NODES_DENSE0": 16},
+}
+IMG = (64, 64, 3)
+
+# every layer family: plain convs+dense (cutoffvgg16), BN+fused-relu convs
+# (cnn0), depthwise+relu6+residual adds (mobilenetv2), separable convs +
+# maxpool residuals (xception), pre-activation bottlenecks (custom_resnetv2)
+ZOO = ["cutoffvgg16", "cnn0", "mobilenetv2", "xception", "custom_resnetv2"]
+
+
+@pytest.mark.parametrize("name", ZOO)
+def test_export_matches_forward(name, tmp_path):
+    spec = build_model(name, HP[name], IMG, 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / f"{name}.onnx")
+    model = export_onnx(spec, v, path, batch_size=2)
+    assert os.path.getsize(path) > 0
+    # structure sanity: Conv nodes in NCHW with OIHW initializer kernels
+    convs = [n for n in model.graph.node if n.op_type == "Conv"]
+    assert convs
+    inits = OP.initializer_arrays(model.graph)
+    k = inits[[i for i in convs[0].input if i in inits][0]]
+    assert k.ndim == 4 and k.shape[2] == k.shape[3]  # OIHW: kH == kW
+
+    x = np.random.RandomState(0).randn(2, *IMG).astype(np.float32)
+    ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """Exported weights import back by layer name, bit-exactly (conv kernels
+    fold to OIHW on the way out and back; biases survive the unfused
+    Conv+Transpose+Add pattern)."""
+    spec = build_model("cutoffvgg16", HP["cutoffvgg16"], IMG, 2)
+    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.onnx")
+    export_onnx(spec, v1, path)
+    v2 = spec.init_variables(jax.random.PRNGKey(1))
+    v_imp, copied = import_onnx_weights(path, v2, graph=spec.graph,
+                                        verbose=False)
+    assert copied == len(v1["params"])
+    for layer, p in v1["params"].items():
+        for key, arr in p.items():
+            np.testing.assert_array_equal(
+                np.asarray(arr), np.asarray(v_imp["params"][layer][key]),
+                err_msg=f"{layer}/{key}")
+
+
+def test_exported_file_serves_through_predictor(tmp_path):
+    """Full outbound->inbound loop at the serving boundary: train-format
+    checkpoint -> export ONNX -> Predictor.restore('.onnx') -> identical
+    probabilities."""
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.predict.predict import Predictor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(repo, "config.yml")).to_dict()
+    d["DATA"]["IMG_DIM"] = [64, 64]
+    d["TRAIN"]["MODEL_DEF"] = "cutoffvgg16"
+    d["HPARAMS"]["CUTOFFVGG16"] = dict(HP["cutoffvgg16"])
+    cfg = Config(d)
+
+    spec = build_model("cutoffvgg16", HP["cutoffvgg16"], IMG, 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.onnx")
+    export_onnx(spec, v, path)
+
+    restored = Predictor.restore(path, cfg=cfg, compute_dtype=jnp.float32)
+    direct = Predictor(spec, v, compute_dtype=jnp.float32)
+    frames = np.random.RandomState(0).randint(
+        0, 256, (4, *IMG)).astype(np.uint8)
+    np.testing.assert_allclose(restored.predict_probs(frames),
+                               direct.predict_probs(frames), atol=1e-6)
+
+
+def test_export_cli_helper(tmp_path):
+    """export_checkpoint drives restore->export for an .h5 checkpoint."""
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.export import export_checkpoint
+    from ab_line_classifier_tpu.models.weights import export_h5_weights
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(repo, "config.yml")).to_dict()
+    d["DATA"]["IMG_DIM"] = [64, 64]
+    d["TRAIN"]["MODEL_DEF"] = "cnn0"
+    d["HPARAMS"]["CNN0"] = dict(HP["cnn0"])
+    cfg = Config(d)
+
+    spec = build_model("cnn0", HP["cnn0"], IMG, 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    h5 = str(tmp_path / "w.h5")
+    export_h5_weights(h5, v)
+    out = str(tmp_path / "m.onnx")
+    export_checkpoint(h5, out, batch_size=2, cfg=cfg)
+
+    x = np.random.RandomState(0).randn(2, *IMG).astype(np.float32)
+    ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
+    got = evaluate(OP.load_model(out), {"input_1": x})[0]
+    np.testing.assert_allclose(got, ref, atol=5e-6)
