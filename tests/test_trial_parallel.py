@@ -97,7 +97,8 @@ def test_lr_search_parallel(tmp_path):
     d = load_config(os.path.join(repo_root, "config.yml")).to_dict()
     d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
                        "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
-                       "EXPERIMENTS": ws + "/results/experiments/"})
+                       "EXPERIMENTS": ws + "/results/experiments/",
+                       "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/"})
     d["TRACKER"]["DIR"] = ws + "/results/runs/"
     d["DATA"]["IMG_DIM"] = [32, 32]
     d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 2, "BATCH_SIZE": 16,
@@ -144,7 +145,8 @@ def test_lr_search_parallel_two_phase(tmp_path):
     d = load_config(os.path.join(repo_root, "config.yml")).to_dict()
     d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
                        "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
-                       "EXPERIMENTS": ws + "/results/experiments/"})
+                       "EXPERIMENTS": ws + "/results/experiments/",
+                       "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/"})
     d["TRACKER"]["DIR"] = ws + "/results/runs/"
     d["DATA"]["IMG_DIM"] = [32, 32]
     d["TRAIN"].update({"MODEL_DEF": "cutoffvgg16", "EPOCHS": 2,
@@ -217,7 +219,8 @@ def test_cross_validation_parallel_passes_fold_biases(tmp_path, monkeypatch):
     d["HPARAMS"]["CNN0"] = dict(HP)
     d["PATHS"]["FRAME_TABLE"] = fcsv
     d["PATHS"]["FRAMES"] = fdir
-    for k in ("EXPERIMENTS", "METRICS", "BATCH_PREDS", "IMAGES", "MODEL_OUT"):
+    for k in ("EXPERIMENTS", "METRICS", "BATCH_PREDS", "IMAGES", "MODEL_OUT",
+              "EXPERIMENT_VISUALIZATIONS", "PARTITIONS"):
         if k in d["PATHS"]:
             d["PATHS"][k] = os.path.join(ws, "results", k.lower())
     cfg = Config(d)
