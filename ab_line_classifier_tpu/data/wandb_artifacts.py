@@ -103,11 +103,13 @@ class WandbArtifactFetcher:
 
     def fetch_k_fold(self, version: str = "latest",
                      val_split: Optional[float] = None,
-                     random_seed: int = 42) -> str:
+                     random_seed: Optional[int] = None) -> str:
         """Reference ``get_fold_artifact`` lineage (train_utils.py:162-235):
         download the k-fold artifact's per-fold frame tables into the local
         KFoldCrossValidation layout. ``val_split``/``random_seed`` fill the
-        metadata the local fetcher needs to rebuild fold train/val splits."""
+        metadata the local fetcher needs to rebuild fold train/val splits —
+        both resolve the same way: an explicitly-passed value wins over the
+        artifact's metadata, which wins over the defaults (0.1 / 42)."""
         art = self._get(K_FOLD, version)
         n_folds = int(art.metadata["n_folds"])
         _, frames_dir = self.fetch_images(
@@ -124,7 +126,9 @@ class WandbArtifactFetcher:
             "val_split": float(val_split
                                if val_split is not None
                                else art.metadata.get("val_split", 0.1)),
-            "random_seed": int(art.metadata.get("random_seed", random_seed)),
+            "random_seed": int(random_seed
+                               if random_seed is not None
+                               else art.metadata.get("random_seed", 42)),
             "frames_dir": os.path.abspath(frames_dir)
             if os.path.isdir(frames_dir) else None})
         return path

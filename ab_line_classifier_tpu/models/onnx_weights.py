@@ -11,7 +11,7 @@ onto the graph-IR layer names exactly like the Keras ``.h5`` importer
 jitted TPU path — strictly faster than the reference's per-frame
 onnx-tf loop.
 
-Two mapping strategies, tried in order:
+Three mapping strategies; 1 and 2 are tried in order, 3 supplements either:
 
 1. **Name-based** — exporters that preserve Keras layer names in node /
    initializer paths (tf2onnx emits e.g.
@@ -21,6 +21,16 @@ Two mapping strategies, tried in order:
    scheme the Keras-3 h5 importer uses): valid because this graph IR
    appends nodes in the reference's Keras call order, which is the ONNX
    topological order for these chain models.
+3. **Semantic-initializer fill** — layers the node strategies could not
+   bind are restored straight from initializers named
+   ``model/<layer>/<leaf>:0``. Needed because exporters (including ours,
+   ``models/onnx_export.py``) may decompose BatchNorm / Normalization into
+   plain Sub/Mul/Add arithmetic over *reshaped anonymous* constants — no
+   ``BatchNormalization`` node exists to read — while the named parameter
+   initializers are still present in the file.
+
+If any weighted layer still cannot be restored, a ``UserWarning`` lists it
+(a silently partial import would serve wrong predictions).
 
 Layout conversions (ONNX -> Flax):
 
@@ -227,7 +237,7 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
                 break
     name_based = len(bound) == len(entries) and len(by_layer) > 0
 
-    copied = 0
+    done = set()
     if name_based:
         for name, layer_entries in by_layer.items():
             p = params.get(name)
@@ -244,7 +254,7 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
                 else:
                     _apply_entry(layer_entries[0], name,
                                  p if p is not None else {}, batch_stats)
-                copied += 1
+                done.add(name)
             except Exception as e:
                 if verbose:
                     print(f"could not copy {name}: {e}")
@@ -287,13 +297,92 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
                                  p if p is not None else {}, batch_stats)
                 else:  # stats-only Normalization etc.: folded by exporters
                     continue
-                copied += 1
+                done.add(name)
             except Exception as e:
                 if verbose:
                     print(f"could not copy {name}: {e}")
+
+    # Strategy 3: semantic-initializer fill for whatever the node-based
+    # strategies missed (BatchNorm / Normalization decomposed into anonymous
+    # arithmetic — our exporter keeps every parameter leaf as a named
+    # 'model/<layer>/<leaf>:0' initializer even when nothing consumes it).
+    missing = [name for name, _ in order if name not in done]
+    if missing:
+        done |= _fill_from_named_initializers(
+            OP.initializer_arrays(model.graph), missing, params, batch_stats)
+
+    missing = [name for name, _ in order if name not in done]
+    if missing:
+        import warnings
+        warnings.warn(
+            f"partial ONNX import from {onnx_path!r}: "
+            f"{len(missing)}/{len(order)} weighted layers not found "
+            f"({', '.join(missing[:8])}{'...' if len(missing) > 8 else ''}) "
+            f"— those layers keep their fresh-init values and predictions "
+            f"will be wrong", stacklevel=2)
 
     out = dict(variables)
     out["params"] = params
     if batch_stats:
         out["batch_stats"] = batch_stats
-    return out, copied
+    return out, len(done)
+
+
+def _fill_from_named_initializers(inits: Dict[str, np.ndarray],
+                                  layer_names: List[str],
+                                  params: Dict[str, Dict],
+                                  batch_stats: Dict[str, Dict]) -> set:
+    """Restore layers directly from ``model/<layer>/<leaf>:0`` initializers
+    (strategy 3). A layer counts as restored only when EVERY one of its
+    leaves is found with a compatible shape — a half-filled layer is as
+    wrong as an untouched one."""
+    sem: Dict[Tuple[str, ...], np.ndarray] = {}
+    for iname, arr in inits.items():
+        segs = _path_segments(iname)
+        if len(segs) >= 3 and segs[0] == "model":
+            sem[tuple(segs[1:])] = arr
+
+    def fit(arr: np.ndarray, want: Tuple[int, ...]) -> np.ndarray:
+        if arr.shape == tuple(want):
+            return arr
+        if arr.ndim == 4:  # conv kernels may be stored OIHW (exporter-folded)
+            return _fit_conv_kernel(arr, want)
+        if arr.ndim == 2:
+            return _fit_dense_kernel(arr, want)
+        return arr.reshape(want)  # 1-D vectors reshaped through singletons
+
+    filled = set()
+    for name in layer_names:
+        updates: List[Tuple[Dict, str, np.ndarray]] = []
+
+        def collect(tree: Dict, prefix: Tuple[str, ...]) -> bool:
+            for leaf, val in tree.items():
+                if isinstance(val, dict):
+                    if not collect(val, prefix + (leaf,)):
+                        return False
+                    continue
+                arr = sem.get(prefix + (leaf,))
+                if arr is None:
+                    return False
+                try:
+                    updates.append((tree, leaf, fit(arr, np.shape(val))))
+                except Exception:
+                    return False
+            return True
+
+        def deep(d):
+            return {k: deep(v) if isinstance(v, dict) else v
+                    for k, v in d.items()}
+
+        ok = True
+        if name in params:
+            params[name] = deep(params[name])
+            ok = collect(params[name], (name,))
+        if ok and name in batch_stats:
+            batch_stats[name] = deep(batch_stats[name])
+            ok = collect(batch_stats[name], (name,))
+        if ok and updates:
+            for tree, leaf, arr in updates:
+                tree[leaf] = arr
+            filled.add(name)
+    return filled

@@ -133,23 +133,29 @@ class ParallelFoldTrainer:
             bias = self.output_biases.astype(params[head]["bias"].dtype)
             params = {**params,
                       head: {**params[head], "bias": bias}}
-        if self.mesh is not None:
-            n_trial = self.mesh.shape[mesh_lib.TRIAL_AXIS]
-            if self.n_folds % n_trial:
-                # The stacked fold axis can only shard over 'trial' when
-                # divisible; otherwise replicate the stacked state (the vmap
-                # still runs all folds; batches still shard over 'data').
-                print(f"trial axis ({n_trial}) does not divide "
-                      f"{self.n_folds} folds/trials; replicating fold state "
-                      f"across the mesh")
-                sh = mesh_lib.replicated(self.mesh)
-            else:
-                sh = NamedSharding(self.mesh, P(mesh_lib.TRIAL_AXIS))
+        sh = self._stacked_sharding(verbose=True)
+        if sh is not None:
             params = jax.device_put(params, sh)
             opt_state = jax.device_put(opt_state, sh)
             if batch_stats:
                 batch_stats = jax.device_put(batch_stats, sh)
         return params, batch_stats, opt_state, tx
+
+    def _stacked_sharding(self, verbose: bool = False):
+        """Sharding of the leading F (fold/trial) axis, or None off-mesh."""
+        if self.mesh is None:
+            return None
+        n_trial = self.mesh.shape[mesh_lib.TRIAL_AXIS]
+        if self.n_folds % n_trial:
+            # The stacked fold axis can only shard over 'trial' when
+            # divisible; otherwise replicate the stacked state (the vmap
+            # still runs all folds; batches still shard over 'data').
+            if verbose:
+                print(f"trial axis ({n_trial}) does not divide "
+                      f"{self.n_folds} folds/trials; replicating fold state "
+                      f"across the mesh")
+            return mesh_lib.replicated(self.mesh)
+        return NamedSharding(self.mesh, P(mesh_lib.TRIAL_AXIS))
 
     def _train_step_core(self, tx):
         """Un-jitted vmapped step over the fold axis (jitted directly, or
@@ -283,37 +289,21 @@ class ParallelFoldTrainer:
         return train_epoch, eval_epoch
 
     # ------------------------------------------------------------------
+    RESUME_FILE = "trial_state.msgpack"
+
     def _save_resume(self, path: str, payload_arrays: Dict, *,
                      host_state: Dict) -> None:
         """Mid-training checkpoint of the stacked F-fold state (params,
         batch_stats, optimizer, best weights, per-fold callback vectors), so
         an interrupted trial-parallel run resumes exactly — the SPMD
-        counterpart of the serial Trainer's resume (train/loop.py)."""
-        import json
-        import os
-
+        counterpart of the serial Trainer's resume (train/loop.py). One
+        atomic file — see utils/resume.py."""
         from flax import serialization
 
-        os.makedirs(path, exist_ok=True)
-        arrays = serialization.to_state_dict(
-            jax.tree.map(np.asarray, payload_arrays))
-        with open(os.path.join(path, "trial_state.msgpack"), "wb") as f:
-            f.write(serialization.msgpack_serialize(arrays))
-        with open(os.path.join(path, "progress.json"), "w") as f:
-            json.dump(host_state, f)
+        from ab_line_classifier_tpu.utils.resume import save_resume
 
-    def _load_resume(self, path: str, template: Dict):
-        import json
-        import os
-
-        from flax import serialization
-
-        with open(os.path.join(path, "trial_state.msgpack"), "rb") as f:
-            arrays = serialization.msgpack_restore(f.read())
-        arrays = serialization.from_state_dict(template, arrays)
-        with open(os.path.join(path, "progress.json")) as f:
-            host_state = json.load(f)
-        return arrays, host_state
+        save_resume(path, self.RESUME_FILE,
+                    serialization.to_state_dict(payload_arrays), host_state)
 
     def fit(self, frames_u8: np.ndarray, labels: np.ndarray,
             train_idx: List[np.ndarray], val_idx: List[np.ndarray], *,
@@ -370,14 +360,15 @@ class ParallelFoldTrainer:
         epoch = 0
 
         resume_progress = None
-        if (resume and checkpoint_dir
-                and os.path.isfile(os.path.join(checkpoint_dir,
-                                                "progress.json"))):
-            import json
-
-            with open(os.path.join(checkpoint_dir, "progress.json")) as f:
-                resume_progress = json.load(f)
-            epoch = resume_progress["epoch"] + 1
+        resume_payload = None
+        if resume and checkpoint_dir:
+            from ab_line_classifier_tpu.utils.resume import load_resume
+            loaded = load_resume(checkpoint_dir, self.RESUME_FILE)
+            if loaded is not None:
+                # One file, read once: arrays and progress can never come
+                # from different checkpoints (utils/resume.py).
+                resume_payload, resume_progress = loaded
+                epoch = resume_progress["epoch"] + 1
 
         for phase_idx, phase in enumerate(self.spec.phases):
             if resume_progress and phase_idx < resume_progress["phase_idx"]:
@@ -429,12 +420,24 @@ class ParallelFoldTrainer:
             active = jnp.ones((F,), jnp.float32)
 
             if restoring:
+                from flax import serialization
                 template = {"params": params, "batch_stats": batch_stats,
                             "opt_state": opt_state,
                             "best_params": params,
                             "best_bs": batch_stats,
                             "lr_factor": lr_factor, "active": active}
-                arrays, host = self._load_resume(checkpoint_dir, template)
+                arrays = serialization.from_state_dict(template,
+                                                       resume_payload)
+                # Re-establish the trial-axis sharding: the restored leaves
+                # are host numpy; without this the resumed run would carry
+                # the F-stacked state replicated/default-placed (up to F x
+                # HBM per device) instead of sharded like init_stacked.
+                sh = self._stacked_sharding()
+                if sh is not None:
+                    for key in ("params", "batch_stats", "opt_state",
+                                "best_params", "best_bs"):
+                        if arrays[key]:
+                            arrays[key] = jax.device_put(arrays[key], sh)
                 params = arrays["params"]
                 batch_stats = arrays["batch_stats"]
                 opt_state = arrays["opt_state"]
@@ -442,6 +445,7 @@ class ParallelFoldTrainer:
                 best_bs = arrays["best_bs"] or None
                 lr_factor = jnp.asarray(arrays["lr_factor"])
                 active = jnp.asarray(arrays["active"])
+                host = resume_progress
                 best_val = np.asarray(host["best_val"], np.float64)
                 best_plateau = np.asarray(host["best_plateau"], np.float64)
                 wait = np.asarray(host["wait"], int)

@@ -21,12 +21,20 @@ def main():
     p.add_argument("--trial-parallel", action="store_true",
                    help="SPMD variants: train all folds / LR trials "
                         "simultaneously, sharded over the mesh trial axis")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="checkpoint the full train state here every epoch "
+                        "(single_train and the trial-parallel variants)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore from --checkpoint-dir (default: "
+                        "<MODEL_WEIGHTS>/_resume/<experiment>) and continue")
     args = p.parse_args()
 
     cfg = load_config(args.config)
     train_experiment(cfg, experiment=args.experiment,
                      save_weights=not args.no_save_weights,
-                     trial_parallel=args.trial_parallel)
+                     trial_parallel=args.trial_parallel,
+                     checkpoint_dir=args.checkpoint_dir,
+                     resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -135,7 +135,9 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
                        fold_id: Optional[int] = None,
                        save_weights: bool = False, tracker=None,
                        group: Optional[str] = None,
-                       verbose: bool = True) -> RunResult:
+                       verbose: bool = True,
+                       checkpoint_dir: Optional[str] = None,
+                       resume: bool = False) -> RunResult:
     """One training run (reference ``perform_single_run``, train.py:171-246):
     resolve data -> class weights + output bias -> build model -> fit through
     the phase plan -> checkpoint -> test-set evaluation."""
@@ -229,7 +231,8 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
         epochs=int(cfg["TRAIN"]["EPOCHS"]),
         patience=int(cfg["TRAIN"]["PATIENCE"]),
         variables=pretrained, tracker=tracker, verbose=verbose,
-        callbacks=callbacks)
+        callbacks=callbacks,
+        checkpoint_dir=checkpoint_dir, resume=resume)
 
     model_dir = None
     if save_weights:
@@ -359,7 +362,9 @@ def hparam_search(cfg: Config, save_weights: bool = False,
 
 
 def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
-                       mesh=None, verbose: bool = True) -> Dict[str, Any]:
+                       mesh=None, verbose: bool = True,
+                       checkpoint_dir: Optional[str] = None,
+                       resume: bool = False) -> Dict[str, Any]:
     """Trial-parallel learning-rate search: every candidate LR trains
     SIMULTANEOUSLY as one SPMD program.
 
@@ -462,7 +467,8 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
         frames, labels, train_idx, val_idx,
         batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
         patience=int(cfg["TRAIN"]["PATIENCE"]),
-        lr_factors=lr_factors, verbose=verbose)
+        lr_factors=lr_factors, verbose=verbose,
+        checkpoint_dir=checkpoint_dir, resume=resume)
 
     # Per-trial best objective over epochs (METRIC_NAME semantics as in
     # _sweep_objective; epoch/val_* keys come from the history arrays).
@@ -628,27 +634,50 @@ def _mesh_from_config(cfg: Config):
     return mesh_from_config(cfg)
 
 
+def default_checkpoint_dir(cfg: Config, experiment: str) -> str:
+    """Where per-epoch resume checkpoints live when the caller enables them
+    without naming a directory (``--resume`` with no ``--checkpoint-dir``)."""
+    return os.path.join(cfg["PATHS"]["MODEL_WEIGHTS"], "_resume", experiment)
+
+
 def train_experiment(cfg: Config, experiment: Optional[str] = None,
                      save_weights: bool = False, verbose: bool = True,
-                     trial_parallel: bool = False):
+                     trial_parallel: bool = False,
+                     checkpoint_dir: Optional[str] = None,
+                     resume: bool = False):
     """The dispatcher (reference train.py:343-371).
 
     ``trial_parallel=True`` selects the SPMD variants: all folds (or all LR
     trials) train simultaneously, sharded over the mesh's ``trial`` axis.
+
+    ``checkpoint_dir`` enables per-epoch mid-training checkpoints for the
+    experiment types that train one (possibly stacked) model —
+    single_train and both trial-parallel variants; ``resume=True`` restores
+    from it and continues exactly. The serial sweep types are resumable at
+    trial granularity instead (``hparam_search`` reruns with the same
+    ``sweep_id`` and skips completed trials).
     """
     experiment = experiment or cfg["TRAIN"]["EXPERIMENT_TYPE"]
+    if resume and checkpoint_dir is None:
+        checkpoint_dir = default_checkpoint_dir(cfg, experiment)
     if experiment == "single_train":
         return perform_single_run(cfg, save_weights=save_weights,
-                                  verbose=verbose)
+                                  verbose=verbose,
+                                  checkpoint_dir=checkpoint_dir,
+                                  resume=resume)
     if experiment == "hparam_search":
         if trial_parallel:
             return lr_search_parallel(cfg, mesh=_mesh_from_config(cfg),
-                                      verbose=verbose)
+                                      verbose=verbose,
+                                      checkpoint_dir=checkpoint_dir,
+                                      resume=resume)
         return hparam_search(cfg, save_weights=save_weights, verbose=verbose)
     if experiment == "cross_validation":
         if trial_parallel:
             return cross_validation_parallel(cfg, mesh=_mesh_from_config(cfg),
-                                             verbose=verbose)
+                                             verbose=verbose,
+                                             checkpoint_dir=checkpoint_dir,
+                                             resume=resume)
         return cross_validation(cfg, save_weights=save_weights,
                                 verbose=verbose)
     raise ValueError(

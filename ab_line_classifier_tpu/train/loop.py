@@ -343,6 +343,8 @@ class Trainer:
         return state, out
 
     # ------------------------------------------------------------------
+    RESUME_FILE = "train_state.msgpack"
+
     def _save_resume(self, path: str, state: TrainState, *, epoch: int,
                      phase_idx: int, epoch_in_phase: int, best_val: float,
                      wait: int, plateau_wait: int, best_vars,
@@ -351,43 +353,24 @@ class Trainer:
         """Mid-training checkpoint: full optimizer/callback state so an
         interrupted run (or a preempted sweep trial) resumes exactly.
         The reference has no mid-training checkpointing (final .h5 only,
-        train.py:139-144)."""
-        import json
-
+        train.py:139-144). One atomic file — see utils/resume.py."""
         from flax import serialization
 
-        os.makedirs(path, exist_ok=True)
-        payload = {
-            "state": serialization.to_state_dict(
-                jax.tree.map(np.asarray, state)),
-            "best_vars": jax.tree.map(np.asarray, best_vars)
-            if best_vars is not None else None,
-        }
-        with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
-            f.write(serialization.msgpack_serialize(payload))
-        with open(os.path.join(path, "progress.json"), "w") as f:
-            json.dump({"epoch": epoch, "phase_idx": phase_idx,
-                       "epoch_in_phase": int(epoch_in_phase),
-                       "best_val": float(best_val),
-                       "best_plateau": float(best_plateau
-                                             if best_plateau is not None
-                                             else best_val),
-                       "wait": int(wait),
-                       "plateau_wait": int(plateau_wait),
-                       "phase_done": bool(phase_done)}, f)
+        from ab_line_classifier_tpu.utils.resume import save_resume
 
-    def _load_resume(self, path: str, template: TrainState):
-        import json
-
-        from flax import serialization
-
-        with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
-            payload = serialization.msgpack_restore(f.read())
-        state = serialization.from_state_dict(
-            template, payload["state"])
-        with open(os.path.join(path, "progress.json")) as f:
-            progress = json.load(f)
-        return state, payload.get("best_vars"), progress
+        save_resume(
+            path, self.RESUME_FILE,
+            {"state": serialization.to_state_dict(state),
+             "best_vars": best_vars},
+            {"epoch": epoch, "phase_idx": phase_idx,
+             "epoch_in_phase": int(epoch_in_phase),
+             "best_val": float(best_val),
+             "best_plateau": float(best_plateau
+                                   if best_plateau is not None
+                                   else best_val),
+             "wait": int(wait),
+             "plateau_wait": int(plateau_wait),
+             "phase_done": bool(phase_done)})
 
     # ------------------------------------------------------------------
     def fit(self, train_ds: FrameDataset, val_ds: Optional[FrameDataset], *,
@@ -410,13 +393,15 @@ class Trainer:
         n_classes = self.spec.n_classes
 
         resume_progress = None
-        if (resume and checkpoint_dir
-                and os.path.isfile(os.path.join(checkpoint_dir,
-                                                "progress.json"))):
-            import json
-            with open(os.path.join(checkpoint_dir, "progress.json")) as f:
-                resume_progress = json.load(f)
-            epoch = resume_progress["epoch"] + 1
+        resume_payload = None
+        if resume and checkpoint_dir:
+            from ab_line_classifier_tpu.utils.resume import load_resume
+            loaded = load_resume(checkpoint_dir, self.RESUME_FILE)
+            if loaded is not None:
+                # One file, read once: arrays and progress can never come
+                # from different checkpoints (utils/resume.py).
+                resume_payload, resume_progress = loaded
+                epoch = resume_progress["epoch"] + 1
 
         for phase_idx, phase in enumerate(self.spec.phases):
             if resume_progress and phase_idx < resume_progress["phase_idx"]:
@@ -445,13 +430,15 @@ class Trainer:
                 phase, tx, phase_idx)
 
             if restoring:
-                state, best_vars, progress = self._load_resume(
-                    checkpoint_dir, state)
-                ctl.best_val = progress["best_val"]
-                ctl.best_plateau = progress.get("best_plateau",
-                                                progress["best_val"])
-                ctl.wait = progress["wait"]
-                ctl.plateau_wait = progress["plateau_wait"]
+                from flax import serialization
+                state = serialization.from_state_dict(
+                    state, resume_payload["state"])
+                best_vars = resume_payload["best_vars"]
+                ctl.best_val = resume_progress["best_val"]
+                ctl.best_plateau = resume_progress.get(
+                    "best_plateau", resume_progress["best_val"])
+                ctl.wait = resume_progress["wait"]
+                ctl.plateau_wait = resume_progress["plateau_wait"]
                 resume_progress = None  # later phases run normally
 
             # Remaining epochs for this phase: fixed-length phases subtract

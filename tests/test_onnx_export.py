@@ -165,3 +165,60 @@ def test_export_cli_helper(tmp_path):
     ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
     got = evaluate(OP.load_model(out), {"input_1": x})[0]
     np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_export_import_roundtrip_batchnorm(tmp_path):
+    """BN models round-trip: the exporter decomposes BatchNorm into
+    arithmetic over anonymous reshaped constants (no BatchNormalization
+    node), so the importer restores those layers from the named
+    'model/<layer>/<leaf>:0' initializers (strategy 3). Every weighted
+    layer must come back — a silently partial import serves wrong
+    predictions."""
+    import warnings
+
+    from ab_line_classifier_tpu.models.onnx_weights import (
+        import_onnx_weights)
+
+    spec = build_model("cnn0", HP["cnn0"], IMG, 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "cnn0.onnx")
+    export_onnx(spec, v, path, batch_size=2)
+
+    fresh = spec.init_variables(jax.random.PRNGKey(42))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a partial-import warning = failure
+        imported, copied = import_onnx_weights(path, fresh, graph=spec.graph)
+    weighted = [s.name for s in spec.graph.layers
+                if s.name in v["params"] or s.name in v.get("batch_stats", {})]
+    assert copied == len(weighted)
+
+    x = np.random.RandomState(0).randn(2, *IMG).astype(np.float32)
+    ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
+    got = np.asarray(spec.module().apply(imported, jnp.asarray(x),
+                                         train=False))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_partial_onnx_import_warns(tmp_path):
+    """Stripping a layer's named initializers from the file makes the import
+    incomplete — that must WARN, not silently serve fresh-init weights."""
+    from ab_line_classifier_tpu.models.onnx_weights import (
+        import_onnx_weights)
+
+    spec = build_model("cnn0", HP["cnn0"], IMG, 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "cnn0.onnx")
+    model = export_onnx(spec, v, path, batch_size=2)
+
+    bn = [s.name for s in spec.graph.layers
+          if s.name in v.get("batch_stats", {})][0]
+    keep = [t for t in model.graph.initializer
+            if f"/{bn}/" not in t.name]
+    del model.graph.initializer[:]
+    model.graph.initializer.extend(keep)
+    stripped = str(tmp_path / "stripped.onnx")
+    OP.save_model(model, stripped)
+
+    fresh = spec.init_variables(jax.random.PRNGKey(42))
+    with pytest.warns(UserWarning, match="partial ONNX import"):
+        import_onnx_weights(stripped, fresh, graph=spec.graph)

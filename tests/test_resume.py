@@ -120,3 +120,61 @@ def test_device_cached_epoch_matches_streaming(data):
         np.asarray(stream_vars["params"]["conv2d_block0_0"]["kernel"]),
         np.asarray(cached_vars["params"]["conv2d_block0_0"]["kernel"]),
         atol=1e-4)
+
+
+def test_resume_file_atomic_single_blob(tmp_path):
+    """utils/resume: one file, temp+rename write (no .tmp survivors), arrays
+    + progress round-trip together so a kill can never desynchronize them."""
+    import os
+
+    from ab_line_classifier_tpu.utils.resume import load_resume, save_resume
+
+    payload = {"a": np.arange(3, dtype=np.int32),
+               "nested": {"b": np.ones((2, 2), np.float32)},
+               "absent": None}
+    save_resume(str(tmp_path), "ck.msgpack", payload, {"epoch": 3, "w": [1]})
+    assert sorted(os.listdir(tmp_path)) == ["ck.msgpack"]
+
+    loaded = load_resume(str(tmp_path), "ck.msgpack")
+    assert loaded is not None
+    arrays, progress = loaded
+    assert progress == {"epoch": 3, "w": [1]}
+    np.testing.assert_array_equal(arrays["a"], payload["a"])
+    np.testing.assert_array_equal(arrays["nested"]["b"],
+                                  payload["nested"]["b"])
+    assert arrays["absent"] is None
+
+    # overwrite keeps a single complete file
+    save_resume(str(tmp_path), "ck.msgpack", payload, {"epoch": 4})
+    assert load_resume(str(tmp_path), "ck.msgpack")[1]["epoch"] == 4
+    assert load_resume(str(tmp_path), "nothere.msgpack") is None
+    assert load_resume(None, "ck.msgpack") is None
+
+
+def test_train_experiment_plumbs_resume(tmp_path, monkeypatch):
+    """--resume/--checkpoint-dir reach the trainers from the dispatcher (the
+    CLI's path): single_train -> perform_single_run, trial-parallel variants
+    -> their fit()s, with a derived default checkpoint dir."""
+    import os
+
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.train import experiment as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(repo, "config.yml")).to_dict()
+    d["PATHS"]["MODEL_WEIGHTS"] = str(tmp_path / "models")
+    cfg = Config(d)
+
+    seen = {}
+    monkeypatch.setattr(E, "perform_single_run",
+                        lambda cfg, **kw: seen.update(kw))
+    E.train_experiment(cfg, experiment="single_train", resume=True)
+    assert seen["resume"] is True
+    assert seen["checkpoint_dir"] == os.path.join(
+        str(tmp_path / "models"), "_resume", "single_train")
+
+    seen.clear()
+    E.train_experiment(cfg, experiment="single_train",
+                       checkpoint_dir=str(tmp_path / "ck"))
+    assert seen["checkpoint_dir"] == str(tmp_path / "ck")
+    assert seen["resume"] is False

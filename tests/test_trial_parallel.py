@@ -339,3 +339,49 @@ def test_parallel_fit_resume_bitexact(fold_setup, tmp_path):
     for a, b in zip(jax.tree.leaves(best_full["params"]),
                     jax.tree.leaves(best_res["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_parallel_resume_on_mesh_restores_sharding(fold_setup, tmp_path):
+    """Resuming on a mesh re-establishes the trial-axis sharding: restored
+    checkpoint leaves are host numpy, and without an explicit device_put the
+    resumed run would carry the F-stacked state default-placed (up to F x
+    HBM per device) instead of sharded like init_stacked."""
+    frames, labels, train_idx, val_idx, cls_w = fold_setup
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    mesh = mesh_lib.make_mesh(n_data=4, n_trial=2)
+
+    def make():
+        return ParallelFoldTrainer(spec, 2, class_weights=cls_w, seed=0,
+                                   mesh=mesh)
+
+    ck = str(tmp_path / "ck")
+    make().fit(frames, labels, train_idx, val_idx, batch_size=16, epochs=2,
+               patience=10, verbose=False, checkpoint_dir=ck)
+    # nothing left to train: fit returns the restored (re-placed) checkpoint
+    best, hist = make().fit(frames, labels, train_idx, val_idx,
+                            batch_size=16, epochs=2, patience=10,
+                            verbose=False, checkpoint_dir=ck, resume=True)
+    assert hist == []
+    want = make()._stacked_sharding()
+    for leaf in jax.tree.leaves(best["params"]):
+        assert leaf.sharding.is_equivalent_to(want, leaf.ndim)
+
+
+def test_stacked_sharding_divisibility(fold_setup):
+    """_stacked_sharding shards F over 'trial' when divisible, else
+    replicates (the vmap still runs all folds)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    _, _, _, _, cls_w = fold_setup
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    mesh = mesh_lib.make_mesh(n_data=4, n_trial=2)
+    sharded = ParallelFoldTrainer(spec, 2, class_weights=cls_w, seed=0,
+                                  mesh=mesh)._stacked_sharding()
+    assert sharded.spec == jax.sharding.PartitionSpec(mesh_lib.TRIAL_AXIS)
+    repl = ParallelFoldTrainer(
+        spec, 3, class_weights=np.tile(cls_w[:1], (3, 1)), seed=0,
+        mesh=mesh)._stacked_sharding()
+    assert repl.spec == jax.sharding.PartitionSpec()
+    assert ParallelFoldTrainer(
+        spec, 2, class_weights=cls_w, seed=0)._stacked_sharding() is None

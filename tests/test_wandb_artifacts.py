@@ -114,6 +114,27 @@ def test_fetch_k_fold_serves_fold_artifacts(tmp_path, wandb_world):
     assert frames_dir and os.path.isdir(frames_dir)
 
 
+def test_fetch_k_fold_override_precedence(tmp_path, wandb_world):
+    """val_split and random_seed resolve symmetrically: explicit caller
+    value > artifact metadata > default."""
+    import json
+
+    api, _ = wandb_world
+    store = ArtifactStore(str(tmp_path / "store"))
+    fetcher = WandbArtifactFetcher(store, api=api)
+
+    # artifact metadata: val_split=0.34, random_seed=42 (fixture)
+    path = fetcher.fetch_k_fold(val_split=0.2, random_seed=7)
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["val_split"] == 0.2 and meta["random_seed"] == 7
+
+    path = fetcher.fetch_k_fold()
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["val_split"] == 0.34 and meta["random_seed"] == 42
+
+
 def test_project_prefix_and_missing_wandb(tmp_path, wandb_world):
     api, _ = wandb_world
 
