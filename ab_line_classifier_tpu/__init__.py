@@ -44,9 +44,19 @@ def _toolchain_fingerprint():  # pragma: no cover - environment dependent
         pass
     try:
         with open("/proc/cpuinfo") as f:
+            got = set()
             for line in f:
-                if line.startswith("flags"):
-                    parts.append(line.strip())
+                # model name matters beyond the flag set: XLA picks LLVM
+                # tuning pseudo-features (e.g. prefer-no-scatter) per
+                # detected microarchitecture, and the AOT loader warns of
+                # SIGILL risk when they differ. Flags are sorted — kernels
+                # disagree on ordering.
+                key = line.split(":")[0].strip()
+                if key in ("flags", "model name") and key not in got:
+                    got.add(key)
+                    val = line.split(":", 1)[1]
+                    parts.append(f"{key}=" + " ".join(sorted(val.split())))
+                if len(got) == 2:
                     break
     except Exception:
         import platform as _pf
