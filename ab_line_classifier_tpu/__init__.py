@@ -72,12 +72,15 @@ def _toolchain_fingerprint():  # pragma: no cover - environment dependent
 try:  # pragma: no cover - environment dependent
     import jax as _jax
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~/.cache/ablc_jax_cache"),
-                          _toolchain_fingerprint())))
+    # Only fingerprint when the env var doesn't already pick the dir —
+    # os.environ.get would evaluate the default eagerly, reading
+    # /proc/cpuinfo + package metadata on every import for nothing.
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if _cache_dir is None:
+        _cache_dir = _os.path.join(
+            _os.path.expanduser("~/.cache/ablc_jax_cache"),
+            _toolchain_fingerprint())
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update(
         "jax_persistent_cache_min_compile_time_secs",
         float(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",

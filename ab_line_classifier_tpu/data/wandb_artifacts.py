@@ -54,12 +54,30 @@ class WandbArtifactFetcher:
         v = version if version else "latest"
         return self.api.artifact(f"{self.prefix}{name}:{v}")
 
+    def _materialized_images(self, version: str) -> Optional[Tuple[str, str]]:
+        """Local Images version already fetched for this wandb version, if
+        any — so lineage walks (TrainValTest then KFold, or a re-run) don't
+        re-download and re-materialize the same Images artifact."""
+        if version in ("", "latest", None):
+            return None  # "latest" can move upstream; always re-check
+        want = f"wandb:{IMAGES}:{version}"
+        for v in reversed(self.store.versions(IMAGES)):
+            meta = self.store.metadata(IMAGES, v)
+            if meta.get("source") == want and meta.get("frames_dir"):
+                return self.store.resolve(IMAGES, v), meta["frames_dir"]
+        return None
+
     # ------------------------------------------------------------------
     def fetch_images(self, version: str = "latest") -> Tuple[str, str]:
         """Download the Images artifact; returns (store path, frames dir).
 
         The frame files stay in the W&B download cache (referenced by the
-        metadata ``frames_dir``, exactly like locally-logged Images)."""
+        metadata ``frames_dir``, exactly like locally-logged Images).
+        A pinned version that is already materialized in the local store is
+        served from it without touching wandb."""
+        cached = self._materialized_images(version)
+        if cached is not None:
+            return cached
         art = self._get(IMAGES, version)
         src = art.download()
         frames_dir = os.path.join(src, "frames")

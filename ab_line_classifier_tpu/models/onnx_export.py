@@ -46,7 +46,7 @@ _ELEMENTWISE = {
     "max": "Max", "min": "Min", "pow": "Pow", "neg": "Neg",
     "exp": "Exp", "log": "Log", "tanh": "Tanh", "logistic": "Sigmoid",
     "sqrt": "Sqrt", "sign": "Sign", "abs": "Abs", "floor": "Floor",
-    "ceil": "Ceil", "is_finite": "IsInf",  # (unused; guard)
+    "ceil": "Ceil",
 }
 
 _REDUCE = {"reduce_sum": "ReduceSum", "reduce_max": "ReduceMax",
@@ -70,8 +70,13 @@ class _Exporter:
         # vars whose Expand was deferred (ONNX elementwise ops broadcast
         # numpy-style, so most jaxpr broadcast_in_dims need no node):
         # var -> full output shape, materialized only for non-broadcasting
-        # consumers via name_full().
+        # consumers via name_full(). _actual_shape holds the shape the
+        # emitted ONNX tensor really has (the pre-Expand "mid" shape) so
+        # elementwise consumers can tell whether broadcasting against their
+        # other operands reaches the full jaxpr shape or the deferral must
+        # propagate to their own output.
         self._deferred_expand: Dict[Any, Tuple[int, ...]] = {}
+        self._actual_shape: Dict[Any, Tuple[int, ...]] = {}
 
     # -- plumbing ----------------------------------------------------------
     def fresh(self, hint: str = "v") -> str:
@@ -111,7 +116,35 @@ class _Exporter:
             name = self.node("Expand", [name, tgt])[0]
             self.bind(atom, name)
             del self._deferred_expand[atom]
+            self._actual_shape.pop(atom, None)
         return name
+
+    def _eff_shape(self, atom) -> Tuple[int, ...]:
+        """Shape of the ONNX tensor actually bound to ``atom`` (the mid
+        shape when its Expand is deferred, the jaxpr shape otherwise)."""
+        from jax._src.core import Literal
+
+        if isinstance(atom, Literal):
+            return tuple(np.shape(atom.val))
+        if atom in self._deferred_expand:
+            return self._actual_shape[atom]
+        return tuple(int(s) for s in atom.aval.shape)
+
+    def _bind_broadcasting(self, eqn, out_name: str, in_atoms) -> None:
+        """Bind a broadcasting (elementwise/Where/...) op's output. The
+        emitted tensor's shape is the numpy broadcast of the operands'
+        ACTUAL shapes — smaller than the jaxpr output shape when every
+        operand was itself a deferred broadcast — so the deferral must
+        propagate to this output or a later non-broadcasting consumer
+        (Reshape/Reduce/...) would silently read an under-sized tensor."""
+        out_var = eqn.outvars[0]
+        self.bind(out_var, out_name)
+        actual = tuple(int(s) for s in np.broadcast_shapes(
+            *[self._eff_shape(a) for a in in_atoms]))
+        want = tuple(int(s) for s in out_var.aval.shape)
+        if actual != want:
+            self._deferred_expand[out_var] = want
+            self._actual_shape[out_var] = actual
 
     def node(self, op_type: str, inputs: Sequence[str], n_out: int = 1,
              name: Optional[str] = None, **attrs) -> List[str]:
@@ -197,7 +230,7 @@ class _Exporter:
         if prim in _ELEMENTWISE:
             ins = [self.name_of(a) for a in eqn.invars]
             out = self.node(_ELEMENTWISE[prim], ins)[0]
-            self.bind(eqn.outvars[0], out)
+            self._bind_broadcasting(eqn, out, eqn.invars)
             return
         if prim in _REDUCE:
             self._reduce(eqn, _REDUCE[prim])
@@ -210,7 +243,16 @@ class _Exporter:
     def _p_rsqrt(self, eqn):
         s = self.node("Sqrt", [self.name_of(eqn.invars[0])])[0]
         out = self.node("Reciprocal", [s])[0]
-        self.bind(eqn.outvars[0], out)
+        self._bind_broadcasting(eqn, out, eqn.invars)
+
+    def _p_is_finite(self, eqn):
+        # isfinite = not (isinf or isnan); ONNX has no IsFinite op.
+        x = self.name_of(eqn.invars[0])
+        inf = self.node("IsInf", [x])[0]
+        nan = self.node("IsNaN", [x])[0]
+        bad = self.node("Or", [inf, nan])[0]
+        out = self.node("Not", [bad])[0]
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     def _p_integer_pow(self, eqn):
         x = self.name_of(eqn.invars[0])
@@ -220,12 +262,12 @@ class _Exporter:
         else:
             p = self.add_init(np.float32(y))
             out = self.node("Pow", [x, p])[0]
-        self.bind(eqn.outvars[0], out)
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     def _p_clamp(self, eqn):
         lo, x, hi = [self.name_of(a) for a in eqn.invars]
         out = self.node("Clip", [x, lo, hi])[0]
-        self.bind(eqn.outvars[0], out)
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     def _p_select_n(self, eqn):
         # select_n(pred, on_false, on_true) -> Where(pred, on_true, on_false)
@@ -233,15 +275,15 @@ class _Exporter:
             raise ExportError("select_n with >2 cases")
         pred, f, t = [self.name_of(a) for a in eqn.invars]
         out = self.node("Where", [pred, t, f])[0]
-        self.bind(eqn.outvars[0], out)
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     def _p_stop_gradient(self, eqn):
-        self.bind(eqn.outvars[0],
-                  self.node("Identity", [self.name_of(eqn.invars[0])])[0])
+        out = self.node("Identity", [self.name_of(eqn.invars[0])])[0]
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     def _p_copy(self, eqn):
-        self.bind(eqn.outvars[0],
-                  self.node("Identity", [self.name_of(eqn.invars[0])])[0])
+        out = self.node("Identity", [self.name_of(eqn.invars[0])])[0]
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     def _p_convert_element_type(self, eqn):
         dt = np.dtype(eqn.params["new_dtype"])
@@ -256,10 +298,10 @@ class _Exporter:
         if self.is_initializer(src):
             arr = self.get_init(src).astype(dt if dt != np.float64
                                             else np.float32)
-            self.bind(eqn.outvars[0], self.add_init(arr))
+            self._bind_broadcasting(eqn, self.add_init(arr), eqn.invars)
             return
         out = self.node("Cast", [src], to=onnx_dt)[0]
-        self.bind(eqn.outvars[0], out)
+        self._bind_broadcasting(eqn, out, eqn.invars)
 
     # shape ops ----------------------------------------------------------
     def _p_reshape(self, eqn):
@@ -281,7 +323,10 @@ class _Exporter:
         in_aval = eqn.invars[0].aval
         out_shape = tuple(int(s) for s in eqn.params["shape"])
         bdims = tuple(int(d) for d in eqn.params["broadcast_dimensions"])
-        src = self.name_of(eqn.invars[0])
+        # name_full: a broadcast-of-a-deferred-broadcast must materialize
+        # the inner Expand first, or the Reshape below would see the mid
+        # shape instead of in_aval's.
+        src = self.name_full(eqn.invars[0])
 
         # Reshape to insert singleton dims at the broadcast positions, then
         # Expand only if sizes actually grow on a non-right-aligned pattern.
@@ -304,6 +349,7 @@ class _Exporter:
         self.bind(eqn.outvars[0], src)
         if tuple(mid_shape) != out_shape:
             self._deferred_expand[eqn.outvars[0]] = out_shape
+            self._actual_shape[eqn.outvars[0]] = tuple(mid_shape)
 
     def _p_pad(self, eqn):
         cfg = eqn.params["padding_config"]

@@ -143,8 +143,12 @@ def _entry_matches_layer(entry: Dict[str, Any], layer_name: str) -> bool:
 
 
 def _fit_conv_kernel(w: np.ndarray, want: Tuple[int, ...]) -> np.ndarray:
-    """ONNX ``(O, I|1, kH, kW)`` -> Flax ``(kH, kW, I|1, O)``; accept kernels
-    already in the target layout (exporter-folded transposes)."""
+    """ONNX ``(O, I|1, kH, kW)`` -> Flax ``(kH, kW, I|1, O)``; fall back to
+    accepting kernels already in the target HWIO layout (non-conformant
+    exporters). The OIHW interpretation is deliberately tried FIRST: the
+    ONNX spec mandates OIHW for Conv weights, so when a kernel's shape is
+    symmetric under both readings (requires O==I==kH==kW — absent from real
+    CNNs) the spec-conformant layout wins."""
     if w.ndim == 4 and w.transpose(2, 3, 1, 0).shape == tuple(want):
         return w.transpose(2, 3, 1, 0)
     if w.shape == tuple(want):

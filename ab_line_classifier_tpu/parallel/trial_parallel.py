@@ -324,7 +324,6 @@ class ParallelFoldTrainer:
         :param checkpoint_dir: if set, the full stacked state checkpoints
             every epoch; ``resume=True`` restores and continues exactly.
         """
-        import os
         F = self.n_folds
         frames = jnp.asarray(frames_u8)
         labels_d = jnp.asarray(labels.astype(np.int32))

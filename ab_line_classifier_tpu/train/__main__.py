@@ -25,8 +25,14 @@ def main():
                    help="checkpoint the full train state here every epoch "
                         "(single_train and the trial-parallel variants)")
     p.add_argument("--resume", action="store_true",
-                   help="restore from --checkpoint-dir (default: "
-                        "<MODEL_WEIGHTS>/_resume/<experiment>) and continue")
+                   help="continue an interrupted run: restore the per-epoch "
+                        "checkpoint (single_train / trial-parallel; from "
+                        "--checkpoint-dir, default <MODEL_WEIGHTS>/_resume/"
+                        "<experiment>) or skip completed trials/folds "
+                        "(serial hparam_search / cross_validation)")
+    p.add_argument("--sweep-id", default=None,
+                   help="name of the serial sweep / k-fold run to create or "
+                        "resume (default on --resume: the most recent one)")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -34,7 +40,7 @@ def main():
                      save_weights=not args.no_save_weights,
                      trial_parallel=args.trial_parallel,
                      checkpoint_dir=args.checkpoint_dir,
-                     resume=args.resume)
+                     resume=args.resume, sweep_id=args.sweep_id)
 
 
 if __name__ == "__main__":

@@ -281,14 +281,29 @@ def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
     return float(value) if goal == "maximize" else -float(value)
 
 
+def _latest_trials_file(cfg: Config, prefix: str) -> Optional[str]:
+    """Most recently modified ``EXPERIMENTS/{prefix}-*.jsonl`` group id, or
+    None. Lets ``--resume`` pick up an interrupted serial sweep/k-fold run
+    without the caller having to remember the generated id."""
+    import glob
+    paths = glob.glob(os.path.join(cfg["PATHS"]["EXPERIMENTS"],
+                                   f"{prefix}-*.jsonl"))
+    if not paths:
+        return None
+    latest = max(paths, key=os.path.getmtime)
+    return os.path.splitext(os.path.basename(latest))[0]
+
+
 def hparam_search(cfg: Config, save_weights: bool = False,
                   verbose: bool = True,
-                  sweep_id: Optional[str] = None) -> Dict[str, Any]:
+                  sweep_id: Optional[str] = None,
+                  resume: bool = False) -> Dict[str, Any]:
     """Reference ``hparam_search`` (train.py:353-364) with a local controller.
 
-    Trials persist to ``EXPERIMENTS/sweep_{id}.jsonl`` as they complete, so
+    Trials persist to ``EXPERIMENTS/{sweep_id}.jsonl`` as they complete, so
     an interrupted sweep resumes by rerunning with the same ``sweep_id`` —
     completed trials feed the controller as observations and are skipped.
+    ``resume=True`` without an id resumes the most recent sweep, if any.
     """
     import json
 
@@ -297,6 +312,11 @@ def hparam_search(cfg: Config, save_weights: bool = False,
     controller = make_controller(search["METHOD"], space,
                                  seed=int(cfg["TRAIN"]["SEED"]))
     n_evals = int(search["N_EVALS"])
+    if sweep_id is None and resume:
+        sweep_id = _latest_trials_file(cfg, "sweep")
+        if sweep_id is None:
+            print("hparam_search --resume: no previous sweep trials file "
+                  "found; starting a new sweep")
     group = sweep_id or f"sweep-{time.strftime('%Y%m%d-%H%M%S')}"
     os.makedirs(cfg["PATHS"]["EXPERIMENTS"], exist_ok=True)
     trials_path = os.path.join(cfg["PATHS"]["EXPERIMENTS"],
@@ -450,6 +470,12 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
                        cfg.n_classes, mixed_precision=mixed, **build_kwargs)
 
     cls_w = class_weight_array(train_df, cfg.n_classes)
+    # Same log-odds head-bias init as every serial run (reference
+    # train.py:71-81,233-234) — all trials share the train split, so the
+    # prior is identical per trial but must not be omitted: without it each
+    # trial spends early epochs relearning the class prior and the sweep
+    # selects an LR for a different init than the final run will use.
+    bias = output_bias_array(train_df, cfg.n_classes)
 
     if phase_vars is None:
         lr_factors = trial_lrs["LR"] / float(hparams["LR"])
@@ -460,6 +486,7 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
 
     trainer = ParallelFoldTrainer(
         spec, T, class_weights=np.tile(cls_w, (T, 1)),
+        output_biases=np.tile(bias, (T, 1)),
         aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
         seed=int(cfg["TRAIN"]["SEED"]),
         compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
@@ -600,14 +627,32 @@ def cross_validation_parallel(cfg: Config, mesh=None, verbose: bool = True,
 
 
 def cross_validation(cfg: Config, save_weights: bool = False,
-                     verbose: bool = True) -> pd.DataFrame:
+                     verbose: bool = True, group: Optional[str] = None,
+                     resume: bool = False) -> pd.DataFrame:
     """Reference ``cross_validation`` (train.py:365-368): one run per fold,
-    plus the legacy mean/std metrics summary CSV
-    (train_legacy.py:417-509)."""
+    plus the legacy mean/std metrics summary CSV (train_legacy.py:417-509).
+
+    Fold results persist to ``EXPERIMENTS/{group}.jsonl`` as they complete;
+    ``resume=True`` picks up the most recent interrupted run (or the named
+    ``group``) and skips the folds already done."""
+    import json
+
     n_folds = int(cfg["TRAIN"]["N_FOLDS"])
-    group = f"kfold-{time.strftime('%Y%m%d-%H%M%S')}"
+    if group is None and resume:
+        group = _latest_trials_file(cfg, "kfold")
+        if group is None:
+            print("cross_validation --resume: no previous fold results file "
+                  "found; starting a new run")
+    group = group or f"kfold-{time.strftime('%Y%m%d-%H%M%S')}"
+    os.makedirs(cfg["PATHS"]["EXPERIMENTS"], exist_ok=True)
+    folds_path = os.path.join(cfg["PATHS"]["EXPERIMENTS"], f"{group}.jsonl")
     rows = []
-    for fold_id in range(n_folds):
+    if os.path.isfile(folds_path):
+        with open(folds_path) as f:
+            rows = [json.loads(line) for line in f]
+        if verbose and rows:
+            print(f"resuming k-fold run {group}: {len(rows)} folds done")
+    for fold_id in range(len(rows), n_folds):
         if verbose:
             print(f"=== fold {fold_id}/{n_folds}")
         result = perform_single_run(cfg, fold_id=fold_id,
@@ -617,6 +662,8 @@ def cross_validation(cfg: Config, save_weights: bool = False,
         row.update({k: v for k, v in result.test_metrics.items()
                     if not isinstance(v, list)})
         rows.append(row)
+        with open(folds_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
     df = pd.DataFrame(rows)
     stats = df.drop(columns=["fold"]).agg(["mean", "std"])
     summary = pd.concat([df, stats.reset_index().rename(
@@ -644,7 +691,7 @@ def train_experiment(cfg: Config, experiment: Optional[str] = None,
                      save_weights: bool = False, verbose: bool = True,
                      trial_parallel: bool = False,
                      checkpoint_dir: Optional[str] = None,
-                     resume: bool = False):
+                     resume: bool = False, sweep_id: Optional[str] = None):
     """The dispatcher (reference train.py:343-371).
 
     ``trial_parallel=True`` selects the SPMD variants: all folds (or all LR
@@ -653,9 +700,9 @@ def train_experiment(cfg: Config, experiment: Optional[str] = None,
     ``checkpoint_dir`` enables per-epoch mid-training checkpoints for the
     experiment types that train one (possibly stacked) model —
     single_train and both trial-parallel variants; ``resume=True`` restores
-    from it and continues exactly. The serial sweep types are resumable at
-    trial granularity instead (``hparam_search`` reruns with the same
-    ``sweep_id`` and skips completed trials).
+    from it and continues exactly. The serial sweep types resume at trial/
+    fold granularity: ``resume=True`` picks up the most recent interrupted
+    sweep or k-fold run (``sweep_id`` names a specific one).
     """
     experiment = experiment or cfg["TRAIN"]["EXPERIMENT_TYPE"]
     if resume and checkpoint_dir is None:
@@ -671,7 +718,8 @@ def train_experiment(cfg: Config, experiment: Optional[str] = None,
                                       verbose=verbose,
                                       checkpoint_dir=checkpoint_dir,
                                       resume=resume)
-        return hparam_search(cfg, save_weights=save_weights, verbose=verbose)
+        return hparam_search(cfg, save_weights=save_weights, verbose=verbose,
+                             sweep_id=sweep_id, resume=resume)
     if experiment == "cross_validation":
         if trial_parallel:
             return cross_validation_parallel(cfg, mesh=_mesh_from_config(cfg),
@@ -679,6 +727,7 @@ def train_experiment(cfg: Config, experiment: Optional[str] = None,
                                              checkpoint_dir=checkpoint_dir,
                                              resume=resume)
         return cross_validation(cfg, save_weights=save_weights,
-                                verbose=verbose)
+                                verbose=verbose, group=sweep_id,
+                                resume=resume)
     raise ValueError(
         "Invalid entry in TRAIN > EXPERIMENT_TYPE field of config.yml.")

@@ -106,6 +106,16 @@ def evaluate(model, feeds: Dict[str, np.ndarray],
             out = np.where(ins[0], ins[1], ins[2])
         elif op == "Identity":
             out = ins[0]
+        elif op == "IsInf":
+            out = np.isinf(ins[0])
+        elif op == "IsNaN":
+            out = np.isnan(ins[0])
+        elif op == "Or":
+            out = np.logical_or(ins[0], ins[1])
+        elif op == "And":
+            out = np.logical_and(ins[0], ins[1])
+        elif op == "Not":
+            out = np.logical_not(ins[0])
         elif op == "Cast":
             out = ins[0].astype(_CAST[int(attrs["to"])])
         elif op == "Reshape":
@@ -117,8 +127,8 @@ def evaluate(model, feeds: Dict[str, np.ndarray],
         elif op == "Pad":
             pads = [int(p) for p in ins[1]]
             n = ins[0].ndim
-            cval = float(ins[2]) if len(ins) > 2 and ins[2] is not None \
-                else 0.0
+            cval = (float(np.asarray(ins[2]).reshape(-1)[0])
+                    if len(ins) > 2 and ins[2] is not None else 0.0)
             width = [(pads[i], pads[i + n]) for i in range(n)]
             out = np.pad(ins[0], width, constant_values=cval)
         elif op == "Concat":

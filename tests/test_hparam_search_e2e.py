@@ -74,3 +74,56 @@ def test_hparam_search_resume_skips_done_trials(sweep_cfg):
     after = len(glob.glob(ws + "/results/runs/*"))
     assert len(out["trials"]) == 3
     assert after == before
+
+
+def test_hparam_search_resume_without_id_picks_latest(sweep_cfg):
+    """``--resume`` with no --sweep-id resumes the most recent sweep —
+    previously a silent restart-from-trial-0."""
+    ws, cfg = sweep_cfg
+    from ab_line_classifier_tpu.train.experiment import hparam_search
+
+    before = len(glob.glob(ws + "/results/runs/*"))
+    out = hparam_search(cfg, verbose=False, resume=True)
+    after = len(glob.glob(ws + "/results/runs/*"))
+    assert len(out["trials"]) == 3
+    assert after == before  # completed trials were reused, none re-ran
+
+
+def test_cross_validation_resume_skips_done_folds(sweep_cfg, monkeypatch):
+    """Serial cross_validation persists per-fold results and --resume picks
+    up the most recent run, skipping completed folds (fold-granular resume,
+    matching the sweep semantics)."""
+    import pandas as pd
+
+    from ab_line_classifier_tpu.train import experiment as E
+
+    ws, cfg = sweep_cfg
+    d = cfg.to_dict()
+    d["TRAIN"]["N_FOLDS"] = 3
+    cfg3 = Config(d)
+
+    calls = []
+    die_on_fold = [1]
+
+    class _Interrupted(Exception):
+        pass
+
+    def fake_run(cfg_, fold_id=None, **kw):
+        calls.append(fold_id)
+        if fold_id in die_on_fold:
+            raise _Interrupted  # die mid-run in fold 1 (first pass only)
+        return E.RunResult(test_metrics={"accuracy": 0.5 + 0.1 * fold_id},
+                           history=[], model_dir=None, best_val={})
+
+    monkeypatch.setattr(E, "perform_single_run", fake_run)
+    with pytest.raises(_Interrupted):
+        E.cross_validation(cfg3, verbose=False, group="kfold-resume-test")
+    assert calls == [0, 1]  # fold 0 completed + persisted, fold 1 died
+
+    calls.clear()
+    die_on_fold.clear()
+    summary = E.cross_validation(cfg3, verbose=False, resume=True)
+    assert calls == [1, 2]  # fold 0 skipped; latest run auto-selected
+    folds = summary[summary["fold"].isin([0, 1, 2])]
+    assert len(folds) == 3
+    assert pd.notna(folds["accuracy"]).all()

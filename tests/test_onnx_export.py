@@ -199,6 +199,81 @@ def test_export_import_roundtrip_batchnorm(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+class _FnSpec:
+    """Minimal spec-like wrapper to export an arbitrary jax function."""
+
+    def __init__(self, fn, input_shape):
+        self.input_shape = input_shape
+        self._fn = fn
+
+    def module(self):
+        fn = self._fn
+
+        class _M:
+            @staticmethod
+            def apply(v, x, train=False):
+                return fn(v, x)
+
+        return _M()
+
+
+def test_deferred_expand_propagates_through_elementwise(tmp_path):
+    """An op whose operands are ALL deferred broadcasts yields an
+    under-sized ONNX tensor unless the deferral propagates to its output —
+    a later reduction would then silently compute 1*(u+w) instead of
+    B*H*(u+w)."""
+    u = np.arange(4, dtype=np.float32) + 1.0
+    w = np.arange(4, dtype=np.float32) * 0.5
+
+    def fn(v, x):
+        a = jnp.broadcast_to(v["params"]["p"]["u"], (2, 3, 4))
+        b = jnp.broadcast_to(v["params"]["p"]["w"], (2, 3, 4))
+        return jnp.sum(a + b, axis=(0, 1)) + 0.0 * jnp.sum(x)
+
+    spec = _FnSpec(fn, (4,))
+    v = {"params": {"p": {"u": jnp.asarray(u), "w": jnp.asarray(w)}}}
+    path = str(tmp_path / "deferred.onnx")
+    export_onnx(spec, v, path, batch_size=1)
+    x = np.zeros((1, 4), np.float32)
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, 6.0 * (u + w), atol=1e-5)
+
+
+def test_deferred_expand_survives_unary_ops(tmp_path):
+    """Unary elementwise ops (Neg/Identity/Cast) keep a deferred broadcast
+    deferred; a non-broadcasting consumer (Reshape) must still see the full
+    shape."""
+    u = np.arange(4, dtype=np.float32)
+
+    def fn(v, x):
+        a = -jnp.broadcast_to(v["params"]["p"]["u"], (2, 4))
+        return jnp.reshape(a, (8,)) + 0.0 * jnp.sum(x)
+
+    spec = _FnSpec(fn, (4,))
+    v = {"params": {"p": {"u": jnp.asarray(u)}}}
+    path = str(tmp_path / "unary.onnx")
+    export_onnx(spec, v, path, batch_size=1)
+    x = np.zeros((1, 4), np.float32)
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, np.tile(-u, 2), atol=1e-6)
+
+
+def test_is_finite_exports_correctly(tmp_path):
+    """lax.is_finite lowers to Not(Or(IsInf, IsNaN)) — a plain IsInf mapping
+    would compute nearly the inverse (keep infinities, zero finite values)."""
+
+    def fn(v, x):
+        return jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+
+    spec = _FnSpec(fn, (4,))
+    path = str(tmp_path / "isfinite.onnx")
+    export_onnx(spec, {"params": {}}, path, batch_size=1)
+    x = np.array([[1.0, np.inf, np.nan, -2.5]], np.float32)
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_array_equal(got, np.array([[1.0, 0.0, 0.0, -2.5]],
+                                                np.float32))
+
+
 def test_partial_onnx_import_warns(tmp_path):
     """Stripping a layer's named initializers from the file makes the import
     incomplete — that must WARN, not silently serve fresh-init weights."""

@@ -197,6 +197,50 @@ def test_output_bias_init_stacked():
     assert jax.tree.leaves(params)[0].shape[0] == 2
 
 
+def test_lr_search_parallel_passes_output_bias(tmp_path, monkeypatch):
+    """Every LR trial gets the same log-odds head-bias init the serial runs
+    use (reference train.py:71-81,233-234) — without it the sweep optimizes
+    an LR for a different model init than the final training run."""
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.train import experiment as E
+
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=10,
+                                        clips_per_patient=2,
+                                        frames_per_clip=3, hw=(32, 32),
+                                        seed=7)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(repo, "config.yml")).to_dict()
+    d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
+                       "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
+                       "EXPERIMENTS": ws + "/results/experiments/",
+                       "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/"})
+    d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    d["DATA"]["IMG_DIM"] = [32, 32]
+    d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 1, "BATCH_SIZE": 16,
+                       "PATIENCE": 5, "MIXED_PRECISION": False})
+    d["TRAIN"]["HPARAM_SEARCH"]["N_EVALS"] = 2
+    d["HPARAMS"]["CNN0"].update(BLOCKS=1, INIT_FILTERS=4, NODES_DENSE0=8)
+    d["HPARAM_SEARCH"]["CNN0"] = {
+        "LR": {"TYPE": "float_log", "RANGE": [1e-4, 1e-2]}}
+    cfg = Config(d)
+
+    captured = {}
+    real_init = ParallelFoldTrainer.__init__
+
+    def spy(self, *a, **kw):
+        captured["output_biases"] = kw.get("output_biases")
+        return real_init(self, *a, **kw)
+
+    monkeypatch.setattr(ParallelFoldTrainer, "__init__", spy)
+    E.lr_search_parallel(cfg, verbose=False)
+    ob = captured["output_biases"]
+    assert ob is not None and ob.shape == (2, 2)
+    assert np.isfinite(ob).all()
+    # all trials share the train split -> identical per-trial priors
+    np.testing.assert_array_equal(ob[0], ob[1])
+
+
 def test_cross_validation_parallel_passes_fold_biases(tmp_path, monkeypatch):
     """cross_validation_parallel wires per-fold output biases through to the
     ParallelFoldTrainer (each fold's own class histogram)."""

@@ -135,6 +135,28 @@ def test_fetch_k_fold_override_precedence(tmp_path, wandb_world):
     assert meta["val_split"] == 0.34 and meta["random_seed"] == 42
 
 
+def test_pinned_images_fetch_is_memoized(tmp_path, wandb_world):
+    """Re-walking a lineage whose Images version is pinned must serve the
+    already-materialized local version instead of re-downloading and
+    proliferating duplicate store versions; 'latest' always re-checks."""
+    api, _ = wandb_world
+    store = ArtifactStore(str(tmp_path / "store"))
+    fetcher = WandbArtifactFetcher(store, api=api)
+
+    fetcher.fetch_train_val_test()  # pins Images:v3 via the lineage walk
+    n_before = len(store.versions("Images"))
+    assert api.requested.count("Images:v3") == 1
+
+    fetcher.fetch_train_val_test()  # same lineage again
+    assert api.requested.count("Images:v3") == 1       # not re-downloaded
+    assert len(store.versions("Images")) == n_before   # no duplicate version
+
+    # unpinned 'latest' is never memoized (it can move upstream)
+    fetcher.fetch_images("latest")
+    fetcher.fetch_images("latest")
+    assert api.requested.count("Images:latest") == 2
+
+
 def test_project_prefix_and_missing_wandb(tmp_path, wandb_world):
     api, _ = wandb_world
 
