@@ -88,6 +88,40 @@ def fold_train_val_test(folds: List[pd.DataFrame], fold_id: int,
     return train_df, val_df, test_df
 
 
+def partition_dataset(frames_df: pd.DataFrame, val_split: float,
+                      test_split: float, partitions_dir: str = None,
+                      save_dfs: bool = True, random_seed: int = None
+                      ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Legacy local partitioner (reference ``train_legacy.py:209-236``):
+    plain random split of the unique patient_id list — grouped but NOT
+    stratified, unlike :func:`train_val_test_split` — with the same
+    relative-val arithmetic and the ``train_set.csv`` / ``val_set.csv`` /
+    ``test_set.csv`` file contract under PATHS.PARTITIONS."""
+    from sklearn.model_selection import train_test_split
+
+    all_pts = np.asarray(frames_df[PATIENT_ID].unique())
+    relative_val_split = val_split / (1.0 - test_split)
+    trainval_pts, test_pts = train_test_split(
+        all_pts, test_size=test_split, random_state=random_seed)
+    train_pts, val_pts = train_test_split(
+        trainval_pts, test_size=relative_val_split, random_state=random_seed)
+
+    train_df = frames_df[frames_df[PATIENT_ID].isin(train_pts)]
+    val_df = frames_df[frames_df[PATIENT_ID].isin(val_pts)]
+    test_df = frames_df[frames_df[PATIENT_ID].isin(test_pts)]
+
+    if save_dfs:
+        if not partitions_dir:
+            raise ValueError("save_dfs=True needs partitions_dir "
+                             "(PATHS.PARTITIONS)")
+        import os
+        os.makedirs(partitions_dir, exist_ok=True)
+        for name, df in (("train_set", train_df), ("val_set", val_df),
+                         ("test_set", test_df)):
+            df.to_csv(os.path.join(partitions_dir, f"{name}.csv"))
+    return train_df, val_df, test_df
+
+
 def generate_clips_table_subset(clips_df: pd.DataFrame,
                                 frames_df: pd.DataFrame) -> pd.DataFrame:
     """Subset the clips table to clips whose id appears in a frames subset

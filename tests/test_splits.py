@@ -62,3 +62,28 @@ def test_clips_table_subset():
     clips = pd.DataFrame({"id": range(10), "filename": [f"c{i}" for i in range(10)]})
     sub = S.generate_clips_table_subset(clips, frames[frames["id"] < 3])
     assert set(sub["id"]) == {0, 1, 2}
+
+
+def test_partition_dataset_legacy(tmp_path):
+    """Legacy per-patient random partitioner (reference
+    train_legacy.py:209-236): grouped by patient, relative val arithmetic,
+    train/val/test_set.csv contract under PARTITIONS."""
+    import os
+
+    df = _frames_df()
+    tr, va, te = S.partition_dataset(df, val_split=0.2, test_split=0.2,
+                                     partitions_dir=str(tmp_path),
+                                     random_seed=7)
+    assert len(tr) + len(va) + len(te) == len(df)
+    assert S.leakage_check(tr, va, te)
+    for name in ("train_set", "val_set", "test_set"):
+        assert os.path.isfile(tmp_path / f"{name}.csv")
+    # ~20% of 20 patients in test, ~20% in val (patient-count split)
+    assert te["patient_id"].nunique() == 4
+    assert va["patient_id"].nunique() == 4
+    # deterministic given seed
+    tr2, va2, te2 = S.partition_dataset(df, 0.2, 0.2, save_dfs=False,
+                                        random_seed=7)
+    assert list(te2["Frame Path"]) == list(te["Frame Path"])
+    with pytest.raises(ValueError, match="partitions_dir"):
+        S.partition_dataset(df, 0.2, 0.2, save_dfs=True)
