@@ -1,0 +1,82 @@
+"""Smoke tests for the benchmark harness and profiling utilities.
+
+These are the round-tracking measurement tools (successors to the
+reference's ``clock_avg_runtime``, reference ``src/predict.py:425-448``) —
+they must keep running on any backend even though their *numbers* only mean
+something on the TPU. Tiny shapes / iteration counts keep this fast on CPU.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.models import build_model
+from ab_line_classifier_tpu.predict.benchmark import (
+    clip_inference_benchmark, clock_avg_runtime,
+    training_throughput_benchmark)
+from ab_line_classifier_tpu.utils.profiling import StepTimer, annotate, trace
+
+TINY_CNN0 = {"LR": 1e-3, "DROPOUT": 0.35, "L2_LAMBDA": 1e-4,
+             "NODES_DENSE0": 8, "KERNEL_SIZE": 3, "STRIDES": 1,
+             "MAXPOOL_SIZE": 2, "BLOCKS": 1, "INIT_FILTERS": 4,
+             "FILTER_EXP_BASE": 2}
+
+
+def _tiny_spec(img=(32, 32)):
+    return build_model("cnn0", TINY_CNN0, img + (3,), 2,
+                       mixed_precision=False)
+
+
+def test_clock_avg_runtime_smoke():
+    spec = _tiny_spec()
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    mean_ms, std_ms = clock_avg_runtime(n_warmup_runs=1, n_experiment_runs=3,
+                                        img_dim=(32, 32), spec=spec,
+                                        variables=v, verbose=False)
+    assert mean_ms > 0 and std_ms >= 0
+
+
+def test_clip_inference_benchmark_smoke():
+    spec = _tiny_spec()
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    r = clip_inference_benchmark(batch_size=8, img_dim=(32, 32),
+                                 n_warmup=1, n_iters=2, spec=spec,
+                                 variables=v, verbose=False)
+    assert r["frames_per_sec"] > 0
+    assert r["batch_size"] == 8
+    assert r["ms_per_batch"] > 0
+
+
+def test_training_throughput_benchmark_smoke():
+    r = training_throughput_benchmark(model_name="cnn0", batch_size=8,
+                                      img_dim=(32, 32), n_warmup=1,
+                                      n_iters=2, verbose=False)
+    assert r["train_frames_per_sec"] > 0
+
+
+def test_step_timer_discards_warmup():
+    t = StepTimer(warmup=2)
+    for i in range(5):
+        with t:
+            pass
+    assert len(t.times) == 3
+    s = t.summary()
+    assert s["steps"] == 3 and s["mean_ms"] >= 0 and s["p95_ms"] >= s["p50_ms"]
+    assert StepTimer(warmup=2).summary() == {}  # short run -> empty, not lies
+
+
+def test_trace_context_writes_profile(tmp_path):
+    import jax.numpy as jnp
+
+    log_dir = str(tmp_path / "profiles")
+    with trace(log_dir):
+        with annotate("tiny-matmul"):
+            np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    # jax.profiler writes a plugins/profile/<ts>/ tree
+    found = []
+    for root, _, files in os.walk(log_dir):
+        found += [f for f in files if f.endswith((".trace.json.gz", ".pb",
+                                                  ".xplane.pb"))]
+    assert found, f"no trace artifacts under {log_dir}"
