@@ -118,7 +118,12 @@ class FrameDataset:
         all_paths = self.paths
         all_labels = self.labels  # hoisted: one pandas->numpy conversion
 
-        def make_batch(idxs: np.ndarray) -> Batch:
+        def make_batch(idxs: np.ndarray, n_valid: int) -> Batch:
+            # Rows >= n_valid are wraparound duplicates of the epoch's own
+            # frames (mask 0): excluded from loss/metrics, but trainable-BN
+            # batch statistics see real images instead of zeros — the same
+            # policy as DeviceCachedDataset and the trial-parallel index
+            # tables, and far closer to Keras's ragged final batch.
             b = len(idxs)
             h, w = self.img_dim
             images = np.zeros((batch_size, h, w, 3), np.uint8)
@@ -133,21 +138,25 @@ class FrameDataset:
                     self.resize_mode, out=images[:b])
                 for j, ri in enumerate(idxs):
                     labels[j] = lab[ri]
-                    mask[j] = 1.0
-                    indices[j] = ri
             else:
                 for j, ri in enumerate(idxs):
                     images[j] = self.load_frame(int(ri))
                     labels[j] = lab[ri]
-                    mask[j] = 1.0
-                    indices[j] = ri
+            mask[:n_valid] = 1.0
+            indices[:n_valid] = idxs[:n_valid]
             return Batch(images, labels, mask, indices)
 
-        chunks = [order[i:i + batch_size]
-                  for i in range(0, len(order), batch_size)]
+        chunks = []
+        for i in range(0, len(order), batch_size):
+            c = order[i:i + batch_size]
+            n_valid = len(c)
+            if 0 < n_valid < batch_size:
+                c = np.concatenate(
+                    [c, np.resize(order, batch_size - n_valid)])
+            chunks.append((np.asarray(c), n_valid))
         if prefetch <= 0:
-            for c in chunks:
-                yield make_batch(c)
+            for c, nv in chunks:
+                yield make_batch(c, nv)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -167,10 +176,10 @@ class FrameDataset:
 
         def producer():
             try:
-                for c in chunks:
+                for c, nv in chunks:
                     if stop.is_set():
                         return
-                    if not put_or_stop(make_batch(c)):
+                    if not put_or_stop(make_batch(c, nv)):
                         return
             except Exception as e:  # surface decode errors to the consumer
                 put_or_stop(e)
@@ -241,12 +250,13 @@ class DeviceCachedDataset:
         self._n = len(ds)
 
         def gather(frames, labels_d, idx, mask):
+            # Padded index positions hold wraparound duplicates of the
+            # epoch's own frames (epoch_index_table), matching the host
+            # pipeline: masked out of loss/metrics, real images in
+            # trainable-BN batch statistics.
+            del mask
             images = jnp.take(frames, idx, axis=0)
             lbs = jnp.take(labels_d, idx, axis=0)
-            # Zero padded rows + labels like the host pipeline (identical
-            # partial-batch BN statistics, identical Batch contract).
-            images = jnp.where(mask[:, None, None, None] > 0, images, 0)
-            lbs = jnp.where(mask > 0, lbs, 0)
             return images, lbs
 
         self._gather = jax.jit(gather)
@@ -282,7 +292,9 @@ class DeviceCachedDataset:
             np.random.RandomState(seed).shuffle(order)
         nb = -(-self._n // batch_size)
         pad = nb * batch_size - self._n
-        idx = np.concatenate([order, np.zeros(pad, np.int32)])
+        # Wraparound padding (real frames from this epoch's order) — see
+        # the gather() note and FrameDataset.batches().
+        idx = np.concatenate([order, np.resize(order, pad)]) if pad else order
         mask = np.concatenate([np.ones(self._n, np.float32),
                                np.zeros(pad, np.float32)])
         return (idx.reshape(nb, batch_size), mask.reshape(nb, batch_size))

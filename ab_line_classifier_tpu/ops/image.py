@@ -74,7 +74,8 @@ def fused_preprocess(frames: jax.Array, *, out_hw: Tuple[int, int] = (128, 128),
     the 50x160 top-left UI box exactly like on-device inference does
     (reference ``deploy.py:56``).
     """
-    if frames.ndim == 3:
+    squeeze = frames.ndim == 3
+    if squeeze:
         frames = frames[None]
     x = frames
     if blank_ui_region:
@@ -102,4 +103,8 @@ def fused_preprocess(frames: jax.Array, *, out_hw: Tuple[int, int] = (128, 128),
 
     x = x.astype(jnp.float32)
     x = x * jnp.asarray(scale) + jnp.asarray(bias)
-    return x.astype(out_dtype)
+    x = x.astype(out_dtype)
+    # 3-D input -> 3-D output, matching nearest_resize and the Pallas path
+    # (preprocess_pallas squeezes too) so single-frame callers get the same
+    # rank on every backend.
+    return x[0] if squeeze else x

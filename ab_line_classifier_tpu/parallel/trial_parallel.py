@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ab_line_classifier_tpu.data.augment import affine_params_from_config, augment_batch
+from ab_line_classifier_tpu.data.augment import affine_params_from_config
+from ab_line_classifier_tpu.train import objective
 from ab_line_classifier_tpu.models.common import ModelSpec, TrainPhase
 from ab_line_classifier_tpu.models.preprocess import get_preprocess_fn
 from ab_line_classifier_tpu.ops import metrics as M
@@ -39,12 +40,23 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 def pad_index_table(index_lists: List[np.ndarray],
                     pad_to: Optional[int] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Ragged per-fold index lists -> padded [F, N] table + validity mask."""
+    """Ragged per-fold index lists -> padded [F, N] table + validity mask.
+
+    Padding positions cycle each fold's OWN indices (wraparound) instead of
+    a zero sentinel: padded rows are masked out of loss/metrics either way,
+    but they do enter trainable-BatchNorm batch statistics — a short fold
+    padded to the longest fold with zero images would drift its BN moving
+    stats toward all-zero statistics (serial training never sees more than
+    one batch's worth of padding). Duplicated real frames keep the
+    statistics honest and fold-local."""
     n = pad_to or max(len(ix) for ix in index_lists)
     table = np.zeros((len(index_lists), n), np.int32)
     mask = np.zeros((len(index_lists), n), np.float32)
     for f, ix in enumerate(index_lists):
         table[f, :len(ix)] = ix
+        if 0 < len(ix) < n:
+            reps = np.tile(ix, -(-(n - len(ix)) // len(ix)))
+            table[f, len(ix):] = reps[:n - len(ix)]
         mask[f, :len(ix)] = 1.0
     return table, mask
 
@@ -80,42 +92,17 @@ class ParallelFoldTrainer:
     # ------------------------------------------------------------------
     def _loss(self, params, batch_stats, x, labels_oh, mask, class_w, rng,
               train: bool):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        if train:
-            if batch_stats:
-                out, new_state = self.module.apply(
-                    variables, x, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng})
-            else:
-                out = self.module.apply(variables, x, train=True,
-                                        rngs={"dropout": rng})
-                new_state = {}
-        else:
-            out = self.module.apply(variables, x, train=False)
-            new_state = {}
-        logits, caps = (out if self.reg_layers else (out, {}))
-        logits = logits.astype(jnp.float32)
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
-        per_ex = -jnp.sum(labels_oh * log_probs, axis=-1)
-        # Keras loss semantics: class-weighted CE in training (val loss
-        # unweighted) + activity regularization in both (see train/loop.py).
-        w = jnp.sum(labels_oh * class_w, axis=-1) if train else 1.0
-        per_ex_total = per_ex * w
-        for name, lam in zip(self.reg_layers, self.reg_lambdas):
-            a = caps[name].astype(jnp.float32)
-            per_ex_total = per_ex_total + lam * jnp.sum(
-                a * a, axis=tuple(range(1, a.ndim)))
-        denom = jnp.maximum(jnp.sum(mask), 1.0)
-        loss = jnp.sum(per_ex_total * mask) / denom
-        return loss, (jax.nn.softmax(logits, -1), per_ex_total, new_state)
+        # Keras loss semantics shared with the serial Trainer
+        # (train/objective.py) — per-fold class_w is an argument here
+        # instead of loop.py's closure constant.
+        return objective.forward_loss(
+            self.module, self.reg_layers, self.reg_lambdas, params,
+            batch_stats, x, labels_oh, mask, class_w, rng, train)
 
     def _prepare(self, images_u8, rng, train: bool):
-        x = images_u8.astype(jnp.float32)
-        if train and self.aug_params:
-            x = augment_batch(x, rng, **self.aug_params)
-        return self.preprocess_fn(x).astype(self.compute_dtype)
+        return objective.prepare_images(
+            self.preprocess_fn, self.aug_params, self.compute_dtype,
+            images_u8, rng, train)
 
     # ------------------------------------------------------------------
     def init_stacked(self, phase: TrainPhase):
@@ -196,10 +183,14 @@ class ParallelFoldTrainer:
         vstep = jax.vmap(one_fold, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
 
         def step(params, batch_stats, opt_state, images, labels, mask,
-                 lr_factor, active, step_idx):
+                 lr_factor, active, step_rng):
+            # step_rng: a PRNG key already folded with (epoch, batch) —
+            # folding the two indices separately (make_epoch_fns) instead
+            # of a magic epoch*K+batch base keeps streams collision-free
+            # for any epoch length (same reasoning as train/loop.py's
+            # monotonic state.step fold).
             rngs = jax.vmap(
-                lambda f: jax.random.fold_in(
-                    jax.random.fold_in(self.base_rng, step_idx), f)
+                lambda f: jax.random.fold_in(step_rng, f)
             )(jnp.arange(self.n_folds))
             return vstep(params, batch_stats, opt_state, images, labels,
                          mask, self.class_weights, lr_factor, active, rngs)
@@ -226,13 +217,13 @@ class ParallelFoldTrainer:
         return jax.jit(self._eval_step_core())
 
     @staticmethod
-    def _gather(frames, labels, idx, mask):
+    def _gather(frames, labels, idx):
+        # Padded index positions carry real wraparound-duplicated frames
+        # from the SAME fold (pad_index_table): the mask removes them from
+        # loss/metrics, while trainable-BN batch statistics see genuine
+        # images instead of zeros.
         ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)
         lbs = jax.vmap(lambda ix: jnp.take(labels, ix, axis=0))(idx)
-        # Zero padded rows: masking removes them from loss/metrics but NOT
-        # from BN batch statistics — match the host pipeline's zero padding
-        # (see train/loop.py make_epoch_fns).
-        ims = jnp.where(mask[..., None, None, None] > 0, ims, 0)
         return ims, lbs
 
     def make_epoch_fns(self, tx):
@@ -246,9 +237,10 @@ class ParallelFoldTrainer:
 
         @jax.jit
         def train_epoch(params, batch_stats, opt_state, frames, labels_d,
-                        idx_tab, mask_tab, lr_factor, active, epoch_base):
+                        idx_tab, mask_tab, lr_factor, active, epoch_idx):
             # idx_tab/mask_tab: [nb, F, B]
             nb = idx_tab.shape[0]
+            epoch_rng = jax.random.fold_in(self.base_rng, epoch_idx)
             metrics0 = jax.vmap(
                 lambda _: M.init_metrics(self.spec.n_classes)
             )(jnp.arange(F))
@@ -256,10 +248,10 @@ class ParallelFoldTrainer:
             def body(carry, xs):
                 params, bs, opt, metrics = carry
                 idx, msk, b = xs
-                ims, lbs = self._gather(frames, labels_d, idx, msk)
+                ims, lbs = self._gather(frames, labels_d, idx)
                 params, bs, opt, st = train_core(
                     params, bs, opt, ims, lbs, msk, lr_factor, active,
-                    epoch_base + b)
+                    jax.random.fold_in(epoch_rng, b))
                 metrics = jax.tree.map(lambda a, s: a + s, metrics, st)
                 return (params, bs, opt, metrics), None
 
@@ -277,7 +269,7 @@ class ParallelFoldTrainer:
 
             def body(metrics, xs):
                 idx, msk = xs
-                ims, lbs = self._gather(frames, labels_d, idx, msk)
+                ims, lbs = self._gather(frames, labels_d, idx)
                 st = eval_core(params, batch_stats, ims, lbs, msk,
                                jax.vmap(lambda _: M.init_metrics(
                                    self.spec.n_classes))(jnp.arange(F)))
@@ -332,19 +324,21 @@ class ParallelFoldTrainer:
             frames = jax.device_put(frames, rep)
             labels_d = jax.device_put(labels_d, rep)
 
-        def to_batch_tables(table, tmask):
-            """[F, N] padded index/mask -> [nb, F, B] scan tables."""
-            nb = -(-table.shape[1] // batch_size)
-            pad_cols = nb * batch_size - table.shape[1]
-            if pad_cols:
-                table = np.pad(table, ((0, 0), (0, pad_cols)))
-                tmask = np.pad(tmask, ((0, 0), (0, pad_cols)))
+        def batch_tables(index_lists):
+            """Ragged per-fold index lists -> [nb, F, B] scan tables. ALL
+            padding (to the longest fold AND to the batch multiple) goes
+            through pad_index_table's wraparound so padded rows always
+            gather real same-fold frames — a zero sentinel here would feed
+            frame 0 (possibly another fold's data) into BN batch stats."""
+            n = max(len(ix) for ix in index_lists)
+            nb = -(-n // batch_size)
+            table, tmask = pad_index_table(index_lists,
+                                           pad_to=nb * batch_size)
             idx_tab = table.reshape(F, nb, batch_size).transpose(1, 0, 2)
             mask_tab = tmask.reshape(F, nb, batch_size).transpose(1, 0, 2)
             return jnp.asarray(idx_tab), jnp.asarray(mask_tab)
 
-        val_table, val_mask = pad_index_table(val_idx)
-        v_idx_tab, v_mask_tab = to_batch_tables(val_table, val_mask)
+        v_idx_tab, v_mask_tab = batch_tables(val_idx)
 
         history = []
         best_val = np.full(F, np.inf)       # EarlyStopping best (min_delta 0)
@@ -356,6 +350,8 @@ class ParallelFoldTrainer:
         active = jnp.ones((F,), jnp.float32)
         best_params = None
         best_bs = None
+        carry_params = None   # per-fold end-of-phase weights (see _end_vars)
+        carry_bs = None
         epoch = 0
 
         resume_progress = None
@@ -393,10 +389,12 @@ class ParallelFoldTrainer:
                 capture=tuple(self.spec.activity_regularizers),
                 inference_bn=self.spec.frozen_bn_layers(phase))
             params, batch_stats, opt_state, tx = self.init_stacked(phase)
-            if best_params is not None:
-                params = best_params          # phase hand-off (cutoffvgg16)
-                if best_bs is not None:
-                    batch_stats = best_bs
+            if carry_params is not None:
+                params = carry_params         # phase hand-off (cutoffvgg16)
+                if carry_bs is not None:
+                    batch_stats = carry_bs
+            best_params = None                # per-phase, like Keras fit()
+            best_bs = None
             train_epoch, eval_epoch = self.make_epoch_fns(tx)
             # callback state resets per phase, like Keras fit() calls
             best_val[:] = np.inf
@@ -451,20 +449,21 @@ class ParallelFoldTrainer:
                 plateau_wait = np.asarray(host["plateau_wait"], int)
                 resume_progress = None  # later phases run normally
             if phase_epochs <= 0:
+                carry_params, carry_bs = self._end_vars(
+                    params, batch_stats, best_params, best_bs, wait, patience)
                 continue
 
             for _ in range(phase_epochs):
                 t0 = time.time()
                 rng = np.random.RandomState(epoch)
                 shuffled = [rng.permutation(ix) for ix in train_idx]
-                idx_tab, mask_tab = to_batch_tables(
-                    *pad_index_table(shuffled))
+                idx_tab, mask_tab = batch_tables(shuffled)
 
                 # Whole train epoch + validation sweep: two compiled
                 # programs per epoch (scan over batches on device).
                 params, batch_stats, opt_state, train_metrics = train_epoch(
                     params, batch_stats, opt_state, frames, labels_d,
-                    idx_tab, mask_tab, lr_factor, active, epoch * 10000)
+                    idx_tab, mask_tab, lr_factor, active, epoch)
                 val_metrics = eval_epoch(params, batch_stats, frames,
                                          labels_d, v_idx_tab, v_mask_tab)
 
@@ -543,7 +542,35 @@ class ParallelFoldTrainer:
                 if stopped:
                     break
 
-        best = {"params": best_params}
-        if best_bs:
-            best["batch_stats"] = best_bs
+            carry_params, carry_bs = self._end_vars(
+                params, batch_stats, best_params, best_bs, wait, patience)
+
+        best = {"params": carry_params}
+        if carry_bs:
+            best["batch_stats"] = carry_bs
         return best, history
+
+    def _end_vars(self, params, batch_stats, best_params, best_bs,
+                  wait, patience):
+        """Per-fold end-of-phase weights, Keras semantics: EarlyStopping
+        (restore_best_weights=True) restores the best-val weights ONLY for
+        folds whose patience ran out (tf.keras EarlyStopping restores
+        inside the wait>=patience branch; reference train.py:155-156);
+        folds that exhausted the epoch budget keep their FINAL weights —
+        matching the serial Trainer phase-end rule (train/loop.py)."""
+        if best_params is None:
+            return params, (batch_stats if batch_stats else None)
+        F = self.n_folds
+        early = jnp.asarray(
+            (np.asarray(wait) >= patience).astype(np.float32))
+
+        def sel(b, p):
+            ex = early.reshape((F,) + (1,) * (p.ndim - 1))
+            return jnp.where(ex > 0, b, p)
+
+        carry_p = jax.tree.map(sel, best_params, params)
+        if best_bs and batch_stats:
+            carry_b = jax.tree.map(sel, best_bs, batch_stats)
+        else:
+            carry_b = batch_stats if batch_stats else None
+        return carry_p, carry_b

@@ -51,12 +51,27 @@ def _timestamp() -> str:
 
 
 def load_class_idx_map(cfg: Config) -> Dict[str, int]:
-    """Class name -> probability-column index (the reference deserializes a
-    pickled map, predict.py:31; ours is JSON with a config-order fallback)."""
+    """Class name -> probability-column index.
+
+    Accepts JSON or the reference's pickled dict (reference predict.py:31
+    loads a dill-pickled ``{class: idx}``; plain pickle reads those), so a
+    config ported from the reference keeps its serialized map. An existing
+    file that parses as neither raises instead of silently substituting
+    config order — a mismatched map would swap probability columns."""
     path = cfg["PATHS"].get("CLASS_NAME_MAP", "")
-    if path and os.path.isfile(path) and path.endswith(".json"):
-        with open(path) as f:
-            return {str(k): int(v) for k, v in json.load(f).items()}
+    if path and os.path.isfile(path):
+        if path.endswith(".json"):
+            with open(path) as f:
+                return {str(k): int(v) for k, v in json.load(f).items()}
+        try:
+            import pickle
+            with open(path, "rb") as f:
+                m = pickle.load(f)
+            return {str(k): int(v) for k, v in m.items()}
+        except Exception as e:
+            raise ValueError(
+                f"PATHS.CLASS_NAME_MAP {path!r} exists but is neither JSON "
+                f"nor a pickled class->index dict: {e}") from e
     return {c: i for i, c in enumerate(cfg.classes)}
 
 

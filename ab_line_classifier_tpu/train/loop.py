@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ab_line_classifier_tpu.data.augment import affine_params_from_config, augment_batch
+from ab_line_classifier_tpu.data.augment import affine_params_from_config
+from ab_line_classifier_tpu.train import objective
 from ab_line_classifier_tpu.data.pipeline import Batch, FrameDataset
 from ab_line_classifier_tpu.models.common import (
     ModelSpec, TrainPhase, get_learning_rate, scale_learning_rate)
@@ -161,48 +162,16 @@ class Trainer:
     # ------------------------------------------------------------------
     def _forward_loss(self, params, batch_stats, x, labels_oh, mask, rng,
                       train: bool):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        if train:
-            if batch_stats:
-                out, new_state = self.module.apply(
-                    variables, x, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng})
-            else:
-                out = self.module.apply(variables, x, train=True,
-                                        rngs={"dropout": rng})
-                new_state = {}
-        else:
-            out = self.module.apply(variables, x, train=False)
-            new_state = {}
-        if self.reg_layers:
-            logits, caps = out
-        else:
-            logits, caps = out, {}
-        logits = logits.astype(jnp.float32)
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
-        per_ex = -jnp.sum(labels_oh * log_probs, axis=-1)
-        # Keras loss semantics (train.py:135): the logged/monitored loss is
-        # the optimized total — class-weighted CE during training (val_loss
-        # is unweighted) plus activity-regularization penalties in both.
-        w = jnp.sum(labels_oh * self.class_weight, axis=-1) if train else 1.0
-        per_ex_total = per_ex * w
-        for name, lam in zip(self.reg_layers, self.reg_lambdas):
-            a = caps[name].astype(jnp.float32)
-            per_ex_total = per_ex_total + lam * jnp.sum(
-                a * a, axis=tuple(range(1, a.ndim)))
-        denom = jnp.maximum(jnp.sum(mask), 1.0)
-        loss = jnp.sum(per_ex_total * mask) / denom
-        probs = jax.nn.softmax(logits, axis=-1)
-        return loss, (probs, per_ex_total, new_state)
+        # Keras loss semantics (reference train.py:135) live in the shared
+        # objective so the serial and trial-parallel trainers can't drift.
+        return objective.forward_loss(
+            self.module, self.reg_layers, self.reg_lambdas, params,
+            batch_stats, x, labels_oh, mask, self.class_weight, rng, train)
 
     def _prepare_images(self, images, rng, train: bool):
-        x = images.astype(jnp.float32)
-        if train and self.aug_params:
-            x = augment_batch(x, rng, **self.aug_params)
-        x = self.preprocess_fn(x)
-        return x.astype(self.compute_dtype)
+        return objective.prepare_images(
+            self.preprocess_fn, self.aug_params, self.compute_dtype,
+            images, rng, train)
 
     # ------------------------------------------------------------------
     def _train_step_core(self, phase_idx: int, tx) -> Callable:
@@ -274,11 +243,13 @@ class Trainer:
                     if self.mesh is not None else None)
 
         def gather(frames, labels_all, idx, mask):
+            # Padded index positions hold wraparound duplicates of real
+            # frames (DeviceCachedDataset.epoch_index_table): bit-identical
+            # partial-batch BN statistics with the host pipeline, and real
+            # images (not zeros) in trainable-BN batch stats.
+            del mask
             images = jnp.take(frames, idx, axis=0)
             labels = jnp.take(labels_all, idx, axis=0)
-            # Zero padded rows like the host pipeline does (bit-identical
-            # partial-batch BN statistics between the two paths).
-            images = jnp.where(mask[:, None, None, None] > 0, images, 0)
             if batch_sh is not None:  # keep batches data-parallel in-scan
                 images = jax.lax.with_sharding_constraint(images, batch_sh)
                 labels = jax.lax.with_sharding_constraint(labels, batch_sh)
@@ -454,16 +425,21 @@ class Trainer:
             if remaining <= 0:
                 # No training left in this phase, but its (restored) weights
                 # must still carry into the next phase / the return value.
-                if best_vars is not None:
-                    variables = best_vars
+                # Best weights apply only if the phase early-stopped (Keras
+                # restore_best_weights semantics, see phase end below).
+                if phase_done and best_vars is not None:
+                    variables = jax.tree.map(np.asarray, best_vars)
                 elif restoring:
                     variables = {
                         "params": jax.tree.map(np.asarray, state.params),
                         "batch_stats": jax.tree.map(np.asarray,
                                                     state.batch_stats),
                     }
+                elif best_vars is not None:
+                    variables = jax.tree.map(np.asarray, best_vars)
                 continue
 
+            stopped = False
             for _ in range(remaining):
                 t0 = time.time()
                 state, train_m = self._run_epoch(
@@ -504,11 +480,12 @@ class Trainer:
                     cur = get_learning_rate(state.opt_state) or 0.0
                     improved, stopped, new_lr = ctl.update(monitored, cur)
                     if improved:
-                        best_vars = {
-                            "params": jax.tree.map(np.asarray, state.params),
-                            "batch_stats": jax.tree.map(np.asarray,
-                                                        state.batch_stats),
-                        }
+                        # Keep device references only — materializing the
+                        # whole param tree to host every improved epoch
+                        # pays the O(100 MB/s) tunnel for nothing; hosts
+                        # copies happen at checkpoint save / phase end.
+                        best_vars = {"params": state.params,
+                                     "batch_stats": state.batch_stats}
                     if new_lr is not None:
                         state = dataclasses.replace(
                             state,
@@ -531,14 +508,18 @@ class Trainer:
                     break
                 epoch_in_phase += 1
 
-            # Restore best weights at phase end (EarlyStopping
-            # restore_best_weights=True, reference train.py:155-156).
-            if best_vars is not None:
-                variables = best_vars
+            # Keras EarlyStopping(restore_best_weights=True) restores the
+            # best weights ONLY when early stopping actually triggers
+            # (tf.keras EarlyStopping.on_epoch_end restores inside the
+            # wait>=patience branch; reference train.py:155-156). A phase
+            # that runs its full epoch budget keeps its FINAL weights —
+            # e.g. cutoffvgg16's extract phase hands its last epoch, not
+            # its best epoch, to the finetune phase.
+            if stopped and best_vars is not None:
+                end_vars = best_vars
             else:
-                variables = {
-                    "params": jax.tree.map(np.asarray, state.params),
-                    "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-                }
+                end_vars = {"params": state.params,
+                            "batch_stats": state.batch_stats}
+            variables = jax.tree.map(np.asarray, end_vars)
 
         return variables, history

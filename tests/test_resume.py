@@ -72,16 +72,16 @@ def test_resume_after_early_stop_does_not_retrain(data, tmp_path):
     """An early-stopped phase is checkpointed as done: resume must not
     re-enter it and train extra epochs past the deliberate stop."""
     tds, vds = data
-    # LR=0 + no dropout: val_loss is constant, so epoch 1 shows no strict
-    # improvement and patience=1 stops the run at epoch 1 of 30.
-    spec = build_model("cnn0", dict(HP, LR=0.0, DROPOUT=0.0), (32, 32, 3), 2)
+    # LR=0.5 + no dropout diverges from epoch 1 on this fixture, so
+    # patience=2 stops the run after 3 of 30 epochs.
+    spec = build_model("cnn0", dict(HP, LR=0.5, DROPOUT=0.0), (32, 32, 3), 2)
     ckdir = str(tmp_path / "ckpt_es")
     stopped, h1 = Trainer(spec, seed=4).fit(
-        tds, vds, batch_size=16, epochs=30, patience=1, verbose=False,
+        tds, vds, batch_size=16, epochs=30, patience=2, verbose=False,
         checkpoint_dir=ckdir)
     assert len(h1) < 30  # early stopping fired
     resumed, h2 = Trainer(spec, seed=4).fit(
-        tds, vds, batch_size=16, epochs=30, patience=1, verbose=False,
+        tds, vds, batch_size=16, epochs=30, patience=2, verbose=False,
         checkpoint_dir=ckdir, resume=True)
     assert h2 == []
     np.testing.assert_allclose(

@@ -25,7 +25,12 @@ def test_pad_index_table():
     table, mask = pad_index_table([np.array([1, 2, 3]), np.array([4])])
     assert table.shape == (2, 3)
     np.testing.assert_array_equal(mask, [[1, 1, 1], [1, 0, 0]])
-    np.testing.assert_array_equal(table[1], [4, 0, 0])
+    # Padding cycles the fold's OWN indices (wraparound) so trainable-BN
+    # batch statistics see real same-fold frames, never zeros or another
+    # fold's data.
+    np.testing.assert_array_equal(table[1], [4, 4, 4])
+    table2, _ = pad_index_table([np.array([7, 8]), np.array([1, 2, 3, 4, 5])])
+    np.testing.assert_array_equal(table2[0], [7, 8, 7, 8, 7])
 
 
 @pytest.fixture(scope="module")
@@ -341,7 +346,7 @@ def test_serial_parallel_one_step_equivalence(fold_setup):
     msk = jnp.stack([jnp.asarray(b[2]) for b in batches])
     new_params, _, _, _ = step2(params0, bs0, opt0, ims, lbs, msk,
                                 jnp.ones((2,)), jnp.ones((2,)),
-                                jnp.zeros((), jnp.int32))
+                                jax.random.fold_in(pt.base_rng, 0))
 
     for f in range(2):
         got = jax.tree.map(lambda a, i=f: np.asarray(a[i]), new_params)
