@@ -12,9 +12,22 @@ a brightness shift: one fused XLA program, one pass over the batch.
 Randomness is explicit ``jax.random`` keys (the reference's RandomBrightness
 quirk of a *fixed* seed (123,0) on every call — i.e. the same shift every
 batch, preprocessor.py:102 — is not replicated; a fresh key is split per
-batch). The config knobs keep their reference meanings (``config.yml:78-85``):
-ZOOM_RANGE fraction, WIDTH/HEIGHT_SHIFT_RANGE fractions, ROTATION_RANGE in
-degrees, BRIGHTNESS_RANGE as a fraction of full scale.
+batch). The config knobs keep the reference's ACTUAL tf.keras 2.9 semantics
+(``config.yml:78-85``), including the surprising ones:
+
+* ``ZOOM_RANGE`` — Keras RandomZoom factor: the output->input scale is
+  uniform in ``[1 - z, 1 + z]`` (``> 1`` zooms OUT).
+* ``WIDTH/HEIGHT_SHIFT_RANGE`` — shift fractions of the image dimensions.
+* ``ROTATION_RANGE`` — Keras RandomRotation factor, a fraction **of 2π**:
+  the reference's ``45`` means ±45 *full turns*, i.e. effectively a
+  uniformly random rotation angle — NOT ±45°. Training-distribution parity
+  requires replicating that. Quarter turns are peeled off as free rot90
+  permutations so the residual rotation stays within ±45° and the matmul
+  warp's ``a22`` bound (see :func:`_affine_resample_matmul`).
+* ``BRIGHTNESS_RANGE`` — ``tf.image.stateless_random_brightness`` max_delta:
+  an ABSOLUTE shift. On the reference's [0,255]-scale float images ±0.3
+  gray levels is practically invisible; replicated faithfully rather than
+  scaled up.
 """
 
 from __future__ import annotations
@@ -31,42 +44,56 @@ def affine_params_from_config(aug_cfg: Dict) -> Dict[str, float]:
         zoom=float(aug_cfg.get("ZOOM_RANGE", 0.0)),
         shift_w=float(aug_cfg.get("WIDTH_SHIFT_RANGE", 0.0)),
         shift_h=float(aug_cfg.get("HEIGHT_SHIFT_RANGE", 0.0)),
-        rotation_deg=float(aug_cfg.get("ROTATION_RANGE", 0.0)),
+        rotation=float(aug_cfg.get("ROTATION_RANGE", 0.0)),
         brightness=float(aug_cfg.get("BRIGHTNESS_RANGE", 0.0)),
         horizontal_flip=bool(aug_cfg.get("HORIZONTAL_FLIP", False)),
     )
 
 
-def _sample_affines(key: jax.Array, batch: int, hw: Tuple[int, int], *,
-                    zoom: float, shift_w: float, shift_h: float,
-                    rotation_deg: float, horizontal_flip: bool):
-    """Sample per-image inverse affine maps (output pixel -> input pixel),
-    about the image center. Returns [B, 2, 3]."""
-    h, w = hw
-    kz, kr, ktx, kty, kf = jax.random.split(key, 5)
-    zooms = 1.0 + jax.random.uniform(kz, (batch,), minval=-zoom, maxval=zoom)
-    theta = jnp.deg2rad(jax.random.uniform(
-        kr, (batch,), minval=-rotation_deg, maxval=rotation_deg))
-    tx = jax.random.uniform(ktx, (batch,), minval=-shift_w, maxval=shift_w) * w
-    ty = jax.random.uniform(kty, (batch,), minval=-shift_h, maxval=shift_h) * h
-    if horizontal_flip:
-        flip = jnp.where(jax.random.bernoulli(kf, 0.5, (batch,)), -1.0, 1.0)
-    else:
-        flip = jnp.ones((batch,))
+def _sample_thetas(key: jax.Array, batch: int, rotation: float) -> jax.Array:
+    """Keras RandomRotation angles: uniform in ±``rotation``·2π
+    (``rotation`` is a fraction of a full turn, tf.keras 2.9 semantics —
+    the reference's 45 therefore means an effectively uniform angle)."""
+    return jax.random.uniform(key, (batch,),
+                              minval=-rotation * 2.0 * jnp.pi,
+                              maxval=rotation * 2.0 * jnp.pi)
 
-    # Inverse map: rotate by -theta, scale by 1/zoom, undo translation.
+
+def _affine_from_parts(theta, zooms, tx, ty, flip, hw: Tuple[int, int]):
+    """Inverse affine maps (output pixel -> input pixel) about the image
+    center from per-image parts. Returns [B, 2, 3].
+
+    The output->input scale is ``zooms`` directly (Keras RandomZoom:
+    p_in = z·(p_out - c) + c, so z > 1 samples a larger source region =
+    zoomed out)."""
+    h, w = hw
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    inv_z = 1.0 / zooms
-    a11 = cos * inv_z * flip
-    a12 = sin * inv_z
-    a21 = -sin * inv_z * flip
-    a22 = cos * inv_z
+    a11 = cos * zooms * flip
+    a12 = sin * zooms
+    a21 = -sin * zooms * flip
+    a22 = cos * zooms
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     # p_in = A @ (p_out - c - t) + c
     b1 = cx - a11 * (cx + tx) - a12 * (cy + ty)
     b2 = cy - a21 * (cx + tx) - a22 * (cy + ty)
     return jnp.stack([jnp.stack([a11, a12, b1], -1),
                       jnp.stack([a21, a22, b2], -1)], axis=1)
+
+
+def _sample_parts(key: jax.Array, batch: int, hw: Tuple[int, int], *,
+                  zoom: float, shift_w: float, shift_h: float,
+                  rotation: float, horizontal_flip: bool):
+    h, w = hw
+    kz, kr, ktx, kty, kf = jax.random.split(key, 5)
+    zooms = 1.0 + jax.random.uniform(kz, (batch,), minval=-zoom, maxval=zoom)
+    theta = _sample_thetas(kr, batch, rotation)
+    tx = jax.random.uniform(ktx, (batch,), minval=-shift_w, maxval=shift_w) * w
+    ty = jax.random.uniform(kty, (batch,), minval=-shift_h, maxval=shift_h) * h
+    if horizontal_flip:
+        flip = jnp.where(jax.random.bernoulli(kf, 0.5, (batch,)), -1.0, 1.0)
+    else:
+        flip = jnp.ones((batch,))
+    return theta, zooms, tx, ty, flip
 
 
 def _bilinear_sample(img: jax.Array, affine: jax.Array) -> jax.Array:
@@ -142,31 +169,95 @@ def _affine_resample_matmul(img: jax.Array, affine: jax.Array) -> jax.Array:
     return jnp.einsum("yxv,vxc->yxc", wy, tmp)
 
 
+# Centered inverse-map matrices of jnp.rot90(img, m) composed to undo a
+# quarter turn folded into the affine: _QPOW[j] is the 2x2 rotation matrix
+# [[cos, sin], [-sin, cos]] at j*90 deg (the group the affine's rotation
+# part lives in), so _QPOW[(-k) % 4] @ A(theta) == A(theta - k*90deg) up to
+# the rot90 permutation of the source image.
+_QPOW = jnp.asarray(
+    [[[1.0, 0.0], [0.0, 1.0]],
+     [[0.0, 1.0], [-1.0, 0.0]],
+     [[-1.0, 0.0], [0.0, -1.0]],
+     [[0.0, -1.0], [1.0, 0.0]]])
+
+
+def _prerotate(img: jax.Array, j: jax.Array) -> jax.Array:
+    """rot90 the (square) image j quarter turns — an exact, gather-free
+    permutation (transposes + reverses), cheap on TPU."""
+    return jax.lax.switch(j, [lambda im: im,
+                              lambda im: jnp.rot90(im, 1),
+                              lambda im: jnp.rot90(im, 2),
+                              lambda im: jnp.rot90(im, 3)], img)
+
+
+def _warp_quarter_decomposed(images, theta, zooms, tx, ty, flip):
+    """Warp square images by arbitrary-angle affines entirely on the MXU:
+    the nearest quarter turn of each image's angle is peeled off as a free
+    rot90 permutation of the source, and the residual (within ±45°, so the
+    matmul warp's ``a22`` bound holds) runs through the two-pass tent-
+    matmul resampler. Numerically equivalent to the 4-tap gather sampler
+    with the full-angle affine (pinned in tests/test_augment.py)."""
+    b, h, w, _ = images.shape
+    k_quarter = jnp.round(theta / (jnp.pi / 2.0))
+    j = jnp.mod(-k_quarter, 4.0).astype(jnp.int32)
+    affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
+    # Fold the quarter turn out of the affine (left-multiply by the inverse
+    # quarter rotation) and into a rot90 of the source image.
+    q = _QPOW[j]                                   # [B, 2, 2]
+    lin = jnp.einsum("bij,bjk->bik", q, affines[:, :, :2])
+    cvec = jnp.asarray([(w - 1) / 2.0, (h - 1) / 2.0])
+    # b' = c - A' @ (c + t), same construction as _affine_from_parts.
+    c_plus_t = cvec[None] + jnp.stack([tx, ty], axis=-1)
+    boff = cvec[None] - jnp.einsum("bij,bj->bi", lin, c_plus_t)
+    affines2 = jnp.concatenate([lin, boff[:, :, None]], axis=2)
+    rotated = jax.vmap(_prerotate)(images, j)
+    return jax.vmap(_affine_resample_matmul)(rotated, affines2)
+
+
 @partial(jax.jit, static_argnames=("zoom", "shift_w", "shift_h",
-                                   "rotation_deg", "brightness",
+                                   "rotation", "brightness",
                                    "horizontal_flip"))
 def augment_batch(images: jax.Array, key: jax.Array, *, zoom: float = 0.0,
                   shift_w: float = 0.0, shift_h: float = 0.0,
-                  rotation_deg: float = 0.0, brightness: float = 0.0,
+                  rotation: float = 0.0, brightness: float = 0.0,
                   horizontal_flip: bool = False) -> jax.Array:
     """Augment a [B, H, W, C] float batch in [0, 255]: fused affine
     (zoom+rotate+translate+flip, bilinear, zero fill) then brightness shift
-    with clipping. One compiled program, resampled as matmuls on the MXU."""
+    with clipping. One compiled program, resampled as matmuls on the MXU.
+
+    ``rotation`` is the Keras RandomRotation factor (fraction of 2π; see
+    the module docstring), ``brightness`` an absolute delta in gray levels.
+    """
     images = images.astype(jnp.float32)
     b, h, w, _ = images.shape
     k_affine, k_bright = jax.random.split(key)
-    affines = _sample_affines(k_affine, b, (h, w), zoom=zoom, shift_w=shift_w,
-                              shift_h=shift_h, rotation_deg=rotation_deg,
-                              horizontal_flip=horizontal_flip)
-    # The matmul warp needs a22 bounded away from 0 (rotations < ~60 deg)
-    # and materializes O(H*W*max(H,W)) weights per image — outside those
-    # bounds fall back to the 4-tap gather sampler (slower but unrestricted).
-    use_matmul = (rotation_deg < 60.0) and (max(h, w) <= 160)
-    sampler = _affine_resample_matmul if use_matmul else _bilinear_sample
-    out = jax.vmap(sampler)(images, affines)
+    theta, zooms, tx, ty, flip = _sample_parts(
+        k_affine, b, (h, w), zoom=zoom, shift_w=shift_w, shift_h=shift_h,
+        rotation=rotation, horizontal_flip=horizontal_flip)
+
+    # The matmul warp needs |residual rotation| <= ~45 deg (a22 bounded
+    # away from 0) and materializes O(H*W*max(H,W)) weights per image.
+    # Arbitrary angles are handled by peeling the nearest quarter turn off
+    # as a free rot90 permutation of the (square) source — the residual
+    # stays within +-45 deg. Non-square or large images fall back to the
+    # 4-tap gather sampler (slower but unrestricted).
+    small_rot = rotation * 2.0 * jnp.pi <= jnp.pi / 4 + 1e-6
+    use_matmul = max(h, w) <= 160 and (small_rot or h == w)
+    if not use_matmul:
+        affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
+        out = jax.vmap(_bilinear_sample)(images, affines)
+    elif small_rot:
+        affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
+        out = jax.vmap(_affine_resample_matmul)(images, affines)
+    else:
+        out = _warp_quarter_decomposed(images, theta, zooms, tx, ty, flip)
+
     if brightness:
+        # tf.image.stateless_random_brightness max_delta semantics: an
+        # ABSOLUTE shift on the [0,255]-scale floats (reference
+        # preprocessor.py:84-103) — NOT a fraction of full scale.
         delta = jax.random.uniform(k_bright, (b, 1, 1, 1),
-                                   minval=-brightness, maxval=brightness) * 255.0
+                                   minval=-brightness, maxval=brightness)
         out = jnp.clip(out + delta, 0.0, 255.0)
     return out
 

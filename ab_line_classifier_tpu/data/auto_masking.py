@@ -6,10 +6,14 @@ cleans them, a majority vote forms the clip mask, and every frame is masked
 (optionally cropped to the beam bounding box).
 
 Reference behavior preserved (auto_masking.py:28-106): sample every
-``ceil(10%)``-th frame, grayscale + resize to 128x128 + /255, threshold 0.4,
-elliptical erode with the edge-preserve kernel then dilate with the 5%-height
-smoothing kernel, 5x5-smoothed majority average, bounding-box crop, jpg or
-mp4 output plus a ``mask.jpg`` per clip.
+``max(floor(10%), 1)``-th frame, grayscale + bilinear resize to 128x128 +
+/255, threshold 0.4, bilinear upsample of the binary mask to native
+resolution (support = any touched pixel, cv2 INTER_LINEAR + THRESH_BINARY
+semantics), elliptical erode with the edge-preserve kernel then dilate with
+the 5%-height smoothing kernel, 5x5-smoothed majority average, bounding-box
+crop, jpg or mp4 output plus a ``mask.jpg`` per clip. (The reference's
+skimage downsample also applies Gaussian anti-aliasing; plain bilinear is
+the one remaining difference.)
 
 TPU-native redesign: the reference runs ``model.predict`` one frame at a
 time and all morphology on host cv2. Here the sampled frames run as ONE
@@ -30,7 +34,6 @@ import numpy as np
 
 from ab_line_classifier_tpu.models.unet import UNet
 from ab_line_classifier_tpu.ops import morphology as M
-from ab_line_classifier_tpu.ops.image import nearest_indices
 
 logging.basicConfig(format="[%(levelname)s] %(message)s", level=logging.INFO)
 
@@ -50,19 +53,36 @@ class UnetSegmentation:
         import jax
 
         self.model = UNet(base_filters=base_filters)
-        if model_path and os.path.isdir(model_path):
-            from ab_line_classifier_tpu.utils import checkpoint as ckpt
-            self.variables, _ = ckpt.load_model(model_path)
+        self.variables = self.model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1,) + UNET_INPUT + (1,), np.float32))
+        if model_path:
+            self.load(model_path)
         else:
-            if model_path:
-                logging.warning(
-                    "automask model %r not found; using random init "
-                    "(masks will be meaningless until trained)", model_path)
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0),
-                np.zeros((1,) + UNET_INPUT + (1,), np.float32))
+            logging.warning("no automask model given; using random init "
+                            "(masks will be meaningless until trained)")
         self._predict = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False))
+
+    def load(self, model_path: str) -> None:
+        """Restore U-Net weights: an Orbax checkpoint dir or a Keras
+        ``.h5`` (the reference's pretrained format, auto_masking.py:28-29;
+        imported position+shape matched, see models/unet.py). A path that
+        exists but cannot be loaded RAISES — masking a medical dataset
+        with silently random weights is never acceptable."""
+        if os.path.isdir(model_path):
+            from ab_line_classifier_tpu.utils import checkpoint as ckpt
+            self.variables, _ = ckpt.load_model(model_path)
+        elif os.path.isfile(model_path) and model_path.endswith(
+                (".h5", ".hdf5")):
+            from ab_line_classifier_tpu.models.unet import (
+                import_h5_unet_weights)
+            self.variables = import_h5_unet_weights(model_path,
+                                                    self.variables)
+        else:
+            raise FileNotFoundError(
+                f"automask model {model_path!r} is neither a checkpoint "
+                f"directory nor a .h5 file")
 
     def get_bounding_box(self, binary_mask: np.ndarray):
         """[min_i, max_i, min_j, max_j] (reference auto_masking.py:24-26)."""
@@ -71,7 +91,10 @@ class UnetSegmentation:
     # ------------------------------------------------------------------
     def predict_masks(self, frames_u8: np.ndarray) -> np.ndarray:
         """uint8 [B, H, W, 3] (or [B, H, W]) frames -> [B, 128, 128] beam
-        probabilities: grayscale + nearest resize + /255 + batched U-Net."""
+        probabilities: grayscale + bilinear resize (the reference's skimage
+        ``resize`` is bilinear, auto_masking.py:69) + /255 + batched U-Net.
+        """
+        import jax
         import jax.numpy as jnp
 
         x = np.asarray(frames_u8)
@@ -79,11 +102,10 @@ class UnetSegmentation:
             # cv2 BGR2GRAY weights on RGB input ordering
             x = (0.299 * x[..., 0] + 0.587 * x[..., 1]
                  + 0.114 * x[..., 2])
-        h, w = x.shape[1:3]
-        ridx = nearest_indices(h, UNET_INPUT[0], "cv2")
-        cidx = nearest_indices(w, UNET_INPUT[1], "cv2")
-        x = x[:, ridx][:, :, cidx].astype(np.float32) / 255.0
-        probs = self._predict(self.variables, jnp.asarray(x[..., None]))
+        x = jax.image.resize(jnp.asarray(x.astype(np.float32)),
+                             (x.shape[0],) + UNET_INPUT,
+                             method="linear") / 255.0
+        probs = self._predict(self.variables, x[..., None])
         return np.asarray(probs)[..., 0]
 
     def clip_mask(self, sampled_frames_u8: np.ndarray,
@@ -93,21 +115,29 @@ class UnetSegmentation:
         """Compute the clip-level binary mask + bounding box from sampled
         frames (the whole reference per-clip loop, auto_masking.py:63-91,
         batched)."""
+        import jax
         import jax.numpy as jnp
 
         h, w = native_hw
         probs = self.predict_masks(sampled_frames_u8)
-        # Upsample each 128x128 mask to native resolution (reference resizes
-        # the thresholded mask with cv2.resize, :78).
-        ridx = nearest_indices(UNET_INPUT[0], h, "cv2")
-        cidx = nearest_indices(UNET_INPUT[1], w, "cv2")
-        probs_native = probs[:, ridx][:, :, cidx]
+        # Reference chain (auto_masking.py:76-83): threshold at 0.4 on the
+        # 128x128 grid, cv2.resize the BINARY mask with INTER_LINEAR to
+        # native resolution, morphology, then THRESH_BINARY > 0 — so every
+        # pixel the bilinear interpolation touches joins the support (a
+        # border band of ~native/128 px that nearest-index upsampling
+        # would drop, systematically tightening every mask). Grayscale
+        # erode/dilate followed by >0 equals binary erode/dilate of that
+        # support, so the support is binarized first here.
+        binary128 = (probs > 0.4).astype(np.float32)
+        up = jax.image.resize(jnp.asarray(binary128),
+                              (binary128.shape[0], h, w), method="linear")
+        support = (up > 0).astype(jnp.float32)
 
         kernel_size_s = max(int(h * (1 - edge_preserve)), 3)
         kernel_size_b = max(int(h * 0.05), 3)
-        cleaned = M.clean_masks(jnp.asarray(probs_native),
-                                erode_size=kernel_size_s,
-                                dilate_size=kernel_size_b, threshold=0.4)
+        cleaned = M.clean_binary_masks(support,
+                                       erode_size=kernel_size_s,
+                                       dilate_size=kernel_size_b)
         avg = np.asarray(M.majority_average_mask(cleaned))
         return avg, self.get_bounding_box(avg)
 
@@ -126,12 +156,17 @@ class UnetSegmentation:
                 save_cropped_roi: bool = False) -> None:
         """Reference CLI surface (auto_masking.py:28-106): walk mp4s under
         ``input_paths``, write masked jpgs/mp4 + ``mask.jpg`` per clip.
+        ``model_path`` (the reference API passes it here, not at
+        construction) loads that model before masking.
 
         Memory discipline for the 1-CPU host: only the ~10% sampled frames
         are held for the batched U-Net pass; masking + writing then streams
         the clip frame-by-frame (like the reference), so peak RAM is one
         frame + the samples, not 3x the decoded clip."""
         import cv2
+
+        if model_path:
+            self.load(model_path)
 
         video_files = glob.glob(input_paths + "/**/*.mp4", recursive=True)
         os.makedirs(output_path, exist_ok=True)

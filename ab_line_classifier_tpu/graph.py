@@ -230,18 +230,27 @@ class GraphModule(nn.Module):
 # Keras-convention layer factories (shared by all zoo models)
 # ---------------------------------------------------------------------------
 
+def keras_default_init() -> Callable:
+    """Keras's default kernel_initializer (glorot_uniform) — flax defaults
+    to lecun_normal, which would give from-scratch training runs a
+    different starting distribution than the reference. For depthwise
+    kernels the fan_in+fan_out sum is layout-invariant (flax (kh,kw,1,C)
+    vs Keras (kh,kw,C,1)), so glorot_uniform matches Keras exactly there
+    too."""
+    return nn.initializers.glorot_uniform()
+
+
 def conv2d(name: str, inp: str, features: int, kernel: Tuple[int, int],
            strides: Tuple[int, int] = (1, 1), padding: str = "SAME",
            use_bias: bool = True, groups: int = 1,
            kernel_init: Optional[Callable] = None,
            dtype=None, act: Optional[Callable] = None) -> LayerSpec:
     def factory(name: str):
-        kwargs = dict(features=features, kernel_size=kernel, strides=strides,
-                      padding=padding, use_bias=use_bias,
-                      feature_group_count=groups, dtype=dtype)
-        if kernel_init is not None:
-            kwargs["kernel_init"] = kernel_init
-        return nn.Conv(**kwargs, name=name)
+        return nn.Conv(features=features, kernel_size=kernel, strides=strides,
+                       padding=padding, use_bias=use_bias,
+                       feature_group_count=groups, dtype=dtype,
+                       kernel_init=kernel_init or keras_default_init(),
+                       name=name)
     return LayerSpec(name=name, kind=KIND_CONV, inputs=(inp,), module_fn=factory,
                      post_fn=act)
 
@@ -249,11 +258,15 @@ def conv2d(name: str, inp: str, features: int, kernel: Tuple[int, int],
 def depthwise_conv2d(name: str, inp: str, channels: int,
                      kernel: Tuple[int, int],
                      strides: Tuple[int, int] = (1, 1), padding: str = "SAME",
-                     use_bias: bool = False, dtype=None) -> LayerSpec:
+                     use_bias: bool = False,
+                     kernel_init: Optional[Callable] = None,
+                     dtype=None) -> LayerSpec:
     def factory(name: str):
         return nn.Conv(features=channels, kernel_size=kernel, strides=strides,
                        padding=padding, use_bias=use_bias,
-                       feature_group_count=channels, dtype=dtype, name=name)
+                       feature_group_count=channels, dtype=dtype,
+                       kernel_init=kernel_init or keras_default_init(),
+                       name=name)
     return LayerSpec(name=name, kind=KIND_DEPTHWISE, inputs=(inp,), module_fn=factory)
 
 
@@ -275,10 +288,12 @@ class SeparableConv(nn.Module):
         x = nn.Conv(features=c, kernel_size=self.kernel_size,
                     strides=self.strides, padding=self.padding,
                     feature_group_count=c, use_bias=False,
+                    kernel_init=keras_default_init(),
                     dtype=self.dtype, name="depthwise")(x)
         x = nn.Conv(features=self.features, kernel_size=(1, 1),
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    name="pointwise")(x)
+                    use_bias=self.use_bias,
+                    kernel_init=keras_default_init(),
+                    dtype=self.dtype, name="pointwise")(x)
         return x
 
 
@@ -343,9 +358,8 @@ def dense(name: str, inp: str, features: int, use_bias: bool = True,
           bias_init: Optional[Callable] = None,
           dtype=None, act: Optional[Callable] = None) -> LayerSpec:
     def factory(name: str):
-        kwargs = dict(features=features, use_bias=use_bias, dtype=dtype)
-        if kernel_init is not None:
-            kwargs["kernel_init"] = kernel_init
+        kwargs = dict(features=features, use_bias=use_bias, dtype=dtype,
+                      kernel_init=kernel_init or keras_default_init())
         if bias_init is not None:
             kwargs["bias_init"] = bias_init
         return nn.Dense(**kwargs, name=name)

@@ -98,10 +98,16 @@ class TrainPhase:
             base = optax.inject_hyperparams(_keras_adam)(
                 learning_rate=self.lr)
         elif self.optimizer == "rmsprop":
-            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum; its
-            # denominator sqrt(v + eps) matches optax's scale_by_rms form.
+            # Keras RMSprop defaults: rho=0.9, eps=1e-7, no momentum. The
+            # reference pins TF 2.9 (requirements.txt:13), whose update is
+            # lr * g / (sqrt(v) + eps) — epsilon OUTSIDE the sqrt
+            # (tf 2.9 optimizer_v2/rmsprop.py dense path; Keras 3 later
+            # moved it inside). Follow the pinned reference semantics:
+            # eps placement matters exactly where finetune gradients are
+            # tiny (v << eps), the regime LR_FINETUNE=9.3e-6 lives in.
             base = optax.inject_hyperparams(optax.rmsprop)(
-                learning_rate=self.lr, decay=0.9, eps=1e-7)
+                learning_rate=self.lr, decay=0.9, eps=1e-7,
+                eps_in_sqrt=False)
         elif self.optimizer == "sgd":
             base = optax.inject_hyperparams(optax.sgd)(learning_rate=self.lr)
         else:

@@ -69,6 +69,15 @@ def _conv_init():
                                                 "truncated_normal")
 
 
+def _dwconv_init():
+    """Keras EfficientNet's CONV_KERNEL_INITIALIZER on a DEPTHWISE kernel:
+    variance_scaling(2.0, 'fan_out') over the Keras (kh,kw,C,1) layout has
+    fan_out = kh*kw*1; the flax layout is (kh,kw,1,C), where that same fan
+    is 'fan_in' — so fan_in here reproduces Keras's distribution exactly."""
+    return jax.nn.initializers.variance_scaling(2.0, "fan_in",
+                                                "truncated_normal")
+
+
 def efficientnet_backbone(variant: str = "b7",
                           input_size: Tuple[int, int] = (128, 128),
                           drop_connect_rate: float = 0.2,
@@ -149,12 +158,13 @@ def efficientnet_backbone(variant: str = "b7",
                 specs.append(G.depthwise_conv2d(
                     f"{b}_dwconv", f"{b}_dwconv_pad", filters,
                     (kernel, kernel), strides=(2, 2), padding="VALID",
-                    dtype=dtype))
+                    kernel_init=_dwconv_init(), dtype=dtype))
                 size = C.stride2_out(size)
             else:
                 specs.append(G.depthwise_conv2d(
                     f"{b}_dwconv", x, filters, (kernel, kernel),
-                    padding="SAME", dtype=dtype))
+                    padding="SAME", kernel_init=_dwconv_init(),
+                    dtype=dtype))
             specs.append(G.batch_norm(f"{b}_bn", f"{b}_dwconv", dtype=dtype,
                                       **_BN))
             specs.append(G.activation(f"{b}_activation", f"{b}_bn", swish))

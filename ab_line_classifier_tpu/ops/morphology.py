@@ -79,17 +79,27 @@ def box_filter(x: jax.Array, size: int = 5) -> jax.Array:
     return out[:, 0]
 
 
-@partial(jax.jit, static_argnames=("erode_size", "dilate_size", "threshold"))
-def clean_masks(prob_masks: jax.Array, *, erode_size: int, dilate_size: int,
-                threshold: float = 0.4) -> jax.Array:
-    """Per-frame mask cleanup (auto_masking.py:76-83): threshold the U-Net
-    probabilities, elliptical erode then dilate. [B, H, W] in, binary out."""
-    binary = (prob_masks > threshold).astype(jnp.float32)
+@partial(jax.jit, static_argnames=("erode_size", "dilate_size"))
+def clean_binary_masks(binary_masks: jax.Array, *, erode_size: int,
+                       dilate_size: int) -> jax.Array:
+    """Elliptical erode then dilate of binary masks
+    (auto_masking.py:79-83). [B, H, W] in, binary out."""
+    binary = binary_masks.astype(jnp.float32)
     er = jnp.asarray(ellipse_kernel(erode_size))
     di = jnp.asarray(ellipse_kernel(dilate_size))
     binary = binary_erode(binary, er)
     binary = binary_dilate(binary, di)
     return binary
+
+
+@partial(jax.jit, static_argnames=("erode_size", "dilate_size", "threshold"))
+def clean_masks(prob_masks: jax.Array, *, erode_size: int, dilate_size: int,
+                threshold: float = 0.4) -> jax.Array:
+    """Per-frame mask cleanup (auto_masking.py:76-83): threshold the U-Net
+    probabilities, elliptical erode then dilate. [B, H, W] in, binary out."""
+    return clean_binary_masks((prob_masks > threshold).astype(jnp.float32),
+                              erode_size=erode_size,
+                              dilate_size=dilate_size)
 
 
 @jax.jit

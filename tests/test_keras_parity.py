@@ -516,7 +516,28 @@ def test_one_finetune_step_parity_with_keras():
     frames = rng.rand(16, 64, 64, 3).astype(np.float32) * 255
     labels = rng.randint(0, 2, 16).astype(np.int32)
     x_in = np.asarray(preprocess_caffe(jnp.asarray(frames)))
-    km.train_on_batch(x_in, np.eye(2, dtype=np.float32)[labels])
+
+    # Gradients from the REAL Keras model (independent oracle), update via
+    # the explicit TF 2.9 RMSprop formula the reference pins
+    # (requirements.txt:13; optimizer_v2/rmsprop.py):
+    #   v1 = 0.1 * g^2 ; w1 = w0 - lr * g / (sqrt(v1) + eps)
+    # Keras 3 moved eps inside the sqrt, so train_on_batch with the
+    # INSTALLED Keras would check the wrong semantics.
+    import tensorflow as tf
+    y_oh = np.eye(2, dtype=np.float32)[labels]
+    with tf.GradientTape() as tape:
+        pred = km(tf.constant(x_in), training=True)
+        tf_loss = tf.reduce_mean(
+            tf.keras.losses.categorical_crossentropy(tf.constant(y_oh),
+                                                     pred))
+    tvars = km.trainable_variables
+    grads = tape.gradient(tf_loss, tvars)
+    expected = {}
+    for var, g in zip(tvars, grads):
+        g = g.numpy().astype(np.float64)
+        w0 = var.numpy().astype(np.float64)
+        expected[var.path if hasattr(var, "path") else var.name] = (
+            w0 - lr * g / (np.sqrt(0.1 * g * g) + 1e-7))
 
     trainer = Trainer(spec, seed=0)
     phase = spec.phases[1]
@@ -530,9 +551,11 @@ def test_one_finetune_step_parity_with_keras():
                     jnp.asarray(labels), jnp.ones(16, jnp.float32))
 
     for lname in ("logits", "block3_conv3"):  # head + unfrozen backbone
+        kvar = km.get_layer(lname).kernel
+        key = kvar.path if hasattr(kvar, "path") else kvar.name
         np.testing.assert_allclose(
             np.asarray(state.params[lname]["kernel"]),
-            km.get_layer(lname).get_weights()[0], atol=2e-5)
+            expected[key], atol=2e-5)
     # layers below FINETUNE_LAYER stay bit-identical on both sides
     np.testing.assert_array_equal(
         np.asarray(state.params["block1_conv1"]["kernel"]),
@@ -706,3 +729,72 @@ class TestStreamingAUCExactness:
         ka = tf.keras.metrics.AUC(num_thresholds=200)
         ka.update_state(onehot, probs)
         assert ours == pytest.approx(float(ka.result().numpy()), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+def test_unet_h5_import_golden_roundtrip(tmp_path):
+    """End-to-end oracle for the pretrained-U-Net restore path (reference
+    auto_masking.py:28-29): build the Keras twin of :class:`UNet`, save a
+    legacy ``.h5``, import by position with ``import_h5_unet_weights``, and
+    require forward-pass agreement — incl. Conv2DTranspose gradient-of-conv
+    semantics (``transpose_kernel=True``)."""
+    from tensorflow.keras import Model
+    from tensorflow.keras import layers as L
+
+    from ab_line_classifier_tpu.models.unet import (UNet,
+                                                    import_h5_unet_weights)
+
+    bf, levels, size = 4, 4, 32
+    inp = L.Input((size, size, 1))
+    x, skips = inp, []
+    for lv in range(levels):
+        f = bf * 2 ** lv
+        x = L.Conv2D(f, 3, padding="same", activation="relu")(x)
+        x = L.Conv2D(f, 3, padding="same", activation="relu")(x)
+        skips.append(x)
+        x = L.MaxPool2D(2)(x)
+    f = bf * 2 ** levels
+    x = L.Conv2D(f, 3, padding="same", activation="relu")(x)
+    x = L.Conv2D(f, 3, padding="same", activation="relu")(x)
+    for lv in reversed(range(levels)):
+        f = bf * 2 ** lv
+        x = L.Conv2DTranspose(f, 2, strides=2, padding="same")(x)
+        x = L.Concatenate()([x, skips[lv]])
+        x = L.Conv2D(f, 3, padding="same", activation="relu")(x)
+        x = L.Conv2D(f, 3, padding="same", activation="relu")(x)
+    out = L.Conv2D(1, 1, activation="sigmoid")(x)
+    km = Model(inp, out)
+    path = str(tmp_path / "unet.h5")
+    km.save(path)
+
+    model = UNet(base_filters=bf)
+    v0 = model.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, size, size, 1), jnp.float32))
+    v = import_h5_unet_weights(path, v0)
+
+    x_in = np.random.RandomState(0).rand(2, size, size, 1).astype(np.float32)
+    want = km.predict(x_in, verbose=0)
+    got = np.asarray(model.apply(v, jnp.asarray(x_in)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_unet_h5_import_rejects_mismatched_architecture(tmp_path):
+    """A .h5 whose layer count or shapes don't match must raise — silently
+    masking a medical dataset with random weights is never acceptable."""
+    from tensorflow.keras import Model
+    from tensorflow.keras import layers as L
+
+    from ab_line_classifier_tpu.models.unet import (UNet,
+                                                    import_h5_unet_weights)
+
+    inp = L.Input((32, 32, 1))
+    out = L.Conv2D(1, 1, activation="sigmoid")(L.Conv2D(4, 3,
+                                                        padding="same")(inp))
+    km = Model(inp, out)
+    path = str(tmp_path / "not_a_unet.h5")
+    km.save(path)
+
+    model = UNet(base_filters=4)
+    v0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    with pytest.raises(ValueError, match="weighted layers"):
+        import_h5_unet_weights(path, v0)

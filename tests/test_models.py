@@ -91,3 +91,30 @@ def test_logits_module_matches_softmax():
     logits = spec.logits_module().apply(v, x, train=False)
     assert np.allclose(np.asarray(jax.nn.softmax(logits, -1)),
                        np.asarray(probs), atol=1e-6)
+
+
+def test_kernel_init_matches_keras_glorot_uniform():
+    """Layers without an explicit initializer must use Keras's default
+    glorot_uniform (bounded at sqrt(6/(fan_in+fan_out))), not flax's
+    unbounded lecun_normal — from-scratch runs must start from the
+    reference's weight distribution (reference models.py uses Keras
+    defaults everywhere except cnn0's he_uniform)."""
+    import jax
+
+    from ab_line_classifier_tpu.models import build_model
+
+    hp = {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01, "NODES_DENSE0": 8,
+          "FREEZE_IDX": -1}
+    spec = build_model("vgg16", hp, (32, 32, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    k = np.asarray(v["params"]["block1_conv1"]["kernel"])  # (3,3,3,64)
+    fan_in, fan_out = 3 * 3 * 3, 3 * 3 * 64
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    assert np.abs(k).max() <= limit + 1e-6          # bounded (uniform)
+    assert np.abs(k).max() > 0.9 * limit            # actually fills range
+    # uniform(-limit, limit) std = limit/sqrt(3)
+    assert abs(k.std() - limit / np.sqrt(3)) < 0.1 * limit
+
+    logits = np.asarray(v["params"]["logits"]["kernel"])   # Dense default
+    lim_d = np.sqrt(6.0 / (logits.shape[0] + logits.shape[1]))
+    assert np.abs(logits).max() <= lim_d + 1e-6
