@@ -119,11 +119,14 @@ class FrameDataset:
         all_labels = self.labels  # hoisted: one pandas->numpy conversion
 
         def make_batch(idxs: np.ndarray, n_valid: int) -> Batch:
-            # Rows >= n_valid are wraparound duplicates of the epoch's own
-            # frames (mask 0): excluded from loss/metrics, but trainable-BN
+            # Rows >= n_valid are wraparound duplicates of the batch's OWN
+            # rows (mask 0): excluded from loss/metrics, but trainable-BN
             # batch statistics see real images instead of zeros — the same
             # policy as DeviceCachedDataset and the trial-parallel index
-            # tables, and far closer to Keras's ragged final batch.
+            # tables, and far closer to Keras's ragged final batch. Only
+            # the n_valid distinct rows are decoded; duplicates are
+            # memcpy'd (re-decoding up to batch_size-1 wraparound JPEGs
+            # per epoch would be pure host overhead on a small host).
             b = len(idxs)
             h, w = self.img_dim
             images = np.zeros((batch_size, h, w, 3), np.uint8)
@@ -131,19 +134,24 @@ class FrameDataset:
             mask = np.zeros((batch_size,), np.float32)
             indices = np.full((batch_size,), -1, np.int32)
             lab = all_labels
+            valid = idxs[:n_valid]
             if self.use_native:
                 from ab_line_classifier_tpu.data import native
                 native.decode_jpeg_batch(
-                    [all_paths[int(ri)] for ri in idxs], self.img_dim,
-                    self.resize_mode, out=images[:b])
-                for j, ri in enumerate(idxs):
+                    [all_paths[int(ri)] for ri in valid], self.img_dim,
+                    self.resize_mode, out=images[:n_valid])
+                for j, ri in enumerate(valid):
                     labels[j] = lab[ri]
             else:
-                for j, ri in enumerate(idxs):
+                for j, ri in enumerate(valid):
                     images[j] = self.load_frame(int(ri))
                     labels[j] = lab[ri]
+            for j in range(n_valid, b):
+                src = (j - n_valid) % n_valid
+                images[j] = images[src]
+                labels[j] = labels[src]
             mask[:n_valid] = 1.0
-            indices[:n_valid] = idxs[:n_valid]
+            indices[:n_valid] = valid
             return Batch(images, labels, mask, indices)
 
         chunks = []
@@ -151,8 +159,9 @@ class FrameDataset:
             c = order[i:i + batch_size]
             n_valid = len(c)
             if 0 < n_valid < batch_size:
+                # Cycle the chunk's OWN rows (already decoded in-batch).
                 c = np.concatenate(
-                    [c, np.resize(order, batch_size - n_valid)])
+                    [c, np.resize(c, batch_size - n_valid)])
             chunks.append((np.asarray(c), n_valid))
         if prefetch <= 0:
             for c, nv in chunks:
@@ -292,9 +301,11 @@ class DeviceCachedDataset:
             np.random.RandomState(seed).shuffle(order)
         nb = -(-self._n // batch_size)
         pad = nb * batch_size - self._n
-        # Wraparound padding (real frames from this epoch's order) — see
-        # the gather() note and FrameDataset.batches().
-        idx = np.concatenate([order, np.resize(order, pad)]) if pad else order
+        # Wraparound padding cycles the FINAL batch's own rows — the same
+        # indices the host pipeline duplicates (FrameDataset.batches), so
+        # cached and streaming epochs stay bit-identical; see gather().
+        tail = order[(nb - 1) * batch_size:]
+        idx = np.concatenate([order, np.resize(tail, pad)]) if pad else order
         mask = np.concatenate([np.ones(self._n, np.float32),
                                np.zeros(pad, np.float32)])
         return (idx.reshape(nb, batch_size), mask.reshape(nb, batch_size))

@@ -95,8 +95,6 @@ class _Exporter:
             val = np.asarray(atom.val)
             if val.dtype == np.float64:
                 val = val.astype(np.float32)
-            if val.dtype == np.int64:
-                val = val.astype(np.int64)
             return self.add_init(val)
         return self._names[atom]
 
@@ -129,6 +127,21 @@ class _Exporter:
         if atom in self._deferred_expand:
             return self._actual_shape[atom]
         return tuple(int(s) for s in atom.aval.shape)
+
+    def _copy_deferral(self, src_atom, dst_var) -> None:
+        """Propagate deferred-Expand state across an inlined call boundary
+        (pjit/custom_jvp_call): the inner invar (resp. outer outvar) is
+        bound to the same mid-shape tensor as the outer atom, so it must
+        carry the same pending Expand or a non-broadcasting consumer on
+        the other side of the boundary would read an under-sized tensor."""
+        from jax._src.core import Literal
+
+        if isinstance(src_atom, Literal):
+            return
+        shape = self._deferred_expand.get(src_atom)
+        if shape is not None:
+            self._deferred_expand[dst_var] = shape
+            self._actual_shape[dst_var] = self._actual_shape[src_atom]
 
     def _bind_broadcasting(self, eqn, out_name: str, in_atoms) -> None:
         """Bind a broadcasting (elementwise/Where/...) op's output. The
@@ -216,9 +229,11 @@ class _Exporter:
                 # from the front (invars == jaxpr invars for these prims).
                 for ivar, atom in zip(inner.invars, eqn.invars):
                     self.bind(ivar, self.name_of(atom))
+                    self._copy_deferral(atom, ivar)
                 self._convert_eqns(inner)
                 for ovar, inner_out in zip(eqn.outvars, inner.outvars):
                     self.bind(ovar, self.name_of(inner_out))
+                    self._copy_deferral(inner_out, ovar)
                 continue
             handler = getattr(self, f"_p_{prim}", None)
             if handler is None:

@@ -79,6 +79,12 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
                 # Unfused conv bias: follow the output through layout
                 # Transposes to an Add with a constant operand (exporters —
                 # incl. ours — often emit Conv + Transpose + Add(bias)).
+                # The scan STOPS at the first non-Transpose consumer, so a
+                # channelwise Add only counts as the bias when it applies
+                # DIRECTLY to the conv output — a decomposed BatchNorm
+                # (Conv -> Mul(scale) -> Add(beta), or Sub(mean) first)
+                # breaks at the Mul/Sub and is never misattributed
+                # (pinned in tests/test_onnx_weights.py).
                 cur = node.output[0] if node.output else None
                 for j in range(i + 1, min(i + 6, len(gp.node))):
                     nxt = gp.node[j]

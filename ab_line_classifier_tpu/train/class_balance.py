@@ -54,6 +54,9 @@ def output_bias_array(train_df: pd.DataFrame, n_classes: int,
     count of 1 so the log-odds prior stays finite."""
     hist = np.bincount(train_df[class_key].to_numpy().astype(int),
                        minlength=n_classes).astype(np.float64)
-    hist = np.maximum(hist, 1.0)
+    # Total over the RAW counts (same convention as class_weight_array and
+    # the reference formula log(n_i/(N-n_i))); only the per-class count is
+    # clamped so absent classes stay finite.
     total = hist.sum()
-    return np.log(hist / (total - hist)).astype(np.float32)
+    hist = np.maximum(hist, 1.0)
+    return np.log(hist / np.maximum(total - hist, 1.0)).astype(np.float32)

@@ -297,3 +297,50 @@ def test_partial_onnx_import_warns(tmp_path):
     fresh = spec.init_variables(jax.random.PRNGKey(42))
     with pytest.warns(UserWarning, match="partial ONNX import"):
         import_onnx_weights(stripped, fresh, graph=spec.graph)
+
+
+def test_deferred_expand_crosses_inlined_call_boundary(tmp_path):
+    """A deferred broadcast consumed inside an inlined sub-jaxpr (a
+    jit-wrapped helper lowers to a pjit eqn) must carry its pending Expand
+    across the call boundary: the inner invar binds to the same mid-shape
+    tensor, so without propagation the inner Reshape reads an under-sized
+    tensor."""
+    u = np.arange(4, dtype=np.float32) + 1.0
+
+    @jax.jit
+    def inner(a):
+        return jnp.reshape(a, (12,))
+
+    def fn(v, x):
+        a = jnp.broadcast_to(v["params"]["p"]["u"], (3, 4))
+        return inner(a) + 0.0 * jnp.sum(x)
+
+    spec = _FnSpec(fn, (4,))
+    v = {"params": {"p": {"u": jnp.asarray(u)}}}
+    path = str(tmp_path / "inline_in.onnx")
+    export_onnx(spec, v, path, batch_size=1)
+    x = np.zeros((1, 4), np.float32)
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, np.tile(u, 3), atol=1e-6)
+
+
+def test_deferred_expand_crosses_inlined_output_boundary(tmp_path):
+    """The mirror case: a deferral created INSIDE an inlined sub-jaxpr must
+    follow the inner outvar onto the outer eqn output."""
+    u = np.arange(4, dtype=np.float32) + 1.0
+
+    @jax.jit
+    def inner(w):
+        return jnp.broadcast_to(w, (3, 4))
+
+    def fn(v, x):
+        return jnp.reshape(inner(v["params"]["p"]["u"]),
+                           (12,)) + 0.0 * jnp.sum(x)
+
+    spec = _FnSpec(fn, (4,))
+    v = {"params": {"p": {"u": jnp.asarray(u)}}}
+    path = str(tmp_path / "inline_out.onnx")
+    export_onnx(spec, v, path, batch_size=1)
+    x = np.zeros((1, 4), np.float32)
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, np.tile(u, 3), atol=1e-6)

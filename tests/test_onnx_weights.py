@@ -269,3 +269,37 @@ def test_tensor_dtype_decoding():
     t5.dims.extend([2])
     t5.int64_data.extend([7, -9])
     np.testing.assert_array_equal(OP.tensor_to_array(t5), [7, -9])
+
+
+def test_decomposed_bn_add_not_taken_as_conv_bias():
+    """A bias-free Conv followed by a decomposed BatchNorm
+    (Mul(scale) -> Add(beta)) must NOT claim the channelwise Add constant
+    as its bias: the scan stops at the first non-Transpose consumer of the
+    conv output (the Mul). A genuine unfused bias — Add applied directly
+    (through layout Transposes) to the conv output — IS claimed."""
+    from ab_line_classifier_tpu.models.onnx_weights import _weighted_entries
+
+    # Conv -> Mul -> Add (decomposed BN): no bias.
+    m = _new_model()
+    g = m.graph
+    w = _add_init(g, "w", np.zeros((8, 3, 3, 3), np.float32))
+    scale = _add_init(g, "scale", np.ones((1, 8, 1, 1), np.float32))
+    beta = _add_init(g, "beta", np.zeros((1, 8, 1, 1), np.float32))
+    _add_node(g, "Conv", "conv", ["x", w], ["c_out"], group=1)
+    _add_node(g, "Mul", "mul", ["c_out", scale], ["m_out"])
+    _add_node(g, "Add", "add", ["m_out", beta], ["a_out"])
+    entries = _weighted_entries(g)
+    assert entries[0]["kind"] == "conv"
+    assert "bias" not in entries[0]["weights"]
+
+    # Conv -> Transpose -> Add(bias): claimed.
+    m2 = _new_model()
+    g2 = m2.graph
+    w2 = _add_init(g2, "w2", np.zeros((8, 3, 3, 3), np.float32))
+    b2 = _add_init(g2, "b2", np.arange(8, dtype=np.float32))
+    _add_node(g2, "Conv", "conv", ["x", w2], ["c_out"], group=1)
+    _add_node(g2, "Transpose", "tr", ["c_out"], ["t_out"])
+    _add_node(g2, "Add", "add", ["t_out", b2], ["a_out"])
+    entries2 = _weighted_entries(g2)
+    np.testing.assert_array_equal(entries2[0]["weights"]["bias"],
+                                  np.arange(8, dtype=np.float32))

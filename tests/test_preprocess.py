@@ -126,6 +126,38 @@ def test_device_cached_dataset_matches_host_pipeline(tmp_path):
     assert maybe_device_cache(ds, False) is ds
 
 
+def test_partial_batch_pads_with_own_rows(tmp_path):
+    """The final partial batch's pad rows cycle the batch's OWN valid rows
+    (not the epoch head) in BOTH the host and device-cache paths: real
+    images for trainable-BN batch stats, no extra JPEG decodes on the
+    host (duplicates are memcpy'd), and bit-identical pads across paths."""
+    import pandas as pd
+
+    from ab_line_classifier_tpu.data.pipeline import (DeviceCachedDataset,
+                                                      FrameDataset)
+    from ab_line_classifier_tpu.data.synthetic import generate_dataset
+
+    ws = str(tmp_path)
+    fcsv, _, fdir = generate_dataset(ws, n_patients=6, clips_per_patient=2,
+                                     frames_per_clip=3, hw=(32, 32), seed=2)
+    ds = FrameDataset(pd.read_csv(fcsv), fdir, img_dim=(32, 32))
+    cached = DeviceCachedDataset(ds)
+    batch_size = 16
+    n_valid_last = len(ds) % batch_size
+    assert 0 < n_valid_last < batch_size
+
+    for src in (ds, cached):
+        last = list(src.batches(batch_size, shuffle=True, seed=3))[-1]
+        images = np.asarray(last.images)
+        labels = np.asarray(last.labels)
+        assert last.mask[:n_valid_last].all() and \
+            not last.mask[n_valid_last:].any()
+        for j in range(n_valid_last, batch_size):
+            s = (j - n_valid_last) % n_valid_last
+            np.testing.assert_array_equal(images[j], images[s])
+            assert labels[j] == labels[s]
+
+
 def test_device_cache_budget_arithmetic(monkeypatch):
     """Measured free-HBM budget: (limit - in_use) * fraction; default when
     the backend exposes no stats (CPU) — VERDICT r1 weak #6."""

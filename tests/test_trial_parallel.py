@@ -202,6 +202,27 @@ def test_output_bias_init_stacked():
     assert jax.tree.leaves(params)[0].shape[0] == 2
 
 
+def test_output_bias_array_uses_raw_total():
+    """The [C]-vector form follows the same convention as
+    class_weight_array: the log-odds denominator uses the RAW total N
+    (reference formula log(n_i/(N-n_i)), train.py:71-81); only the
+    per-class count is clamped for absent classes. Clamping before the
+    total would compute against an inflated N+1."""
+    import pandas as pd
+
+    from ab_line_classifier_tpu.train.class_balance import (
+        compute_output_bias, output_bias_array)
+
+    df = pd.DataFrame({"Class": [0] * 7 + [1] * 3})
+    full = output_bias_array(df, 3)
+    # Present classes: exact reference formula (and == the ragged form).
+    ref = np.asarray(compute_output_bias(df))
+    np.testing.assert_allclose(full[:2], ref, atol=1e-6)
+    np.testing.assert_allclose(full[:2], np.log([7 / 3, 3 / 7]), atol=1e-6)
+    # Absent class: finite guarded value.
+    assert np.isfinite(full[2])
+
+
 def test_lr_search_parallel_passes_output_bias(tmp_path, monkeypatch):
     """Every LR trial gets the same log-odds head-bias init the serial runs
     use (reference train.py:71-81,233-234) — without it the sweep optimizes
