@@ -79,10 +79,20 @@ def fold_train_val_test(folds: List[pd.DataFrame], fold_id: int,
                         ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Assemble fold ``fold_id``'s train/val/test tables (reference
     ``src/train_utils.py:192-235``): test = fold i; train/val = grouped split
-    of the concatenated remaining folds."""
+    of the concatenated remaining folds.
+
+    Row INDEX LABELS are preserved end-to-end (``group_train_test_split``
+    slices positionally with ``iloc``, so labels pass through): when
+    ``folds`` came from :func:`k_fold_splits` of a RangeIndex ``frames_df``,
+    ``train_df.index`` etc. are valid row positions into that ``frames_df``
+    — the contract ``cross_validation_parallel`` relies on to gather each
+    fold's frames from the full device-resident array. Concatenating with
+    ``ignore_index=True`` here would silently renumber train/val rows
+    against the *rest* frame (a patient-leakage bug, caught by
+    ``tests/test_splits.py::test_fold_train_val_test_preserves_positions``).
+    """
     test_df = folds[fold_id]
-    rest = pd.concat([f for i, f in enumerate(folds) if i != fold_id],
-                     ignore_index=True)
+    rest = pd.concat([f for i, f in enumerate(folds) if i != fold_id])
     train_df, val_df = group_train_test_split(rest, val_split,
                                               random_seed=random_seed)
     return train_df, val_df, test_df

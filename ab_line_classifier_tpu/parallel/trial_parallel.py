@@ -49,12 +49,20 @@ def pad_index_table(index_lists: List[np.ndarray],
     stats toward all-zero statistics (serial training never sees more than
     one batch's worth of padding). Duplicated real frames keep the
     statistics honest and fold-local."""
+    for f, ix in enumerate(index_lists):
+        if len(ix) == 0:
+            # An all-zeros pad row would gather frame 0 — possibly another
+            # fold's data — into this fold's BN batch statistics, exactly
+            # the cross-fold contamination wraparound exists to prevent.
+            raise ValueError(
+                f"fold/trial {f} has an empty index list; every fold needs "
+                f"at least one frame (dataset too small for this split?)")
     n = pad_to or max(len(ix) for ix in index_lists)
     table = np.zeros((len(index_lists), n), np.int32)
     mask = np.zeros((len(index_lists), n), np.float32)
     for f, ix in enumerate(index_lists):
         table[f, :len(ix)] = ix
-        if 0 < len(ix) < n:
+        if len(ix) < n:
             reps = np.tile(ix, -(-(n - len(ix)) // len(ix)))
             table[f, len(ix):] = reps[:n - len(ix)]
         mask[f, :len(ix)] = 1.0

@@ -57,21 +57,39 @@ def load_class_idx_map(cfg: Config) -> Dict[str, int]:
     loads a dill-pickled ``{class: idx}``; plain pickle reads those), so a
     config ported from the reference keeps its serialized map. An existing
     file that parses as neither raises instead of silently substituting
-    config order — a mismatched map would swap probability columns."""
+    config order — a mismatched map would swap probability columns.
+
+    The map's contract is to describe the model's probability-column order,
+    which is DATA.CLASSES order at training time; a file that disagrees
+    with the config (e.g. a legacy ``{'b_lines': 0}``) would make both the
+    thresholded column read and the prediction labels wrong — in the
+    reference too (predict.py:82-86). That near-certain misconfiguration
+    warns loudly here instead of silently inverting predictions."""
     path = cfg["PATHS"].get("CLASS_NAME_MAP", "")
     if path and os.path.isfile(path):
         if path.endswith(".json"):
             with open(path) as f:
-                return {str(k): int(v) for k, v in json.load(f).items()}
-        try:
-            import pickle
-            with open(path, "rb") as f:
-                m = pickle.load(f)
-            return {str(k): int(v) for k, v in m.items()}
-        except Exception as e:
-            raise ValueError(
-                f"PATHS.CLASS_NAME_MAP {path!r} exists but is neither JSON "
-                f"nor a pickled class->index dict: {e}") from e
+                m = {str(k): int(v) for k, v in json.load(f).items()}
+        else:
+            try:
+                import pickle
+                with open(path, "rb") as f:
+                    m = {str(k): int(v)
+                         for k, v in pickle.load(f).items()}
+            except Exception as e:
+                raise ValueError(
+                    f"PATHS.CLASS_NAME_MAP {path!r} exists but is neither "
+                    f"JSON nor a pickled class->index dict: {e}") from e
+        config_order = {c: i for i, c in enumerate(cfg.classes)}
+        if m != config_order:
+            import warnings
+            warnings.warn(
+                f"PATHS.CLASS_NAME_MAP {path!r} ({m}) disagrees with "
+                f"DATA.CLASSES order ({config_order}); the model's "
+                f"probability columns follow DATA.CLASSES at training "
+                f"time, so predictions read through this map are likely "
+                f"inverted/mislabeled", UserWarning)
+        return m
     return {c: i for i, c in enumerate(cfg.classes)}
 
 

@@ -178,16 +178,7 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
 
     # Mesh from PARALLEL.MESH config (data-parallel batch sharding; no-op on
     # a single device).
-    mesh = None
-    pcfg = cfg.get("PARALLEL")
-    if pcfg and len(jax.devices()) > 1:
-        from ab_line_classifier_tpu.parallel.mesh import make_mesh
-        mesh_cfg = pcfg.get("MESH", {})
-        try:
-            mesh = make_mesh(int(mesh_cfg.get("DATA", -1)),
-                             int(mesh_cfg.get("TRIAL", 1)))
-        except ValueError as e:
-            print(f"mesh config invalid ({e}); running single-device")
+    mesh = _mesh_from_config(cfg)
 
     trainer = Trainer(
         spec, class_weight=class_weight, class_names=cfg.classes,
@@ -497,6 +488,12 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
         lr_factors=lr_factors, verbose=verbose,
         checkpoint_dir=checkpoint_dir, resume=resume)
 
+    if not history:
+        raise RuntimeError(
+            "lr_search_parallel: no epochs ran (EPOCHS=0 or the checkpoint "
+            "already covers the full budget) — no per-trial objective to "
+            "select from")
+
     # Per-trial best objective over epochs (METRIC_NAME semantics as in
     # _sweep_objective; epoch/val_* keys come from the history arrays).
     key = search["METRIC_NAME"].split("/")[-1]
@@ -550,12 +547,8 @@ def cross_validation_parallel(cfg: Config, mesh=None, verbose: bool = True,
     vmapped and sharded over the mesh's ``trial`` axis) — the TPU-native
     replacement for the reference's serial sweep-agent folds. Returns the
     per-fold test metrics summary."""
-    import numpy as np
-
-    from ab_line_classifier_tpu.data.pipeline import FrameDataset
     from ab_line_classifier_tpu.parallel.trial_parallel import (
         ParallelFoldTrainer)
-    from ab_line_classifier_tpu.predict.predict import Predictor
 
     ensure_output_dirs(cfg)
     n_folds = int(cfg["TRAIN"]["N_FOLDS"])
@@ -599,8 +592,6 @@ def cross_validation_parallel(cfg: Config, mesh=None, verbose: bool = True,
         checkpoint_dir=checkpoint_dir, resume=resume)
 
     # Per-fold test evaluation with each fold's best weights.
-    import jax
-
     rows = []
     for f in range(n_folds):
         fold_vars = jax.tree.map(lambda a: np.asarray(a[f]), best)

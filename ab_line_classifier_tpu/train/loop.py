@@ -404,6 +404,14 @@ class Trainer:
                 from flax import serialization
                 state = serialization.from_state_dict(
                     state, resume_payload["state"])
+                if self.mesh is not None:
+                    # from_state_dict replaced init_state's mesh-replicated
+                    # leaves with host numpy; re-establish the placement
+                    # (same reason as ParallelFoldTrainer.fit's resume
+                    # re-device_put) — on a multi-host mesh the first jitted
+                    # step would otherwise see process-local arrays.
+                    state = jax.device_put(
+                        state, mesh_lib.replicated(self.mesh))
                 best_vars = resume_payload["best_vars"]
                 ctl.best_val = resume_progress["best_val"]
                 ctl.best_plateau = resume_progress.get(

@@ -100,3 +100,38 @@ def test_aggregate_dispatch():
         assert out.shape == (3, 2)
     with pytest.raises(ValueError):
         agg.aggregate_clips(probs, mask, algorithm="median")
+
+
+def test_class_idx_map_mismatch_warns(tmp_path):
+    """A CLASS_NAME_MAP file that disagrees with DATA.CLASSES order means
+    the probability-column reads (and therefore every prediction label)
+    are wrong — that must warn loudly, not silently invert (the reference
+    inherits the inversion silently, predict.py:82-86)."""
+    import json
+    import os
+    import warnings
+
+    from ab_line_classifier_tpu.config import load_config
+    from ab_line_classifier_tpu.predict.predict import load_class_idx_map
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(REPO, "config.yml"))
+    d = cfg.to_dict()
+
+    good = str(tmp_path / "map.json")
+    with open(good, "w") as f:
+        json.dump({c: i for i, c in enumerate(cfg.classes)}, f)
+    d["PATHS"]["CLASS_NAME_MAP"] = good
+    from ab_line_classifier_tpu.config import Config
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning on a matching map
+        m = load_class_idx_map(Config(d))
+    assert m == {c: i for i, c in enumerate(cfg.classes)}
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({c: i for i, c in
+                   enumerate(reversed(cfg.classes))}, f)
+    d["PATHS"]["CLASS_NAME_MAP"] = bad
+    with pytest.warns(UserWarning, match="disagrees with DATA.CLASSES"):
+        load_class_idx_map(Config(d))

@@ -87,3 +87,25 @@ def test_partition_dataset_legacy(tmp_path):
     assert list(te2["Frame Path"]) == list(te["Frame Path"])
     with pytest.raises(ValueError, match="partitions_dir"):
         S.partition_dataset(df, 0.2, 0.2, save_dfs=True)
+
+
+def test_fold_train_val_test_preserves_positions():
+    """Index labels survive the fold assembly: for folds built from a
+    RangeIndex frames_df, train/val/test .index are valid row positions in
+    frames_df — the contract cross_validation_parallel gathers with. The
+    old ignore_index=True concat renumbered train/val against the 'rest'
+    frame, making every parallel fold train on the wrong rows (incl. its
+    own test fold: patient leakage)."""
+    df = _frames_df(n_patients=25)
+    folds = S.k_fold_splits(df, 5, random_seed=42)
+    for fold_id in range(5):
+        tr, va, te = S.fold_train_val_test(folds, fold_id, 0.1,
+                                           random_seed=42)
+        for part in (tr, va, te):
+            pd.testing.assert_frame_equal(df.iloc[part.index.to_numpy()],
+                                          part)
+        # Leakage check by POSITION (what the parallel trainer gathers).
+        pts = lambda p: set(df.iloc[p.index.to_numpy()][S.PATIENT_ID])
+        assert not (pts(tr) & pts(te))
+        assert not (pts(va) & pts(te))
+        assert not (pts(tr) & pts(va))
