@@ -47,6 +47,16 @@ inline int nearest_idx(int i, int src, int dst, int mode) {
   return static_cast<int>(v);
 }
 
+// Scratch buffers for one decode. Declared BEFORE setjmp so a longjmp
+// from the libjpeg error handler never jumps over their initialization:
+// control returns to the setjmp site and decode_one exits by a normal
+// `return`, running the destructors (a longjmp across live vectors would
+// be UB and leak the heap blocks on every corrupt file).
+struct DecodeBuffers {
+  std::vector<int> cidx, ridx;
+  std::vector<uint8_t> row;
+};
+
 // Decode one JPEG file to RGB and nearest-resize into out[H*W*3].
 // Returns 0 on success, nonzero error code otherwise.
 int decode_one(const char* path, uint8_t* out, int out_h, int out_w,
@@ -54,6 +64,7 @@ int decode_one(const char* path, uint8_t* out, int out_h, int out_w,
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
 
+  DecodeBuffers buf;  // before setjmp — see struct comment
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -74,18 +85,21 @@ int decode_one(const char* path, uint8_t* out, int out_h, int out_w,
   const int comps = cinfo.output_components;  // 3 after JCS_RGB
 
   // Column gather map (precomputed once per image).
-  std::vector<int> cidx(out_w);
+  std::vector<int>& cidx = buf.cidx;
+  cidx.resize(out_w);
   for (int j = 0; j < out_w; ++j) {
     cidx[j] = nearest_idx(j, src_w, out_w, resize_mode);
   }
   // Row map: for each source row, which output rows consume it (rows are
   // monotone, so store the source row for each output row).
-  std::vector<int> ridx(out_h);
+  std::vector<int>& ridx = buf.ridx;
+  ridx.resize(out_h);
   for (int i = 0; i < out_h; ++i) {
     ridx[i] = nearest_idx(i, src_h, out_h, resize_mode);
   }
 
-  std::vector<uint8_t> row(static_cast<size_t>(src_w) * comps);
+  std::vector<uint8_t>& row = buf.row;
+  row.resize(static_cast<size_t>(src_w) * comps);
   JSAMPROW rowp = row.data();
   int next_out = 0;  // next output row waiting for its source row
   while (cinfo.output_scanline < cinfo.output_height) {

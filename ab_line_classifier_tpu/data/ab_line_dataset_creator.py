@@ -53,25 +53,8 @@ class ABLineDatasetCreator(DatasetCreator):
     def mp4_to_images(self, mp4_path: str) -> List[str]:
         """Decompose a masked clip into ``{clip}_{idx}.jpg`` frames
         (reference :27-53)."""
-        import cv2  # deferred; must precede jax work in-process
-
-        mp4_filename = os.path.split(mp4_path)[1].split(".")[0]
-        frames_dir = self.cfg["PATHS"]["FRAMES"]
-        os.makedirs(frames_dir, exist_ok=True)
-
-        vc = cv2.VideoCapture(mp4_path)
-        idx = 0
-        image_paths = []
-        while True:
-            ret, frame = vc.read()
-            if not ret:
-                break
-            image_path = f"{mp4_filename}_{idx}.jpg"
-            image_paths.append(image_path)
-            cv2.imwrite(os.path.join(frames_dir, image_path), frame)
-            idx += 1
-        vc.release()
-        return image_paths
+        from ab_line_classifier_tpu.data.video import mp4_to_frames
+        return mp4_to_frames(self.cfg["PATHS"]["FRAMES"], mp4_path)
 
     def build_dataset(self) -> None:
         """Frames table build (reference :55-77)."""

@@ -235,14 +235,18 @@ def augment_batch(images: jax.Array, key: jax.Array, *, zoom: float = 0.0,
         k_affine, b, (h, w), zoom=zoom, shift_w=shift_w, shift_h=shift_h,
         rotation=rotation, horizontal_flip=horizontal_flip)
 
-    # The matmul warp needs |residual rotation| <= ~45 deg (a22 bounded
-    # away from 0) and materializes O(H*W*max(H,W)) weights per image.
-    # Arbitrary angles are handled by peeling the nearest quarter turn off
-    # as a free rot90 permutation of the (square) source — the residual
-    # stays within +-45 deg. Non-square or large images fall back to the
-    # 4-tap gather sampler (slower but unrestricted).
+    # The matmul warp needs a22 = cos(residual rotation) * zoom bounded
+    # away from 0 (its pass-A slopes divide by a22) and materializes
+    # O(H*W*max(H,W)) weights per image. Quarter-turn peeling keeps the
+    # residual rotation within +-45 deg; the zoom factor (Keras semantics:
+    # zooms in [1-z, 1+z] DIRECTLY scale a22) must keep min zoom >= 0.5 —
+    # ZOOM_RANGE >= ~1 would drive a22 toward 0 and blow up the pass-A
+    # sample positions (NaN at exactly 0). Outside these bounds — large
+    # zoom ranges, non-square or large images — fall back to the 4-tap
+    # gather sampler (slower but unrestricted).
     small_rot = rotation * 2.0 * jnp.pi <= jnp.pi / 4 + 1e-6
-    use_matmul = max(h, w) <= 160 and (small_rot or h == w)
+    use_matmul = (max(h, w) <= 160 and zoom <= 0.5
+                  and (small_rot or h == w))
     if not use_matmul:
         affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
         out = jax.vmap(_bilinear_sample)(images, affines)

@@ -94,7 +94,15 @@ class FrameDataset:
 
     @property
     def paths(self) -> Sequence[str]:
-        return [os.path.join(self.frames_dir, p) for p in self.df[FRAME_PATH]]
+        # Cached: per-frame consumers (load_frame in the PIL decode path,
+        # Grad-CAM) index this per call — rebuilding N joins per access
+        # would be O(N^2) per epoch on the 1-CPU host.
+        cached = getattr(self, "_paths", None)
+        if cached is None or len(cached) != len(self.df):
+            cached = [os.path.join(self.frames_dir, p)
+                      for p in self.df[FRAME_PATH]]
+            self._paths = cached
+        return cached
 
     def n_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
         n = len(self)

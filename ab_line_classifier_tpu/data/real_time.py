@@ -88,24 +88,8 @@ def create_rt_ABline_dataframe(cfg: Config, lb_annot: Optional[str] = None,
 
 def mp4_to_images(cfg: Config, mp4_path: str) -> List[str]:
     """Masked clip -> ``{clip}_{idx}.jpg`` frames (reference :79-105)."""
-    import cv2  # deferred; must precede jax work in-process
-
-    mp4_filename = os.path.split(mp4_path)[1].split(".")[0]
-    frames_dir = cfg["PATHS"]["FRAMES"]
-    os.makedirs(frames_dir, exist_ok=True)
-    vc = cv2.VideoCapture(mp4_path)
-    idx = 0
-    image_paths = []
-    while True:
-        ret, frame = vc.read()
-        if not ret:
-            break
-        image_path = f"{mp4_filename}_{idx}.jpg"
-        image_paths.append(image_path)
-        cv2.imwrite(os.path.join(frames_dir, image_path), frame)
-        idx += 1
-    vc.release()
-    return image_paths
+    from ab_line_classifier_tpu.data.video import mp4_to_frames
+    return mp4_to_frames(cfg["PATHS"]["FRAMES"], mp4_path)
 
 
 def create_rt_image_dataset(cfg: Config, query_df_path: str) -> None:

@@ -130,8 +130,22 @@ class WandbArtifactFetcher:
         artifact's metadata, which wins over the defaults (0.1 / 42)."""
         art = self._get(K_FOLD, version)
         n_folds = int(art.metadata["n_folds"])
-        _, frames_dir = self.fetch_images(
-            art.metadata.get("images_artifact_version") or "latest")
+        # Walk the same lineage as fetch_train_val_test: KFold artifacts
+        # record their PARENT ModelDev version ('model_dev_artifact_
+        # version', reference artifact_logging.py:266-332 and our
+        # log_k_fold_cross_val), and the ModelDev hop yields the Images
+        # version. Reading 'images_artifact_version' off the KFold
+        # metadata directly would always miss (the key only exists on
+        # ModelDev) and silently pair the fold tables with whatever
+        # Images version is currently 'latest' — wrong pixels for the
+        # fold labels if Images was re-logged since.
+        images_v = art.metadata.get("images_artifact_version")
+        if not images_v:
+            model_dev_v = art.metadata.get("model_dev_artifact_version")
+            if model_dev_v:
+                model_dev = self._get(MODEL_DEV, model_dev_v)
+                images_v = model_dev.metadata.get("images_artifact_version")
+        _, frames_dir = self.fetch_images(images_v or "latest")
         src = art.download()
         path = self.store.new_version_dir(K_FOLD)
         for i in range(n_folds):

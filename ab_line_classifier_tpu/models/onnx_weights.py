@@ -65,7 +65,14 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
 
     for i, node in enumerate(gp.node):
         op = node.op_type
-        names = [node.name] + list(node.input)
+        # Names that identify the layer OWNING this node: the node's own
+        # name and its weight-initializer inputs. The DATA input
+        # (input[0]) is excluded — in real tf2onnx exports its tensor name
+        # carries the UPSTREAM layer's path (e.g. conv2's input is
+        # '.../conv1/Relu:0'), and including it would bind every entry to
+        # its producer layer in graph order, leaving the consumer layer
+        # unrestored (pinned in tests/test_onnx_weights.py).
+        names = [node.name] + list(node.input[1:])
         if op == "Conv" and len(node.input) > 1 and node.input[1] in inits:
             w = inits[node.input[1]]
             attrs = OP.node_attrs(node)
@@ -98,7 +105,7 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
                                  if x != cur and x in inits]
                         if const and inits[const[0]].size == w.shape[0]:
                             weights["bias"] = inits[const[0]].reshape(-1)
-                            names += [nxt.name] + list(nxt.input)
+                            names += [nxt.name] + const[:1]
                     break
             entries.append({"kind": kind, "weights": weights, "names": names})
         elif op == "Gemm" and len(node.input) > 1 and node.input[1] in inits:
@@ -122,7 +129,7 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
                              if x != out and x in inits]
                     if const:
                         weights["bias"] = inits[const[0]].reshape(-1)
-                        names += [nxt.name] + list(nxt.input)
+                        names += [nxt.name] + const[:1]
                         consumed_bias_adds.add(j)
                     break
             entries.append({"kind": "dense", "weights": weights,

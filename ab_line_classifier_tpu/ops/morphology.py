@@ -25,15 +25,27 @@ import numpy as np
 
 
 def ellipse_kernel(size: int) -> np.ndarray:
-    """Elliptical structuring element (cv2.getStructuringElement
-    MORPH_ELLIPSE semantics: inscribed ellipse in a size x size box)."""
+    """Elliptical structuring element, bit-exact with
+    ``cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size))`` — the
+    reference's automask kernels (reference auto_masking.py:58-61). cv2
+    anchors the center at ``size // 2`` and fills each row ``i`` over
+    ``[c - dx, c + dx]`` with ``dx = cvRound(c * sqrt(r² - dy²) / r)``
+    (round-half-to-even, like ``np.rint``); a smooth inside-the-ellipse
+    test differs from that at every size (e.g. cv2's 3×3 is the 5-pixel
+    cross, not a full box). Pinned against cv2 goldens in
+    ``tests/test_morphology.py``."""
     size = max(int(size), 1)
-    r = (size - 1) / 2.0
-    y, x = np.mgrid[0:size, 0:size]
+    r = size // 2
     if r == 0:
         return np.ones((1, 1), np.float32)
-    inside = ((x - r) / (r + 0.5)) ** 2 + ((y - r) / (r + 0.5)) ** 2 <= 1.0
-    return inside.astype(np.float32)
+    c = size // 2
+    k = np.zeros((size, size), np.float32)
+    for i in range(size):
+        dy = i - r
+        if abs(dy) <= r:
+            dx = int(np.rint(c * np.sqrt(max(r * r - dy * dy, 0)) / r))
+            k[i, max(c - dx, 0): min(c + dx + 1, size)] = 1.0
+    return k
 
 
 def _conv2d_same(x: jax.Array, kernel: jax.Array,

@@ -204,3 +204,17 @@ def test_large_rotation_non_square_falls_back_to_gather():
     assert out.shape == x.shape
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_extreme_zoom_range_stays_finite():
+    """ZOOM_RANGE: 1.0 is valid Keras RandomZoom config (zooms span
+    [0, 2]); the matmul warp's a22 = cos*zoom hits 0 there, so the
+    dispatcher must route such ranges to the gather sampler — outputs
+    stay finite and in range instead of NaN/zero-collapsed."""
+    x = _batch()
+    out = np.asarray(augment_batch(x, jax.random.PRNGKey(11), zoom=1.0,
+                                   rotation=45, horizontal_flip=True))
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    # Zoomed-in samples must carry real content, not all-fill.
+    assert (out.reshape(len(out), -1).max(1) > 0).any()

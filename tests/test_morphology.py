@@ -30,6 +30,46 @@ def test_ellipse_kernel_shapes():
     assert k9[0, 0] == 0  # corners outside the ellipse
 
 
+def test_ellipse_kernel_matches_cv2_goldens():
+    """Bit-exact vs cv2.getStructuringElement(MORPH_ELLIPSE, (n, n)) — the
+    reference's automask kernels (auto_masking.py:58-61). Goldens captured
+    from cv2 4.x in a clean process (cv2 cannot be imported after jax in
+    this suite); cv2's 3x3 'ellipse' is the 5-px cross, NOT a full box —
+    a smooth inside-the-ellipse test gets every size wrong."""
+    goldens = {
+        3: np.array([[0, 1, 0],
+                     [1, 1, 1],
+                     [0, 1, 0]], np.float32),
+        5: np.array([[0, 0, 1, 0, 0],
+                     [1, 1, 1, 1, 1],
+                     [1, 1, 1, 1, 1],
+                     [1, 1, 1, 1, 1],
+                     [0, 0, 1, 0, 0]], np.float32),
+        7: np.array([[0, 0, 0, 1, 0, 0, 0],
+                     [0, 1, 1, 1, 1, 1, 0],
+                     [1, 1, 1, 1, 1, 1, 1],
+                     [1, 1, 1, 1, 1, 1, 1],
+                     [1, 1, 1, 1, 1, 1, 1],
+                     [0, 1, 1, 1, 1, 1, 0],
+                     [0, 0, 0, 1, 0, 0, 0]], np.float32),
+        9: np.array([[0, 0, 0, 0, 1, 0, 0, 0, 0],
+                     [0, 1, 1, 1, 1, 1, 1, 1, 0],
+                     [0, 1, 1, 1, 1, 1, 1, 1, 0],
+                     [1, 1, 1, 1, 1, 1, 1, 1, 1],
+                     [1, 1, 1, 1, 1, 1, 1, 1, 1],
+                     [1, 1, 1, 1, 1, 1, 1, 1, 1],
+                     [0, 1, 1, 1, 1, 1, 1, 1, 0],
+                     [0, 1, 1, 1, 1, 1, 1, 1, 0],
+                     [0, 0, 0, 0, 1, 0, 0, 0, 0]], np.float32),
+    }
+    for n, want in goldens.items():
+        np.testing.assert_array_equal(M.ellipse_kernel(n), want,
+                                      err_msg=f"size {n}")
+    # Pixel-count goldens for larger / even sizes (cv2 4.x).
+    for n, total in ((12, 115), (24, 469), (6, 29), (15, 169)):
+        assert int(M.ellipse_kernel(n).sum()) == total, n
+
+
 def test_clean_masks_pipeline():
     probs = np.zeros((3, 64, 64), np.float32)
     probs[:, 16:48, 16:48] = 0.9  # solid beam square

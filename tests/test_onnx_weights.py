@@ -92,7 +92,9 @@ def _write_cnn0_onnx(path, spec, variables, style):
             x = _add_node(g, "Conv",
                           f"StatefulPartitionedCall/model/{name}/Conv2D"
                           if tf_style else f"/Conv_{uid[0]}",
-                          [x, w, b], [f"{name}_out"], group=1)
+                          [x, w, b],
+                          [f"StatefulPartitionedCall/model/{name}/Relu:0"
+                           if tf_style else f"{name}_out"], group=1)
         elif s.kind == "bn" and name in params:
             ins = [x]
             for role, arr in (("gamma", params[name]["scale"]),
@@ -104,7 +106,10 @@ def _write_cnn0_onnx(path, spec, variables, style):
                           f"StatefulPartitionedCall/model/{name}/"
                           "FusedBatchNormV3" if tf_style
                           else f"/BatchNormalization_{uid[0]}",
-                          ins, [f"{name}_out"])
+                          ins,
+                          [f"StatefulPartitionedCall/model/{name}/"
+                           "FusedBatchNormV3:0" if tf_style
+                           else f"{name}_out"])
         elif s.kind == "dense" and name in params:
             k = np.asarray(params[name]["kernel"])  # (in, out)
             bias = np.asarray(params[name]["bias"])
@@ -113,13 +118,15 @@ def _write_cnn0_onnx(path, spec, variables, style):
                 mm = _add_node(
                     g, "MatMul",
                     f"StatefulPartitionedCall/model/{name}/MatMul",
-                    [x, w], [f"{name}_mm"])
+                    [x, w],
+                    [f"StatefulPartitionedCall/model/{name}/MatMul:0"])
                 b = _add_init(g, iname(name, "BiasAdd/ReadVariableOp"),
                               bias)
                 x = _add_node(
                     g, "Add",
                     f"StatefulPartitionedCall/model/{name}/BiasAdd",
-                    [mm, b], [f"{name}_out"])
+                    [mm, b],
+                    [f"StatefulPartitionedCall/model/{name}/BiasAdd:0"])
             else:
                 w = _add_init(g, iname(name, "gemm_w"), k.T)  # (out, in)
                 b = _add_init(g, iname(name, "gemm_b"), bias)

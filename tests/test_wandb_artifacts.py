@@ -78,7 +78,11 @@ def wandb_world(tmp_path):
             tvt_dir, {"model_dev_artifact_version": "v1"}),
         "ModelDev:v1": FakeArtifact("", {"images_artifact_version": "v3"}),
         "KFoldCrossValidation:latest": FakeArtifact(
-            kf_dir, {"n_folds": 2, "val_split": 0.34, "random_seed": 42}),
+            kf_dir, {"n_folds": 2, "val_split": 0.34, "random_seed": 42,
+                     # reference-logged lineage: the KFold artifact only
+                     # names its PARENT ModelDev; the Images version comes
+                     # from the ModelDev hop (like TrainValTest).
+                     "model_dev_artifact_version": "v1"}),
     })
     return api, df
 
@@ -106,6 +110,12 @@ def test_fetch_k_fold_serves_fold_artifacts(tmp_path, wandb_world):
     store = ArtifactStore(str(tmp_path / "store"))
     fetcher = WandbArtifactFetcher(store, api=api)
     fetcher.fetch_k_fold()
+    # Lineage walked KFold -> ModelDev:v1 -> Images:v3 (reference-logged
+    # KFold artifacts carry only their parent ModelDev version; reading
+    # Images 'latest' instead could pair fold tables with re-logged
+    # frames).
+    assert "ModelDev:v1" in api.requested
+    assert "Images:v3" in api.requested
     assert store.get_n_folds() == 2
     train, val, test, frames_dir = store.get_fold_artifact(0)
     assert len(train) and len(val) and len(test)
