@@ -69,6 +69,22 @@ def _toolchain_fingerprint():  # pragma: no cover - environment dependent
 # process start fast. Env vars win if already set. The cache dir is keyed by
 # a toolchain fingerprint (see above) so stale AOT entries from a different
 # libtpu/host build are never loaded.
+# Backend override for CI / CPU-only machines FIRST, in its own guard: the
+# container's sitecustomize force-registers the TPU platform and clobbers
+# JAX_PLATFORMS, so an explicit config.update (which wins) is the only
+# reliable switch; honored only if jax hasn't initialized a backend yet.
+# Kept independent of the cache setup below — a cache-config failure must
+# not silently disable the platform switch (tests/dryruns would dispatch
+# to the real TPU, the exact failure the switch exists to prevent).
+try:  # pragma: no cover - environment dependent
+    _plat = _os.environ.get("ABLC_PLATFORM")
+    if _plat:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+except Exception:
+    pass
+
 try:  # pragma: no cover - environment dependent
     import jax as _jax
 
@@ -85,13 +101,6 @@ try:  # pragma: no cover - environment dependent
         "jax_persistent_cache_min_compile_time_secs",
         float(_os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
                               0.5)))
-    # Backend override for CI / CPU-only machines. The container's
-    # sitecustomize force-registers the TPU platform and clobbers
-    # JAX_PLATFORMS, so an explicit config.update (which wins) is the only
-    # reliable switch; honored only if jax hasn't initialized a backend yet.
-    _plat = _os.environ.get("ABLC_PLATFORM")
-    if _plat:
-        _jax.config.update("jax_platforms", _plat)
 except Exception:
     pass
 

@@ -90,6 +90,12 @@ class FrameDataset:
 
     @property
     def labels(self) -> np.ndarray:
+        # Unlabeled tables (prediction-only use, e.g. `predict
+        # --no-metrics` on prospective data with no ground truth) get
+        # all-zero labels: batches() threads them through but nothing
+        # consumes them without metrics.
+        if CLASS not in self.df.columns:
+            return np.zeros(len(self.df), np.int32)
         return self.df[CLASS].to_numpy().astype(np.int32)
 
     @property

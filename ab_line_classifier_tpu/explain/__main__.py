@@ -25,13 +25,24 @@ def main():
     args = p.parse_args()
 
     cfg = load_config(args.config)
-    explainer = GradCAMExplainer(cfg, mode=args.mode)
     frame_df = pd.read_csv(cfg["PATHS"]["FRAME_TABLE"])
     if args.frames:
-        frame_df = frame_df[frame_df["Frame Path"].isin(args.frames)]
+        # The table stores bare filenames; accept full/relative paths too
+        # (users tab-complete paths) by matching on basename, like
+        # GradCAMExplainer.get_heatmap_for_frame.
+        import os
+
+        wanted = {os.path.basename(f) for f in args.frames}
+        table_names = frame_df["Frame Path"].map(os.path.basename)
+        frame_df = frame_df[table_names.isin(wanted)]
+        if frame_df.empty:
+            raise SystemExit(
+                f"none of {sorted(wanted)} found in the frame table "
+                f"({cfg['PATHS']['FRAME_TABLE']})")
     else:
         frame_df = frame_df.head(args.limit)
     frame_df = frame_df.reset_index(drop=True)
+    explainer = GradCAMExplainer(cfg, mode=args.mode)
     explainer.apply_gradcam(frame_df)
     print(f"wrote {len(frame_df)} heatmaps to {cfg['PATHS']['HEATMAPS']}")
 

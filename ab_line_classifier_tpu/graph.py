@@ -131,6 +131,13 @@ class LayerGraph:
         )
         if idx <= 0:
             raise GraphError("cannot cut at the input node")
+        if idx >= len(self.layers):
+            # Keras raises IndexError on base.layers[idx] (reference
+            # models.py:79); silently returning the full graph would train
+            # the wrong architecture on a CUTOFF_IDX typo.
+            raise GraphError(
+                f"cut index {at} out of range for a {len(self.layers)}-layer "
+                f"graph")
         keep = self.layers[: idx + 1]
         # Drop any kept layer whose inputs were themselves dropped (cannot
         # happen in topo order) and verify closure.
@@ -329,8 +336,13 @@ class Normalization(nn.Module):
         var = self.variable(
             "batch_stats", "variance",
             lambda: jnp.asarray(self.variance_init, jnp.float32))
+        # Keras layers.Normalization floors the denominator at
+        # backend.epsilon() (1e-7) so zero-variance channels (constant
+        # input channel at adapt time, or pre-import zero stats) stay
+        # finite instead of inf/NaN.
+        denom = jnp.maximum(jnp.sqrt(var.value), 1e-7)
         return ((x - mean.value.astype(x.dtype))
-                / jnp.sqrt(var.value).astype(x.dtype))
+                / denom.astype(x.dtype))
 
 
 def normalization(name: str, inp: str, mean: Sequence[float],

@@ -316,7 +316,8 @@ def compute_clip_predictions(cfg: Config, frames_table_path: str,
 
     pred_probs_df = pd.DataFrame(clip_probs, columns=cfg.classes)
     pred_probs_df.insert(0, "filename", clips_df["filename"])
-    pred_probs_df.insert(1, "class", clips_df["class"])
+    if "class" in clips_df.columns:  # absent on unlabeled tables
+        pred_probs_df.insert(1, "class", clips_df["class"])
     os.makedirs(cfg["PATHS"]["BATCH_PREDS"], exist_ok=True)
     pred_probs_df.to_csv(os.path.join(
         cfg["PATHS"]["BATCH_PREDS"],
@@ -356,7 +357,8 @@ def compute_frame_predictions(cfg: Config, dataset_files_path: str,
 
     pred_probs_df = pd.DataFrame(pred_probs, columns=cfg.classes)
     pred_probs_df.insert(0, FRAME_PATH, files_df[FRAME_PATH])
-    pred_probs_df.insert(1, "Class", files_df["Class"])
+    if "Class" in files_df.columns:  # absent on unlabeled tables
+        pred_probs_df.insert(1, "Class", files_df["Class"])
     os.makedirs(cfg["PATHS"]["BATCH_PREDS"], exist_ok=True)
     pred_probs_df.to_csv(os.path.join(
         cfg["PATHS"]["BATCH_PREDS"], f"_predictions{_timestamp()}.csv"))

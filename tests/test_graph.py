@@ -132,3 +132,37 @@ def test_frozen_bn_layers_per_model():
                      (32, 32, 3), 2)
     assert cn.frozen_bn_layers(cn.phases[0]) == ()
     assert cn.phases[0].trainable["bn_block0"] is True
+
+
+def test_cut_out_of_range_raises():
+    """Keras raises IndexError on base.layers[idx] (reference models.py:79);
+    silently returning the full graph on a CUTOFF_IDX typo would train the
+    wrong architecture."""
+    import pytest
+
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.graph import GraphError
+
+    hp = {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01, "NODES_DENSE0": 8,
+          "FREEZE_IDX": -1}
+    spec = build_model("vgg16", hp, (32, 32, 3), 2)
+    g = spec.graph
+    with pytest.raises(GraphError, match="out of range"):
+        g.cut(len(g.layers) + 50)
+
+
+def test_normalization_zero_variance_stays_finite():
+    """Keras layers.Normalization floors the denominator at
+    backend.epsilon(); a zero-variance channel must not produce inf/NaN."""
+    import jax
+    import numpy as np
+
+    from ab_line_classifier_tpu import graph as G
+
+    spec = G.normalization("norm", "in", mean=[0.5, 0.0, 1.0],
+                           variance=[0.25, 0.0, 1.0])
+    mod = spec.module_fn("norm")
+    x = np.ones((2, 4, 4, 3), np.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(mod.apply(v, x))
+    assert np.isfinite(out).all()

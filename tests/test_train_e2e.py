@@ -99,6 +99,41 @@ def test_predict_contracts(trained):
         assert key in m, key
 
 
+def test_predict_unlabeled_tables(trained):
+    """`predict --no-metrics` exists for tables WITHOUT ground truth
+    (prospective data): both passes must run on Class-less frame/clip
+    tables and the prediction CSVs simply omit the GT column."""
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.config import Config
+    from ab_line_classifier_tpu.predict.predict import (
+        compute_clip_predictions, compute_frame_predictions)
+
+    # Own predictions dir: other tests pick the latest labeled CSV out of
+    # the shared BATCH_PREDS.
+    d = cfg.to_dict()
+    d["PATHS"]["BATCH_PREDS"] = ws + "/results/predictions_unlabeled/"
+    cfg = Config(d)
+
+    frames = pd.read_csv(cfg["PATHS"]["FRAME_TABLE"]).drop(
+        columns=["Class", "Class Name"], errors="ignore")
+    clips = pd.read_csv(cfg["PATHS"]["CLIPS_TABLE"]).drop(
+        columns=["class", "class_name"], errors="ignore")
+    fpath = ws + "/frames_unlabeled.csv"
+    cpath = ws + "/clips_unlabeled.csv"
+    frames.to_csv(fpath, index=False)
+    clips.to_csv(cpath, index=False)
+
+    clip_df = compute_clip_predictions(cfg, fpath, cpath, class_thresh=0.5,
+                                       clip_algorithm="average",
+                                       calculate_metrics=False)
+    assert list(clip_df.columns) == ["filename", "a_lines", "b_lines"]
+    frame_df = compute_frame_predictions(cfg, fpath, class_thresh=0.5,
+                                         calculate_metrics=False)
+    assert list(frame_df.columns) == ["Frame Path", "a_lines", "b_lines"]
+    assert np.allclose(frame_df[["a_lines", "b_lines"]].sum(axis=1), 1.0,
+                       atol=1e-5)
+
+
 def test_contiguous_algorithm_skips_auc(trained):
     ws, cfg, _ = trained
     from ab_line_classifier_tpu.predict.predict import compute_clip_predictions
