@@ -798,3 +798,89 @@ def test_unet_h5_import_rejects_mismatched_architecture(tmp_path):
     v0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
     with pytest.raises(ValueError, match="weighted layers"):
         import_h5_unet_weights(path, v0)
+
+
+def test_multi_step_training_parity_with_keras():
+    """TWELVE optimizer steps of categorical-CE + Adam on cnn0 (with
+    trainable BatchNorm) track real Keras to float tolerance: params, BN
+    moving statistics, and post-training inference probs all agree after 3
+    'epochs' x 4 batches in a fixed order. Subsumes the one-step tests by
+    pinning the EVOLUTION of Adam moments and BN running averages, not
+    just a single update."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras.layers import (Activation, BatchNormalization,
+                                         Conv2D, Dense, Dropout,
+                                         GlobalAveragePooling2D, MaxPool2D,
+                                         ZeroPadding2D)
+    from tensorflow.keras.optimizers import Adam
+
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.ops import metrics as M
+    from ab_line_classifier_tpu.train.loop import Trainer
+
+    lr = 1e-3
+    hp = {"LR": lr, "DROPOUT": 0.0, "L2_LAMBDA": 0.0, "NODES_DENSE0": 16,
+          "KERNEL_SIZE": 3, "STRIDES": 1, "MAXPOOL_SIZE": 2, "BLOCKS": 2,
+          "INIT_FILTERS": 8, "FILTER_EXP_BASE": 2}
+    inp = Input((32, 32, 3))
+    x = ZeroPadding2D((1, 1))(inp)
+    for i in range(2):
+        x = Conv2D(8 * 2 ** i, 3, strides=1, padding="same",
+                   name=f"conv2d_block{i}_0", activation="relu")(x)
+        x = BatchNormalization(axis=3, name=f"bn_block{i}")(x)
+        if i < 1:
+            x = MaxPool2D(2, padding="same", name=f"maxpool{i}")(x)
+    x = GlobalAveragePooling2D(name="global_avgpool")(x)
+    x = Dropout(0.0)(x)
+    x = Dense(16, activation="relu", name="fc0")(x)
+    x = Dense(2, name="logits")(x)
+    y = Activation("softmax", name="output")(x)
+    km = Model(inp, y)
+    km.compile(optimizer=Adam(learning_rate=lr, epsilon=1e-7),
+               loss="categorical_crossentropy")
+
+    spec = build_model("cnn0", hp, (32, 32, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    params, bs, n = copy_keras_weights(km, v["params"], v["batch_stats"])
+    assert n == 6
+
+    rng = np.random.RandomState(7)
+    batches = [(rng.rand(8, 32, 32, 3).astype(np.float32),
+                rng.randint(0, 2, 8).astype(np.int32)) for _ in range(4)]
+
+    trainer = Trainer(spec, seed=0)
+    phase = spec.phases[0]
+    trainer._set_phase_module(phase)
+    state, tx = trainer.init_state(
+        phase, {"params": params, "batch_stats": bs})
+    step = trainer.make_train_step(phase, tx, 0)
+    trainer.preprocess_fn = lambda z: z   # feed exact float batches
+    trainer.aug_params = None
+
+    for _ in range(3):  # 3 epochs x 4 batches, fixed order
+        for xb, yb in batches:
+            km.train_on_batch(xb, np.eye(2, dtype=np.float32)[yb])
+            state, _ = step(state, M.init_metrics(2), jnp.asarray(xb),
+                            jnp.asarray(yb), jnp.ones(8, jnp.float32))
+
+    # Params track after 12 Adam updates (incl. the BN-gradient path).
+    kp, kbs, _ = copy_keras_weights(km, v["params"], v["batch_stats"])
+    for lname in ("conv2d_block0_0", "logits"):
+        np.testing.assert_allclose(
+            np.asarray(state.params[lname]["kernel"]),
+            np.asarray(kp[lname]["kernel"]), atol=5e-4)
+    # BN moving statistics track (momentum-0.99 running averages).
+    for lname in ("bn_block0", "bn_block1"):
+        np.testing.assert_allclose(
+            np.asarray(state.batch_stats[lname]["mean"]),
+            np.asarray(kbs[lname]["mean"]), atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(state.batch_stats[lname]["var"]),
+            np.asarray(kbs[lname]["var"]), atol=5e-5)
+    # And the trained models serve the same probabilities.
+    x_eval = np.random.RandomState(1).rand(8, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(spec.module().apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x_eval), train=False))
+    want = km(x_eval, training=False).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-4)
