@@ -181,13 +181,21 @@ _QPOW = jnp.asarray(
      [[0.0, -1.0], [1.0, 0.0]]])
 
 
-def _prerotate(img: jax.Array, j: jax.Array) -> jax.Array:
-    """rot90 the (square) image j quarter turns — an exact, gather-free
-    permutation (transposes + reverses), cheap on TPU."""
-    return jax.lax.switch(j, [lambda im: im,
-                              lambda im: jnp.rot90(im, 1),
-                              lambda im: jnp.rot90(im, 2),
-                              lambda im: jnp.rot90(im, 3)], img)
+def _prerotate_batch(images: jax.Array, j: jax.Array) -> jax.Array:
+    """rot90 each (square) image of [B, H, W, C] by its own j quarter
+    turns. All four variants are computed as STATIC whole-batch permutes
+    (transposes + reverses — cheap layout ops on TPU) and the per-image
+    pick is an elementwise select chain. Measured equal in steady state
+    to a vmapped ``lax.switch`` (~28.5 ms for the full augment program at
+    [1024, 128, 128, 3]; a vectorized switch also computes every branch
+    and selects), but this form doesn't depend on XLA's switch-under-vmap
+    lowering staying gather-free."""
+    r1 = jnp.rot90(images, 1, axes=(1, 2))
+    r2 = jnp.rot90(images, 2, axes=(1, 2))
+    r3 = jnp.rot90(images, 3, axes=(1, 2))
+    jb = j.reshape(-1, 1, 1, 1)
+    return jnp.where(jb == 0, images,
+                     jnp.where(jb == 1, r1, jnp.where(jb == 2, r2, r3)))
 
 
 def _warp_quarter_decomposed(images, theta, zooms, tx, ty, flip):
@@ -210,7 +218,7 @@ def _warp_quarter_decomposed(images, theta, zooms, tx, ty, flip):
     c_plus_t = cvec[None] + jnp.stack([tx, ty], axis=-1)
     boff = cvec[None] - jnp.einsum("bij,bj->bi", lin, c_plus_t)
     affines2 = jnp.concatenate([lin, boff[:, :, None]], axis=2)
-    rotated = jax.vmap(_prerotate)(images, j)
+    rotated = _prerotate_batch(images, j)
     return jax.vmap(_affine_resample_matmul)(rotated, affines2)
 
 
