@@ -178,3 +178,35 @@ def test_train_experiment_plumbs_resume(tmp_path, monkeypatch):
                        checkpoint_dir=str(tmp_path / "ck"))
     assert seen["checkpoint_dir"] == str(tmp_path / "ck")
     assert seen["resume"] is False
+
+
+def test_resume_restores_mesh_replicated_placement(data, tmp_path):
+    """After a resume under a mesh, from_state_dict leaves host numpy in
+    the TrainState; Trainer.fit must re-apply the replicated NamedSharding
+    init_state establishes (a multi-host mesh would otherwise fail on
+    process-local arrays; same re-device_put ParallelFoldTrainer does)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from ab_line_classifier_tpu.parallel.mesh import make_mesh
+
+    tds, vds = data
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+    mesh = make_mesh(n_data=-1, n_trial=1)
+    ckdir = str(tmp_path / "ckpt_mesh")
+
+    Trainer(spec, seed=5, mesh=mesh).fit(
+        tds, vds, batch_size=16, epochs=1, patience=10, verbose=False,
+        checkpoint_dir=ckdir)
+    resumed, h2 = Trainer(spec, seed=5, mesh=mesh).fit(
+        tds, vds, batch_size=16, epochs=2, patience=10, verbose=False,
+        checkpoint_dir=ckdir, resume=True)
+    assert [h.epoch for h in h2] == [1]
+
+    # Resumed run matches the uninterrupted mesh run bit-for-bit.
+    full, _ = Trainer(spec, seed=5, mesh=mesh).fit(
+        tds, vds, batch_size=16, epochs=2, patience=10, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(full["params"]["conv2d_block0_0"]["kernel"]),
+        np.asarray(resumed["params"]["conv2d_block0_0"]["kernel"]),
+        atol=1e-6)
