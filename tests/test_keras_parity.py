@@ -532,12 +532,13 @@ def test_one_finetune_step_parity_with_keras():
                                                      pred))
     tvars = km.trainable_variables
     grads = tape.gradient(tf_loss, tvars)
-    expected = {}
+    expected, grad_mag = {}, {}
     for var, g in zip(tvars, grads):
         g = g.numpy().astype(np.float64)
         w0 = var.numpy().astype(np.float64)
-        expected[var.path if hasattr(var, "path") else var.name] = (
-            w0 - lr * g / (np.sqrt(0.1 * g * g) + 1e-7))
+        key = var.path if hasattr(var, "path") else var.name
+        expected[key] = w0 - lr * g / (np.sqrt(0.1 * g * g) + 1e-7)
+        grad_mag[key] = np.abs(g)
 
     trainer = Trainer(spec, seed=0)
     phase = spec.phases[1]
@@ -553,9 +554,20 @@ def test_one_finetune_step_parity_with_keras():
     for lname in ("logits", "block3_conv3"):  # head + unfrozen backbone
         kvar = km.get_layer(lname).kernel
         key = kvar.path if hasattr(kvar, "path") else kvar.name
-        np.testing.assert_allclose(
-            np.asarray(state.params[lname]["kernel"]),
-            expected[key], atol=2e-5)
+        ours = np.asarray(state.params[lname]["kernel"])
+        # First-step RMSprop is sign-only for |g| >> eps: the update is
+        # lr*sign(g)/sqrt(0.1) regardless of |g|, so elements whose TF and
+        # JAX gradients straddle zero within reduction-order noise flip
+        # the FULL update (2*lr/sqrt(0.1) ~ 6e-4 at lr=1e-4) — an inherent
+        # property, not a semantics gap. Pin tight tolerance where the
+        # gradient sign is numerically meaningful; allow the flip bound
+        # plus slack elsewhere.
+        stable = grad_mag[key] > 1e-6
+        assert stable.mean() > 0.5, "oracle gradients degenerate"
+        np.testing.assert_allclose(ours[stable], expected[key][stable],
+                                   atol=2e-5)
+        np.testing.assert_allclose(ours, expected[key],
+                                   atol=2 * lr / np.sqrt(0.1) + 2e-5)
     # layers below FINETUNE_LAYER stay bit-identical on both sides
     np.testing.assert_array_equal(
         np.asarray(state.params["block1_conv1"]["kernel"]),
