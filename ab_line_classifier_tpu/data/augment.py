@@ -255,14 +255,12 @@ def augment_batch(images: jax.Array, key: jax.Array, *, zoom: float = 0.0,
     small_rot = rotation * 2.0 * jnp.pi <= jnp.pi / 4 + 1e-6
     use_matmul = (max(h, w) <= 160 and zoom <= 0.5
                   and (small_rot or h == w))
-    if not use_matmul:
-        affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
-        out = jax.vmap(_bilinear_sample)(images, affines)
-    elif small_rot:
-        affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
-        out = jax.vmap(_affine_resample_matmul)(images, affines)
-    else:
+    if use_matmul and not small_rot:
         out = _warp_quarter_decomposed(images, theta, zooms, tx, ty, flip)
+    else:
+        affines = _affine_from_parts(theta, zooms, tx, ty, flip, (h, w))
+        sampler = _affine_resample_matmul if use_matmul else _bilinear_sample
+        out = jax.vmap(sampler)(images, affines)
 
     if brightness:
         # tf.image.stateless_random_brightness max_delta semantics: an
