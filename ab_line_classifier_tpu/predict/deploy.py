@@ -98,10 +98,14 @@ def predict_wavebase_mp4(model_path: str, mp4_path: str, preds_path: str,
     spec = build_model(meta["model_name"], meta["hparams"],
                        tuple(meta["input_shape"]), int(meta["n_classes"]))
     module = spec.module()
+    # The reference hardcodes (128, 128) (deploy.py:28); serving the
+    # checkpoint's own input size is identical there and also works for
+    # models trained at other resolutions.
+    out_hw = tuple(meta["input_shape"][:2])
 
     @jax.jit
     def serve(variables, frames_u8):
-        x = preprocess_frames(frames_u8, out_hw=INPUT_SIZE,
+        x = preprocess_frames(frames_u8, out_hw=out_hw,
                               preprocess_mode=spec.preprocess_mode,
                               resize_mode="cv2", blank_ui_region=True,
                               out_dtype=jnp.float32)
