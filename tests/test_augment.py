@@ -39,12 +39,35 @@ def test_deterministic_given_key():
 
 
 def test_pure_translation_moves_content():
-    # A bright pixel at center shifts by the translation amount.
-    x = np.zeros((1, 33, 33, 3), np.float32)
-    x[0, 16, 16] = 255.0
-    # With shift ranges ~0 the affine is near-identity; use brightness=0.
-    out = augment_batch(jnp.asarray(x), jax.random.PRNGKey(0))
-    np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
+    """Keras RandomTranslation semantics: shift ranges are FRACTIONS of the
+    image dimensions, and the sampled shift moves content (not the sampling
+    window) in the +shift direction. A bright center pixel must land at
+    center + shift for every sample."""
+    from ab_line_classifier_tpu.data.augment import (_affine_from_parts,
+                                                     _sample_parts)
+
+    n, size = 16, 33
+    x = np.zeros((n, size, size, 3), np.float32)
+    x[:, 16, 16] = 255.0
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(augment_batch(jnp.asarray(x), key, shift_w=0.3,
+                                   shift_h=0.3))
+    # Recover the exact sampled shifts (same key path as augment_batch).
+    k_affine, _ = jax.random.split(key)
+    theta, zooms, tx, ty, flip = _sample_parts(
+        k_affine, n, (size, size), zoom=0.0, shift_w=0.3, shift_h=0.3,
+        rotation=0.0, horizontal_flip=False)
+    tx, ty = np.asarray(tx), np.asarray(ty)
+    assert np.abs(tx).max() > 2.0  # fractions scaled by dims: real pixels
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float64)
+    for i in range(n):
+        # Full-image intensity centroid: exact for the bilinear 4-tap
+        # spread (thresholding would bias it by dropping low-weight taps).
+        wgt = out[i, :, :, 0].astype(np.float64)
+        cy = (wgt * ys).sum() / wgt.sum()
+        cx = (wgt * xs).sum() / wgt.sum()
+        assert abs(cx - (16 + tx[i])) < 0.02, i
+        assert abs(cy - (16 + ty[i])) < 0.02, i
 
 
 def test_flip_only_is_mirror():

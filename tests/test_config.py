@@ -56,9 +56,11 @@ def test_config_read_only():
 
 def test_replace_derives_new_config():
     cfg = load_config(CONFIG_PATH)
+    original = cfg.batch_size
+    assert original != 8  # the derived value must be distinguishable
     cfg2 = cfg.replace_path("TRAIN.BATCH_SIZE", 8)
     assert cfg2.batch_size == 8
-    assert cfg.batch_size != 8 or cfg.batch_size == 8  # original untouched
+    assert cfg.batch_size == original  # original untouched
     assert cfg["TRAIN"]["BATCH_SIZE"] == cfg.TRAIN.BATCH_SIZE
 
 

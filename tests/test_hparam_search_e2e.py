@@ -47,11 +47,20 @@ def sweep_cfg(tmp_path_factory):
     return ws, Config(d)
 
 
-def test_hparam_search_end_to_end(sweep_cfg):
+@pytest.fixture(scope="module")
+def completed_sweep(sweep_cfg):
+    """The initial 3-trial sweep, run once — resume tests depend on this
+    fixture (not on sibling-test ordering) so every test passes in
+    isolation."""
     ws, cfg = sweep_cfg
     from ab_line_classifier_tpu.train.experiment import hparam_search
 
     out = hparam_search(cfg, verbose=False, sweep_id="sweep-test")
+    return ws, cfg, out
+
+
+def test_hparam_search_end_to_end(completed_sweep):
+    ws, cfg, out = completed_sweep
     assert len(out["trials"]) == 3
     assert "LR" in out["best_params"] and "DROPOUT" in out["best_params"]
     # trial persistence (resumable sweeps)
@@ -64,8 +73,8 @@ def test_hparam_search_end_to_end(sweep_cfg):
     assert glob.glob(ws + "/img/experiments/bayes_opt_*.png")
 
 
-def test_hparam_search_resume_skips_done_trials(sweep_cfg):
-    ws, cfg = sweep_cfg
+def test_hparam_search_resume_skips_done_trials(completed_sweep):
+    ws, cfg, _ = completed_sweep
     from ab_line_classifier_tpu.train.experiment import hparam_search
 
     # same sweep_id: all 3 trials already recorded -> no new runs
@@ -76,10 +85,10 @@ def test_hparam_search_resume_skips_done_trials(sweep_cfg):
     assert after == before
 
 
-def test_hparam_search_resume_without_id_picks_latest(sweep_cfg):
+def test_hparam_search_resume_without_id_picks_latest(completed_sweep):
     """``--resume`` with no --sweep-id resumes the most recent sweep —
     previously a silent restart-from-trial-0."""
-    ws, cfg = sweep_cfg
+    ws, cfg, _ = completed_sweep
     from ab_line_classifier_tpu.train.experiment import hparam_search
 
     before = len(glob.glob(ws + "/results/runs/*"))

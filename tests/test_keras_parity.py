@@ -220,7 +220,6 @@ def test_cutoffvgg16_equals_keras_reconstruction():
         x = layer(x)
     x = GlobalAveragePooling2D(name="global_avgpool")(x)
     x = Dropout(0.45)(x)
-    from tensorflow.keras.layers import Activation
     y = Dense(2, activation="softmax", name="output")(x)
     kmodel = Model(inputs=inp, outputs=y)
 
@@ -523,7 +522,6 @@ def test_one_finetune_step_parity_with_keras():
     #   v1 = 0.1 * g^2 ; w1 = w0 - lr * g / (sqrt(v1) + eps)
     # Keras 3 moved eps inside the sqrt, so train_on_batch with the
     # INSTALLED Keras would check the wrong semantics.
-    import tensorflow as tf
     y_oh = np.eye(2, dtype=np.float32)[labels]
     with tf.GradientTape() as tape:
         pred = km(tf.constant(x_in), training=True)
@@ -568,12 +566,12 @@ def test_one_finetune_step_parity_with_keras():
                                    atol=2e-5)
         np.testing.assert_allclose(ours, expected[key],
                                    atol=2 * lr / np.sqrt(0.1) + 2e-5)
-    # layers below FINETUNE_LAYER stay bit-identical on both sides
+    # Layers below FINETUNE_LAYER stay bit-identical HERE (the Keras model
+    # is never stepped in this test — its gradients serve as the oracle —
+    # so only the JAX-side freeze mask is meaningful to assert; the Keras
+    # freeze mask is exercised by the extract-phase train_on_batch test).
     np.testing.assert_array_equal(
         np.asarray(state.params["block1_conv1"]["kernel"]),
-        np.asarray(params["block1_conv1"]["kernel"]))
-    np.testing.assert_array_equal(
-        km.get_layer("block1_conv1").get_weights()[0],
         np.asarray(params["block1_conv1"]["kernel"]))
 
 

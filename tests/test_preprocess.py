@@ -1,10 +1,14 @@
 """Preprocessing parity tests: resize-mode semantics vs cv2, Pallas kernel
 (interpret mode) vs the fused-XLA path, per-model normalization formulas."""
 
-import cv2  # noqa: must precede jax in this environment
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# In-suite this is safe after jax only because conftest already imported
+# cv2 FIRST (conftest.py); importorskip keeps a cv2-less host at a skip,
+# not a collection error.
+cv2 = pytest.importorskip("cv2")
 
 from ab_line_classifier_tpu.ops.image import fused_preprocess, nearest_indices
 from ab_line_classifier_tpu.ops.preprocess_pallas import pallas_preprocess

@@ -161,6 +161,13 @@ def test_threshold_experiment(trained):
     ws, cfg, _ = trained
     from ab_line_classifier_tpu.predict.experiments import (
         b_line_threshold_experiment)
+    from ab_line_classifier_tpu.predict.predict import (
+        compute_frame_predictions)
+
+    # Produce the frame-predictions CSV this experiment consumes (order-
+    # independent: do not rely on a sibling test having written one).
+    compute_frame_predictions(cfg, cfg["PATHS"]["FRAME_TABLE"],
+                              class_thresh=0.5)
     preds_csv = sorted(glob.glob(ws + "/results/predictions/_predictions*.csv"))[-1]
     m = b_line_threshold_experiment(cfg, preds_csv, 0, 3, class_thresh=0.5,
                                     contiguous=True)

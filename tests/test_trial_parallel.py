@@ -197,9 +197,13 @@ def test_output_bias_init_stacked():
     params, _, opt_state, _ = pt.init_stacked(spec.phases[0])
     np.testing.assert_array_equal(
         np.asarray(params[spec.logits_layer]["bias"]), biases)
-    # Optimizer state matches the overridden params' shapes.
-    mu_bias = jax.tree.leaves(opt_state)[0]
-    assert jax.tree.leaves(params)[0].shape[0] == 2
+    # Per-fold stacking: every param leaf AND every array optimizer-state
+    # leaf carries the leading F axis (opt_state is shape-matched to the
+    # overridden params).
+    assert all(l.shape[0] == 2 for l in jax.tree.leaves(params))
+    opt_arrays = [l for l in jax.tree.leaves(opt_state)
+                  if hasattr(l, "shape") and l.ndim > 0]
+    assert opt_arrays and all(l.shape[0] == 2 for l in opt_arrays)
 
 
 def test_output_bias_array_uses_raw_total():
