@@ -39,3 +39,33 @@ import jax  # noqa: E402
 
 assert jax.default_backend() == "cpu", (
     "tests must run on the CPU backend; got " + jax.default_backend())
+
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def derive_workspace_config(ws, fcsv, ccsv, fdir):
+    """The standard derived config dict for a synthetic-dataset workspace:
+    every PATHS output redirected under ``ws``, local tracker, 32x32
+    images. Model/experiment tweaks stay at the call site. One definition
+    so a config-schema rename is fixed here, not in every e2e module."""
+    from ab_line_classifier_tpu.config import load_config
+
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
+    d["PATHS"].update({
+        "FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv, "FRAMES": fdir,
+        "PARTITIONS": ws + "/partitions/",
+        "MODEL_WEIGHTS": ws + "/results/models/",
+        "MODEL_TO_LOAD": ws + "/results/models/latest",
+        "METRICS": ws + "/results/metrics/",
+        "BATCH_PREDS": ws + "/results/predictions/",
+        "EXPERIMENTS": ws + "/results/experiments/",
+        "LOGS": ws + "/results/logs/",
+        "IMAGES": ws + "/results/figures/",
+        "HEATMAPS": ws + "/img/heatmaps",
+        "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/",
+        "CLASS_NAME_MAP": ws + "/class_map.json",
+    })
+    d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    d["DATA"]["IMG_DIM"] = [32, 32]
+    return d

@@ -9,11 +9,8 @@ import os
 import numpy as np
 import pytest
 
-from ab_line_classifier_tpu.config import Config, load_config
+from ab_line_classifier_tpu.config import Config
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 @pytest.fixture(scope="module")
 def sweep_cfg(tmp_path_factory):
@@ -22,20 +19,9 @@ def sweep_cfg(tmp_path_factory):
                                         clips_per_patient=2,
                                         frames_per_clip=3, hw=(32, 32),
                                         seed=9)
-    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
-    d["PATHS"].update({
-        "FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv, "FRAMES": fdir,
-        "PARTITIONS": ws + "/partitions/",
-        "MODEL_WEIGHTS": ws + "/results/models/",
-        "METRICS": ws + "/results/metrics/",
-        "BATCH_PREDS": ws + "/results/predictions/",
-        "EXPERIMENTS": ws + "/results/experiments/",
-        "LOGS": ws + "/results/logs/", "IMAGES": ws + "/results/figures/",
-        "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/",
-        "HEATMAPS": ws + "/img/heatmaps",
-    })
-    d["TRACKER"]["DIR"] = ws + "/results/runs/"
-    d["DATA"]["IMG_DIM"] = [32, 32]
+    from conftest import derive_workspace_config
+
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
     d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 1, "BATCH_SIZE": 16,
                        "PATIENCE": 3, "MIXED_PRECISION": False})
     d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 3, "METHOD": "bayes"})

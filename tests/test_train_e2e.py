@@ -10,11 +10,7 @@ import pandas as pd
 import pytest
 import yaml
 
-from ab_line_classifier_tpu.config import load_config
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
@@ -23,23 +19,9 @@ def workspace(tmp_path_factory):
                                         clips_per_patient=2,
                                         frames_per_clip=4, hw=(48, 64),
                                         seed=3)
-    cfg = load_config(os.path.join(REPO_ROOT, "config.yml"))
-    d = cfg.to_dict()
-    d["PATHS"].update({
-        "FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv, "FRAMES": fdir,
-        "PARTITIONS": ws + "/partitions/",
-        "MODEL_WEIGHTS": ws + "/results/models/",
-        "MODEL_TO_LOAD": ws + "/results/models/latest",
-        "METRICS": ws + "/results/metrics/",
-        "BATCH_PREDS": ws + "/results/predictions/",
-        "EXPERIMENTS": ws + "/results/experiments/",
-        "LOGS": ws + "/results/logs/", "IMAGES": ws + "/results/figures/",
-        "HEATMAPS": ws + "/img/heatmaps",
-        "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/",
-        "CLASS_NAME_MAP": ws + "/class_map.json",
-    })
-    d["TRACKER"]["DIR"] = ws + "/results/runs/"
-    d["DATA"]["IMG_DIM"] = [32, 32]
+    from conftest import derive_workspace_config
+
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
     d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 2, "BATCH_SIZE": 16,
                        "PATIENCE": 5, "MIXED_PRECISION": False})
     d["HPARAMS"]["CNN0"].update({"BLOCKS": 1, "INIT_FILTERS": 4,

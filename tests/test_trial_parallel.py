@@ -15,6 +15,7 @@ from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.parallel import mesh as mesh_lib
 from ab_line_classifier_tpu.parallel.trial_parallel import (
     ParallelFoldTrainer, pad_index_table)
+from conftest import derive_workspace_config
 
 HP = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 1e-4, "NODES_DENSE0": 8,
       "KERNEL_SIZE": 3, "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
@@ -98,14 +99,7 @@ def test_lr_search_parallel(tmp_path):
                                         clips_per_patient=2,
                                         frames_per_clip=3, hw=(32, 32),
                                         seed=7)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    d = load_config(os.path.join(repo_root, "config.yml")).to_dict()
-    d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
-                       "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
-                       "EXPERIMENTS": ws + "/results/experiments/",
-                       "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/"})
-    d["TRACKER"]["DIR"] = ws + "/results/runs/"
-    d["DATA"]["IMG_DIM"] = [32, 32]
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
     d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 2, "BATCH_SIZE": 16,
                        "PATIENCE": 5, "MIXED_PRECISION": False})
     d["TRAIN"]["HPARAM_SEARCH"]["N_EVALS"] = 3
@@ -146,14 +140,7 @@ def test_lr_search_parallel_two_phase(tmp_path):
                                         clips_per_patient=2,
                                         frames_per_clip=2, hw=(32, 32),
                                         seed=13)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    d = load_config(os.path.join(repo_root, "config.yml")).to_dict()
-    d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
-                       "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
-                       "EXPERIMENTS": ws + "/results/experiments/",
-                       "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/"})
-    d["TRACKER"]["DIR"] = ws + "/results/runs/"
-    d["DATA"]["IMG_DIM"] = [32, 32]
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
     d["TRAIN"].update({"MODEL_DEF": "cutoffvgg16", "EPOCHS": 2,
                        "BATCH_SIZE": 8, "PATIENCE": 4,
                        "MIXED_PRECISION": False})
@@ -239,14 +226,7 @@ def test_lr_search_parallel_passes_output_bias(tmp_path, monkeypatch):
                                         clips_per_patient=2,
                                         frames_per_clip=3, hw=(32, 32),
                                         seed=7)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    d = load_config(os.path.join(repo, "config.yml")).to_dict()
-    d["PATHS"].update({"FRAME_TABLE": fcsv, "CLIPS_TABLE": ccsv,
-                       "FRAMES": fdir, "PARTITIONS": ws + "/partitions/",
-                       "EXPERIMENTS": ws + "/results/experiments/",
-                       "EXPERIMENT_VISUALIZATIONS": ws + "/img/experiments/"})
-    d["TRACKER"]["DIR"] = ws + "/results/runs/"
-    d["DATA"]["IMG_DIM"] = [32, 32]
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
     d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 1, "BATCH_SIZE": 16,
                        "PATIENCE": 5, "MIXED_PRECISION": False})
     d["TRAIN"]["HPARAM_SEARCH"]["N_EVALS"] = 2
