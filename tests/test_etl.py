@@ -116,3 +116,46 @@ def test_deploy_parity_exact():
         0, 256, (240, 320, 3)).astype(np.uint8)
     for model in ("cutoffvgg16", "mobilenetv2", "efficientnetb7"):
         assert check_preprocess_parity(frame, model) < 1e-5
+
+
+def test_rt_image_dataset_end_to_end(tmp_path):
+    """Full prospective chain (reference real_time.py:108-127): the WaveBase
+    layout nests each clip in its own id-directory
+    (``masked_recordings/{id}/{id}.mp4`` — the Path column points at the
+    id-dir, and the frame-table glob appends ``/{id}.mp4``); frames
+    decompose to ``{id}_{idx}.jpg`` with the reference's exact columns and
+    no patient_id."""
+    cv2 = pytest.importorskip("cv2")
+
+    annot = tmp_path / "annot.csv"
+    pd.DataFrame({"filename": [111, 222],
+                  "a_or_b_lines": ["a_lines", "b_lines_3"]}).to_csv(
+        annot, index=False)
+    rt_root = tmp_path / "prospective"
+    for clip_id in (111, 222):
+        d = rt_root / "2024-01-01" / "masked_recordings" / str(clip_id)
+        d.mkdir(parents=True)
+        vw = cv2.VideoWriter(str(d / f"{clip_id}.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+        rng = np.random.RandomState(clip_id)
+        for _ in range(3):
+            vw.write(rng.randint(0, 256, (48, 64, 3), np.uint8))
+        vw.release()
+
+    cfg = _cfg(RT_ROOT_DIR=str(rt_root) + "/",
+               RT_LABELBOX_ANNOTATIONS=str(annot),
+               FRAMES=str(tmp_path / "frames"),
+               FRAME_TABLE=str(tmp_path / "rt_frames.csv"))
+    from ab_line_classifier_tpu.data.real_time import create_rt_image_dataset
+
+    clips_csv = str(tmp_path / "clips.csv")
+    create_rt_ABline_dataframe(cfg, preprocessed=True).to_csv(clips_csv,
+                                                              index=False)
+    create_rt_image_dataset(cfg, clips_csv)
+    out = pd.read_csv(cfg["PATHS"]["FRAME_TABLE"])
+    assert list(out.columns) == ["Frame Path", "Class", "Class Name"]
+    assert len(out) == 6  # 2 clips x 3 frames
+    assert set(out["Class Name"]) == {"a_lines", "b_lines"}
+    # frames materialized on disk with the {clip}_{idx}.jpg contract
+    import os
+    assert os.path.isfile(os.path.join(cfg["PATHS"]["FRAMES"], "111_0.jpg"))
