@@ -78,6 +78,56 @@ def test_probs_match_plain_forward(explainer_pair):
     np.testing.assert_allclose(probs_fused, plain, atol=1e-5)
 
 
+def test_plusplus_matches_closed_form_oracle(explainer_pair):
+    """Grad-CAM++ oracle (Chattopadhay et al. 2018, eq. 19 with the standard
+    gradient-power form): alpha = g^2 / (2 g^2 + sum_ab A_ab g^3),
+    w_k = sum_ij alpha_ij * relu(g_ij), computed here per-frame with explicit
+    ``jax.grad`` powers through the model head — independently of the fused
+    batched vjp pass — and asserted equal at 1e-5. 'Differs from normal' alone
+    would also pass for a wrong formula; this pins the formula itself. The
+    reference config promises this mode but never implemented it
+    (/root/reference/config.yml:195-197), so the oracle is the only check."""
+    from ab_line_classifier_tpu import graph as G
+    from ab_line_classifier_tpu.ops.image import fused_preprocess
+
+    _, plusplus = explainer_pair
+    spec, variables = plusplus.spec, plusplus.variables
+    conv = spec.last_conv_layer
+    head_module = spec.module()
+    cut_module = G.GraphModule(graph=spec.graph.cut(conv))
+
+    frames = np.random.RandomState(3).randint(
+        0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    probs_fused, cams_fused = plusplus.explain_frames(frames)
+
+    x = fused_preprocess(jnp.asarray(frames), out_hw=(32, 32),
+                         preprocess_mode=spec.preprocess_mode)
+    a = cut_module.apply(variables, x, train=False)
+
+    cams_oracle = []
+    for i in range(len(frames)):
+        cls_i = int(np.argmax(probs_fused[i]))
+
+        def score(a_single):
+            probs = head_module.apply(variables, x[i:i + 1], train=False,
+                                      overrides={conv: a_single[None]})
+            return probs[0, cls_i]
+
+        a_i = a[i]
+        g = jax.grad(score)(a_i)                       # [h, w, C]
+        g2 = g * g
+        g3 = g2 * g
+        denom = 2.0 * g2 + jnp.sum(a_i * g3, axis=(0, 1), keepdims=True)
+        alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
+        w = jnp.sum(alpha * jax.nn.relu(g), axis=(0, 1))   # [C]
+        cam = jax.nn.relu(jnp.einsum("hwc,c->hw", a_i, w))
+        cam = cam / jnp.maximum(jnp.max(cam), 1e-12)
+        cam = jax.image.resize(cam, (32, 32), "bilinear")
+        cams_oracle.append(np.asarray(cam))
+
+    np.testing.assert_allclose(cams_fused, np.stack(cams_oracle), atol=1e-5)
+
+
 def test_jet_colormap():
     x = np.array([0.0, 0.5, 1.0])
     rgb = jet_colormap(x)
