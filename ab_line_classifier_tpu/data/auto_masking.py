@@ -6,14 +6,14 @@ cleans them, a majority vote forms the clip mask, and every frame is masked
 (optionally cropped to the beam bounding box).
 
 Reference behavior preserved (auto_masking.py:28-106): sample every
-``max(floor(10%), 1)``-th frame, grayscale + bilinear resize to 128x128 +
-/255, threshold 0.4, bilinear upsample of the binary mask to native
-resolution (support = any touched pixel, cv2 INTER_LINEAR + THRESH_BINARY
-semantics), elliptical erode with the edge-preserve kernel then dilate with
-the 5%-height smoothing kernel, 5x5-smoothed majority average, bounding-box
-crop, jpg or mp4 output plus a ``mask.jpg`` per clip. (The reference's
-skimage downsample also applies Gaussian anti-aliasing; plain bilinear is
-the one remaining difference.)
+``max(floor(10%), 1)``-th frame, grayscale + skimage-exact anti-aliased
+downsample to 128x128 (Gaussian pre-blur at scikit-image 0.19.1's default
+sigma, then half-pixel bilinear) + /255, threshold 0.4, bilinear upsample
+of the binary mask to native resolution (support = any touched pixel, cv2
+INTER_LINEAR + THRESH_BINARY semantics), elliptical erode with the
+edge-preserve kernel then dilate with the 5%-height smoothing kernel,
+5x5-smoothed majority average, bounding-box crop, jpg or mp4 output plus a
+``mask.jpg`` per clip.
 
 TPU-native redesign: the reference runs ``model.predict`` one frame at a
 time and all morphology on host cv2. Here the sampled frames run as ONE
@@ -91,20 +91,23 @@ class UnetSegmentation:
     # ------------------------------------------------------------------
     def predict_masks(self, frames_u8: np.ndarray) -> np.ndarray:
         """uint8 [B, H, W, 3] (or [B, H, W]) frames -> [B, 128, 128] beam
-        probabilities: grayscale + bilinear resize (the reference's skimage
-        ``resize`` is bilinear, auto_masking.py:69) + /255 + batched U-Net.
-        """
-        import jax
+        probabilities: grayscale, then the reference's exact skimage
+        downsample — Gaussian anti-aliasing blur (sigma = (factor-1)/2 per
+        axis, scikit-image 0.19.1 defaults) followed by half-pixel bilinear
+        interpolation (``ndi.zoom(order=1, grid_mode=True)``) — then /255
+        and the batched U-Net (reference auto_masking.py:58-76;
+        golden-tested against scipy.ndimage in tests/test_etl.py)."""
         import jax.numpy as jnp
+
+        from ab_line_classifier_tpu.ops.image import skimage_downsample
 
         x = np.asarray(frames_u8)
         if x.ndim == 4:
             # cv2 BGR2GRAY weights on RGB input ordering
             x = (0.299 * x[..., 0] + 0.587 * x[..., 1]
                  + 0.114 * x[..., 2])
-        x = jax.image.resize(jnp.asarray(x.astype(np.float32)),
-                             (x.shape[0],) + UNET_INPUT,
-                             method="linear") / 255.0
+        x = skimage_downsample(jnp.asarray(x.astype(np.float32)),
+                               UNET_INPUT) / 255.0
         probs = self._predict(self.variables, x[..., None])
         return np.asarray(probs)[..., 0]
 

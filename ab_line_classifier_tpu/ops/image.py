@@ -55,6 +55,65 @@ def nearest_resize(x: jax.Array, out_hw: Tuple[int, int],
     return x[0] if squeeze else x
 
 
+def antialias_sigma(src_hw: Tuple[int, int],
+                    dst_hw: Tuple[int, int]) -> Tuple[float, float]:
+    """skimage.transform.resize's default anti-aliasing sigma per axis:
+    ``max(0, (downscale_factor - 1) / 2)`` (scikit-image 0.19.1, the
+    reference's pin — reference ``requirements.txt:10``)."""
+    return tuple(max(0.0, (s / d - 1.0) / 2.0)
+                 for s, d in zip(src_hw, dst_hw))
+
+
+def _gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage.gaussian_filter1d's kernel: radius
+    ``int(truncate * sigma + 0.5)``, normalized Gaussian weights."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(x: jax.Array, sigma_hw: Tuple[float, float],
+                  truncate: float = 4.0) -> jax.Array:
+    """Separable zero-padded Gaussian blur of ``[B, H, W]`` images, exactly
+    ``scipy.ndimage.gaussian_filter(..., mode='grid-constant', cval=0)``
+    (what skimage resize applies before its downsample; golden-tested
+    against scipy in tests/test_etl.py). Zero padding falls out of the
+    convolution's explicit padding — no host round-trip, and XLA fuses the
+    two 1-D passes."""
+    from jax import lax
+
+    out = x[..., None].astype(jnp.float32)
+    for axis, sigma in ((0, float(sigma_hw[0])), (1, float(sigma_hw[1]))):
+        if sigma <= 0.0:
+            continue
+        k = _gaussian_kernel1d(sigma, truncate)
+        r = (len(k) - 1) // 2
+        shape = (len(k), 1) if axis == 0 else (1, len(k))
+        kernel = jnp.asarray(k).reshape(shape + (1, 1))
+        pad = [(r, r), (0, 0)] if axis == 0 else [(0, 0), (r, r)]
+        out = lax.conv_general_dilated(
+            out, kernel, window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out[..., 0]
+
+
+def skimage_downsample(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """``skimage.transform.resize(..., mode='constant', preserve_range=True)``
+    semantics (scikit-image 0.19.1) for ``[B, H, W]`` float images: Gaussian
+    anti-aliasing at the default sigma, then half-pixel point-bilinear
+    interpolation (``scipy.ndimage.zoom(order=1, grid_mode=True)``).
+    Golden-tested against scipy.ndimage in tests/test_etl.py."""
+    sigma = antialias_sigma(x.shape[1:], out_hw)
+    if max(sigma) > 0.0:
+        x = gaussian_blur(x, sigma)
+    # antialias=False: jax's default triangle-kernel widening would
+    # anti-alias a second time; skimage's bilinear sample is a point
+    # interpolation after its Gaussian.
+    return jax.image.resize(x, (x.shape[0],) + tuple(out_hw),
+                            method="linear", antialias=False)
+
+
 @partial(jax.jit, static_argnames=("out_hw", "preprocess_mode", "resize_mode",
                                    "out_dtype", "blank_ui_region"))
 def fused_preprocess(frames: jax.Array, *, out_hw: Tuple[int, int] = (128, 128),

@@ -110,6 +110,36 @@ def test_automask_clip_mask():
     assert np.all(masked[:, mask == 0] == 0)
 
 
+def test_skimage_downsample_matches_scipy_golden():
+    """The automask downsample equals the reference's skimage 0.19.1 resize
+    chain, computed independently with scipy.ndimage (what skimage calls
+    under the hood): ``gaussian_filter(sigma=(factor-1)/2, mode='grid-
+    constant')`` then ``zoom(order=1, grid_mode=True)`` (reference
+    ``src/data/auto_masking.py:69`` + ``requirements.txt:10``)."""
+    import scipy.ndimage as ndi
+
+    from ab_line_classifier_tpu.ops.image import (antialias_sigma,
+                                                  skimage_downsample)
+
+    rng = np.random.RandomState(7)
+    img = (rng.rand(240, 320) * 255).astype(np.float32)
+    out = np.asarray(skimage_downsample(img[None], (128, 128)))[0]
+
+    sigma = antialias_sigma((240, 320), (128, 128))
+    assert sigma[0] > 0 and sigma[1] > 0
+    filtered = ndi.gaussian_filter(img.astype(np.float64), sigma,
+                                   mode="grid-constant", cval=0.0)
+    expected = ndi.zoom(filtered, (128 / 240, 128 / 320), order=1,
+                        mode="grid-constant", cval=0.0, grid_mode=True)
+    np.testing.assert_allclose(out, expected, atol=2e-3)
+
+    # No-downscale input passes through un-blurred (sigma 0 on both axes).
+    small = (rng.rand(128, 128) * 255).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(skimage_downsample(small[None], (128, 128)))[0], small,
+        atol=1e-5)
+
+
 def test_deploy_parity_exact():
     from ab_line_classifier_tpu.predict.deploy import check_preprocess_parity
     frame = np.random.RandomState(1).randint(
