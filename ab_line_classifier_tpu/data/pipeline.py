@@ -260,9 +260,18 @@ class DeviceCachedDataset:
 
         self.df = ds.df
         self.img_dim = ds.img_dim
+        self.mesh = mesh
         images, labels = ds.load_all()
-        self._frames = jnp.asarray(images)
+        self._n = len(ds)
         self._labels = jnp.asarray(labels.astype(np.int32))
+        self._init_frames(images, mesh)
+        self._gather = jax.jit(self.make_scan_gather(None))
+
+    def _init_frames(self, images: np.ndarray, mesh) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        self._frames = jnp.asarray(images)
         if mesh is not None:
             # Replicate across the mesh ONCE — otherwise every epoch
             # program re-broadcasts the whole array from one device.
@@ -270,19 +279,27 @@ class DeviceCachedDataset:
             rep = mesh_lib.replicated(mesh)
             self._frames = jax.device_put(self._frames, rep)
             self._labels = jax.device_put(self._labels, rep)
-        self._n = len(ds)
+
+    def make_scan_gather(self, batch_sharding):
+        """Staged (traceable) batch gather used both by ``batches()`` and by
+        the scan-based single-program epoch (train/loop.py make_epoch_fns).
+        Padded index positions hold wraparound duplicates of the epoch's own
+        frames (``epoch_index_table``), matching the host pipeline: masked
+        out of loss/metrics, real images in trainable-BN batch statistics."""
+        import jax
+        import jax.numpy as jnp
 
         def gather(frames, labels_d, idx, mask):
-            # Padded index positions hold wraparound duplicates of the
-            # epoch's own frames (epoch_index_table), matching the host
-            # pipeline: masked out of loss/metrics, real images in
-            # trainable-BN batch statistics.
             del mask
             images = jnp.take(frames, idx, axis=0)
             lbs = jnp.take(labels_d, idx, axis=0)
+            if batch_sharding is not None:  # keep batches data-parallel
+                images = jax.lax.with_sharding_constraint(images,
+                                                          batch_sharding)
+                lbs = jax.lax.with_sharding_constraint(lbs, batch_sharding)
             return images, lbs
 
-        self._gather = jax.jit(gather)
+        return gather
 
     def __len__(self) -> int:
         return self._n
@@ -342,6 +359,87 @@ class DeviceCachedDataset:
             yield Batch(ims, lbs, mask, indices)
 
 
+class ShardedDeviceCachedDataset(DeviceCachedDataset):
+    """A device cache whose uint8 frame axis is SHARDED across the mesh's
+    ``data`` axis: an N-device mesh holds N× the dataset in HBM, lifting the
+    single-chip ceiling of :class:`DeviceCachedDataset` (which replicates).
+
+    Memory model: frames are stored ``[D, S, H, W, 3]`` (S = ceil(n/D)) with
+    the leading device axis sharded ``P('data')`` — each device owns one
+    contiguous 1/D slice. A batch gather is expressed as D mask-selected
+    local gathers followed by a sum over the sharded axis, which XLA lowers
+    to one per-batch all-reduce over ICI (every global row lives on exactly
+    one device, so the uint8 sum is exact). Cost per batch is O(batch) on
+    the interconnect — independent of dataset size — versus the host
+    streaming fallback's decode + PCIe/tunnel transfer per epoch. Batches,
+    losses, and BN statistics are bit-identical to the replicated cache
+    (tests/test_sharded_cache.py).
+
+    This is the TPU-native successor to the reference's host-side tf.data
+    pipeline scale story (reference ``src/data/preprocessor.py:36-66``);
+    the reference has no multi-device data placement at all."""
+
+    def __init__(self, ds: FrameDataset, mesh):
+        if mesh is None:
+            raise ValueError("ShardedDeviceCachedDataset requires a mesh")
+        super().__init__(ds, mesh=mesh)
+
+    def _init_frames(self, images: np.ndarray, mesh) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+
+        n = len(images)
+        d = mesh.shape[mesh_lib.DATA_AXIS]
+        self._shard_rows = s = -(-n // d)
+        pad = d * s - n
+        if pad:
+            # Padding rows are never indexed (epoch tables stay < n); zeros
+            # keep the reshape shape-clean without duplicating pixels.
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        self._frames = jax.device_put(
+            images.reshape((d, s) + images.shape[1:]),
+            NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
+        # Labels are 4 bytes/frame — replicate them; only pixels shard.
+        self._labels = jax.device_put(self._labels,
+                                      mesh_lib.replicated(mesh))
+
+    def make_scan_gather(self, batch_sharding):
+        import jax
+        import jax.numpy as jnp
+
+        s = self._shard_rows
+        d = self._frames.shape[0]
+        offsets = jnp.arange(d, dtype=jnp.int32)[:, None] * s
+
+        def gather(frames, labels_d, idx, mask):
+            del mask
+            rel = idx[None, :].astype(jnp.int32) - offsets      # [D, B]
+            owned = (rel >= 0) & (rel < s)
+            safe = jnp.where(owned, rel, 0)
+            # Per-device local gather stays on the owning shard (vmap over
+            # the sharded axis); off-shard rows contribute zeros.
+            per_dev = jax.vmap(lambda f, r: jnp.take(f, r, axis=0))(
+                frames, safe)                                   # [D, B, ...]
+            sel = owned.astype(per_dev.dtype)
+            sel = sel.reshape(sel.shape + (1,) * (per_dev.ndim - 2))
+            # Sum over the sharded device axis == one all-reduce of the
+            # batch over ICI; exactly one device owns each row, so the
+            # uint8 sum reconstructs the batch exactly.
+            images = (per_dev * sel).sum(axis=0)
+            lbs = jnp.take(labels_d, idx, axis=0)
+            if batch_sharding is not None:
+                images = jax.lax.with_sharding_constraint(images,
+                                                          batch_sharding)
+                lbs = jax.lax.with_sharding_constraint(lbs, batch_sharding)
+            return images, lbs
+
+        return gather
+
+
 # Fallback HBM budget for auto device-caching when the backend exposes no
 # memory stats (u8 pixels only; leaves room for params/activations on a
 # 16 GB chip).
@@ -375,20 +473,36 @@ def device_cache_budget(default: int = DEVICE_CACHE_BYTES) -> int:
 
 def maybe_device_cache(ds: FrameDataset, mode="auto", mesh=None,
                        budget: Optional[int] = None):
-    """Wrap in a DeviceCachedDataset when enabled (True) or when 'auto' and
-    the decoded pixels fit ``budget`` (measured free HBM when available,
-    else :data:`DEVICE_CACHE_BYTES`). Callers caching several datasets
-    (train + val) should split the budget between them. Falls back to the
-    host pipeline on any failure (e.g. HBM pressure)."""
+    """Wrap in a device cache when enabled (True) or when 'auto' and the
+    decoded pixels fit in HBM (``budget`` = measured free HBM when
+    available, else :data:`DEVICE_CACHE_BYTES`, interpreted per device):
+
+    * fits one device's budget -> :class:`DeviceCachedDataset` (replicated;
+      zero-communication batch gathers);
+    * exceeds one device but fits the MESH's aggregate ``data``-axis budget
+      -> :class:`ShardedDeviceCachedDataset` (each device holds 1/D of the
+      frames; one O(batch) all-reduce per gather);
+    * exceeds the aggregate -> the host streaming pipeline.
+
+    Callers caching several datasets (train + val) should split the budget
+    between them. Falls back to the host pipeline on any failure (e.g. HBM
+    pressure)."""
     if mode is False or mode is None:
         return ds
     if budget is None:
         budget = device_cache_budget()
     h, w = ds.img_dim
     nbytes = len(ds) * h * w * 3
+    sharded = False
     if mode == "auto" and nbytes > budget:
-        return ds
+        from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+        n_data = mesh.shape.get(mesh_lib.DATA_AXIS, 1) if mesh else 1
+        if n_data <= 1 or nbytes > budget * n_data:
+            return ds
+        sharded = True
     try:
+        if sharded:
+            return ShardedDeviceCachedDataset(ds, mesh=mesh)
         return DeviceCachedDataset(ds, mesh=mesh)
     except Exception as e:  # pragma: no cover - backend-dependent
         print(f"(device cache disabled: {e})")

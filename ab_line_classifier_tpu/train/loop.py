@@ -231,29 +231,46 @@ class Trainer:
     def make_eval_step(self) -> Callable:
         return jax.jit(self._eval_step_core())
 
-    def make_epoch_fns(self, phase: TrainPhase, tx, phase_idx: int = 0):
+    def make_epoch_fns(self, phase: TrainPhase, tx, phase_idx: int = 0,
+                       train_ds=None, val_ds=None):
         """The WHOLE epoch as one compiled program for device-cached
         datasets: ``lax.scan`` of the train/eval step over a device-side
         gathered batch sequence. One dispatch per epoch instead of one per
         batch — on this tunneled backend that removes the dominant
-        steady-state cost (docs/PERFORMANCE.md)."""
+        steady-state cost (docs/PERFORMANCE.md).
+
+        The per-batch gather comes from the dataset (replicated caches use a
+        plain take; :class:`ShardedDeviceCachedDataset` reconstructs batches
+        from its HBM shards with one all-reduce) so the scan body adapts to
+        the cache's memory layout without touching the step code."""
+        from ab_line_classifier_tpu.data.pipeline import DeviceCachedDataset
+
         train_core = self._train_step_core(phase_idx, tx)
         eval_core = self._eval_step_core()
         batch_sh = (mesh_lib.batch_sharding(self.mesh)
                     if self.mesh is not None else None)
 
-        def gather(frames, labels_all, idx, mask):
-            # Padded index positions hold wraparound duplicates of real
-            # frames (DeviceCachedDataset.epoch_index_table): bit-identical
-            # partial-batch BN statistics with the host pipeline, and real
-            # images (not zeros) in trainable-BN batch stats.
-            del mask
-            images = jnp.take(frames, idx, axis=0)
-            labels = jnp.take(labels_all, idx, axis=0)
-            if batch_sh is not None:  # keep batches data-parallel in-scan
-                images = jax.lax.with_sharding_constraint(images, batch_sh)
-                labels = jax.lax.with_sharding_constraint(labels, batch_sh)
-            return images, labels
+        def gather_for(ds):
+            if isinstance(ds, DeviceCachedDataset):
+                return ds.make_scan_gather(batch_sh)
+            # Fallback (dataset unknown at build time): replicated-cache
+            # semantics — padded index positions hold wraparound duplicates
+            # of real frames (DeviceCachedDataset.epoch_index_table).
+            def gather(frames, labels_all, idx, mask):
+                del mask
+                images = jnp.take(frames, idx, axis=0)
+                labels = jnp.take(labels_all, idx, axis=0)
+                if batch_sh is not None:  # keep batches data-parallel
+                    images = jax.lax.with_sharding_constraint(images,
+                                                              batch_sh)
+                    labels = jax.lax.with_sharding_constraint(labels,
+                                                              batch_sh)
+                return images, labels
+
+            return gather
+
+        train_gather = gather_for(train_ds)
+        eval_gather = gather_for(val_ds)
 
         @jax.jit
         def train_epoch(state, metrics0, frames, labels_all, idx_tab,
@@ -261,7 +278,7 @@ class Trainer:
             def body(carry, xs):
                 st, m = carry
                 idx, mask = xs
-                images, labels = gather(frames, labels_all, idx, mask)
+                images, labels = train_gather(frames, labels_all, idx, mask)
                 return train_core(st, m, images, labels, mask), None
 
             (state, metrics), _ = jax.lax.scan(
@@ -273,7 +290,7 @@ class Trainer:
                        mask_tab):
             def body(m, xs):
                 idx, mask = xs
-                images, labels = gather(frames, labels_all, idx, mask)
+                images, labels = eval_gather(frames, labels_all, idx, mask)
                 return eval_core(state, m, images, labels, mask), None
 
             metrics, _ = jax.lax.scan(body, metrics0, (idx_tab, mask_tab))
@@ -398,7 +415,7 @@ class Trainer:
             # Scan-based single-program epochs for device-cached datasets
             # (jit is lazy: nothing compiles unless the cached path runs).
             train_epoch_fn, eval_epoch_fn = self.make_epoch_fns(
-                phase, tx, phase_idx)
+                phase, tx, phase_idx, train_ds=train_ds, val_ds=val_ds)
 
             if restoring:
                 from flax import serialization
