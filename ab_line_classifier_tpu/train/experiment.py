@@ -299,6 +299,19 @@ def hparam_search(cfg: Config, save_weights: bool = False,
     import json
 
     search = cfg["TRAIN"]["HPARAM_SEARCH"]
+    # Optional W&B sweep-service backend (the reference's scheduler,
+    # train.py:249-305): opt in with TRAIN.HPARAM_SEARCH.BACKEND: wandb;
+    # without wandb installed this falls straight back to the native
+    # controllers below.
+    if str(search.get("BACKEND", "native")).lower() == "wandb":
+        try:
+            from ab_line_classifier_tpu.train.wandb_sweep import (
+                run_wandb_sweep)
+            return run_wandb_sweep(cfg, save_weights=save_weights,
+                                   verbose=verbose)
+        except ImportError as e:
+            print(f"wandb sweep backend unavailable ({e}); "
+                  f"using the native controller")
     space = space_from_config(cfg.hparam_search_space())
     controller = make_controller(search["METHOD"], space,
                                  seed=int(cfg["TRAIN"]["SEED"]))
