@@ -32,6 +32,12 @@ Three mapping strategies; 1 and 2 are tried in order, 3 supplements either:
 If any weighted layer still cannot be restored, a ``UserWarning`` lists it
 (a silently partial import would serve wrong predictions).
 
+Untested edge: tf2onnx itself is not installed in this environment, so the
+tf2onnx name-binding path has only been exercised against faithful
+synthetic fixtures (tests/test_onnx_weights.py) — never a genuine
+reference-exported file (the artifacts ``/root/reference/src/predict.py:47-48``
+consumes). Verify against a real export before relying on strategy 1 alone.
+
 Layout conversions (ONNX -> Flax):
 
 * Conv ``(O, I, kH, kW)`` -> ``(kH, kW, I, O)``

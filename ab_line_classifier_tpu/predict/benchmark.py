@@ -147,11 +147,14 @@ def clip_inference_benchmark(model_name: str = "cutoffvgg16",
     else:
         dt = dt2 / 2.0
     fps = batch_size * n_iters / dt
+    serve_flops = flops_per_call(serve_jit, bf16_vars, frames)
     result = {
         "frames_per_sec": float(fps),
         "batch_size": batch_size,
         "ms_per_batch": float(dt / n_iters * 1000),
         "model": model_name,
+        "flops_per_frame": (serve_flops / batch_size
+                            if serve_flops else None),
     }
     if verbose:
         print(f"{model_name} clip inference: {fps:,.0f} frames/sec "
@@ -159,12 +162,42 @@ def clip_inference_benchmark(model_name: str = "cutoffvgg16",
     return result
 
 
+def flops_per_call(jitted, *args) -> Optional[float]:
+    """XLA's counted FLOPs for one call of a jitted function, or None when
+    the backend exposes no cost model. This is what makes the MFU claims in
+    docs/PERFORMANCE.md checkable: frames/sec x FLOPs/frame must stay below
+    chip peak."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:  # pragma: no cover - backend-dependent
+        return None
+
+
 def training_throughput_benchmark(model_name: str = "cutoffvgg16",
                                   batch_size: int = 256,
                                   img_dim: Tuple[int, int] = (128, 128),
                                   n_warmup: int = 3, n_iters: int = 10,
-                                  verbose: bool = True) -> Dict[str, float]:
-    """Frames/sec for the full jitted train step (fwd+bwd+update)."""
+                                  phase: Optional[str] = None,
+                                  verbose: bool = True) -> Dict:
+    """Frames/sec for the full jitted train step (fwd+bwd+update), PER
+    TRAINING PHASE, each labeled and carrying XLA-counted FLOPs/frame.
+
+    cutoffvgg16 trains in two phases with very different backward costs
+    (reference models.py:423-434): ``extract`` (all VGG convs frozen — the
+    backward touches only the GAP head) and ``finetune`` (blocks >=
+    FINETUNE_LAYER unfrozen — a partial conv backward). A single unlabeled
+    number made the round-2 MFU bookkeeping uncheckable; every result now
+    says which program it measured.
+
+    :param phase: bench only the named phase; default benches all phases.
+    :returns: ``{"phases": [per-phase dicts], **last_phase_dict}`` — the
+        top-level keys keep the historical single-phase shape (the LAST
+        phase, cutoffvgg16's finetune) for bench.py continuity.
+    """
     from ab_line_classifier_tpu.train.loop import Trainer
     from ab_line_classifier_tpu.ops import metrics as M
 
@@ -176,15 +209,11 @@ def training_throughput_benchmark(model_name: str = "cutoffvgg16",
            "HORIZONTAL_FLIP": True, "BRIGHTNESS_RANGE": 0.2}
     trainer = Trainer(spec, seed=0, compute_dtype=jnp.bfloat16,
                       aug_config=aug)
-    phase = spec.phases[-1]
-    state, tx = trainer.init_state(phase)
-    step = trainer.make_train_step(phase, tx)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 256, (batch_size, *img_dim, 3)),
                          jnp.uint8)
     labels = jnp.asarray(rng.randint(0, 2, batch_size), jnp.int32)
     mask = jnp.ones((batch_size,), jnp.float32)
-    metrics = M.init_metrics(2)
 
     def chain_sync(st):
         # Materialize a scalar that depends on the last step: single-device
@@ -193,30 +222,52 @@ def training_throughput_benchmark(model_name: str = "cutoffvgg16",
         # this backend; see clip_inference_benchmark).
         return float(jnp.sum(jax.tree.leaves(st.params)[0][..., :1]))
 
-    for _ in range(n_warmup):
-        state, metrics = step(state, metrics, images, labels, mask)
-    chain_sync(state)
+    results = []
+    for phase_idx, ph in enumerate(spec.phases):
+        if phase is not None and ph.name != phase:
+            continue
+        trainer._set_phase_module(ph)
+        state, tx = trainer.init_state(ph)
+        step = trainer.make_train_step(ph, tx, phase_idx)
+        metrics = M.init_metrics(2)
+        step_flops = flops_per_call(step, state, metrics, images, labels,
+                                    mask)
 
-    def timed(iters: int):
-        nonlocal state, metrics
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(n_warmup):
             state, metrics = step(state, metrics, images, labels, mask)
         chain_sync(state)
-        return time.perf_counter() - t0
 
-    dt = timed(n_iters)
-    dt2 = timed(2 * n_iters)   # timing must scale with iteration count
-    if 1.5 * dt <= dt2:
-        dt = dt2 / 2.0
-    else:  # backend lied about completion: sync every iteration
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            state, metrics = step(state, metrics, images, labels, mask)
+        def timed(iters: int):
+            nonlocal state, metrics
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step(state, metrics, images, labels, mask)
             chain_sync(state)
-        dt = time.perf_counter() - t0
-    fps = batch_size * n_iters / dt
-    if verbose:
-        print(f"{model_name} train step: {fps:,.0f} frames/sec "
-              f"(batch {batch_size})")
-    return {"train_frames_per_sec": float(fps), "batch_size": batch_size}
+            return time.perf_counter() - t0
+
+        dt = timed(n_iters)
+        dt2 = timed(2 * n_iters)   # timing must scale with iteration count
+        if 1.5 * dt <= dt2:
+            dt = dt2 / 2.0
+        else:  # backend lied about completion: sync every iteration
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                state, metrics = step(state, metrics, images, labels, mask)
+                chain_sync(state)
+            dt = time.perf_counter() - t0
+        fps = batch_size * n_iters / dt
+        r = {"phase": ph.name,
+             "train_frames_per_sec": float(fps),
+             "batch_size": batch_size,
+             "flops_per_frame": (step_flops / batch_size
+                                 if step_flops else None)}
+        results.append(r)
+        if verbose:
+            gf = (f", {r['flops_per_frame'] / 1e9:.2f} GFLOP/frame"
+                  if r["flops_per_frame"] else "")
+            print(f"{model_name} train step [{ph.name}]: {fps:,.0f} "
+                  f"frames/sec (batch {batch_size}{gf})")
+
+    if not results:
+        raise ValueError(f"no phase named {phase!r} in {model_name}")
+    return {**results[-1], "phases": results}

@@ -72,11 +72,26 @@ def main() -> int:
                           "vs_baseline": 0.0, "error": "all configs failed"}))
         return 1
 
+    # Training throughput PER PHASE (extract: frozen backbone, head-only
+    # backward; finetune: partial conv backward), each with XLA-counted
+    # FLOPs/frame so the MFU bookkeeping stays checkable (see
+    # docs/PERFORMANCE.md).
     train_fps = 0.0
+    train_phases = {}
     for batch in (1024, 256):
         try:
             t = _run(training_throughput_benchmark,
                      model_name="cutoffvgg16", batch_size=batch)
+            for ph in t["phases"]:
+                prev = train_phases.get(ph["phase"], {})
+                if ph["train_frames_per_sec"] > prev.get("frames_per_sec", 0):
+                    train_phases[ph["phase"]] = {
+                        "frames_per_sec": round(ph["train_frames_per_sec"], 1),
+                        "batch_size": ph["batch_size"],
+                        "gflops_per_frame": (
+                            round(ph["flops_per_frame"] / 1e9, 3)
+                            if ph["flops_per_frame"] else None),
+                    }
             train_fps = max(train_fps, t["train_frames_per_sec"])
         except Exception as e:
             print(f"training benchmark (batch {batch}) failed: {e}",
@@ -89,7 +104,12 @@ def main() -> int:
         "vs_baseline": round(best / 20000.0, 4),
         "batch_size": detail.get("batch_size"),
         "ms_per_batch": round(detail.get("ms_per_batch", 0.0), 3),
+        "serve_gflops_per_frame": (
+            round(detail["flops_per_frame"] / 1e9, 3)
+            if detail.get("flops_per_frame") else None),
         "train_frames_per_sec": round(train_fps, 1),
+        "train_phase": "finetune",
+        "train_phases": train_phases,
     }))
     return 0
 
