@@ -359,6 +359,51 @@ class DeviceCachedDataset:
             yield Batch(ims, lbs, mask, indices)
 
 
+def shard_frames_over_data(images: np.ndarray, mesh):
+    """Place a ``[N, ...]`` host array as ``[D, S, ...]`` with the leading
+    device axis sharded over the mesh's ``data`` axis (S = ceil(N/D); zero
+    rows pad the tail — they are never indexed). Returns the global sharded
+    array."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+
+    n = len(images)
+    d = mesh.shape[mesh_lib.DATA_AXIS]
+    s = -(-n // d)
+    pad = d * s - n
+    if pad:
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+    return jax.device_put(images.reshape((d, s) + images.shape[1:]),
+                          NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
+
+
+def sharded_gather(frames, idx):
+    """Gather rows ``idx`` (any int shape, values = global row numbers) from
+    a ``[D, S, ...]`` data-axis-sharded frame store: D mask-selected local
+    gathers + a sum over the sharded axis (XLA lowers it to ONE all-reduce
+    of the gathered batch over ICI). Exactly one device owns each global
+    row, so the sum — exact even in uint8 — reconstructs the batch
+    bit-identically to a replicated take."""
+    import jax
+    import jax.numpy as jnp
+
+    d, s = frames.shape[0], frames.shape[1]
+    offsets = jnp.arange(d, dtype=jnp.int32)[:, None] * s
+    flat = idx.reshape(-1).astype(jnp.int32)
+    rel = flat[None, :] - offsets                            # [D, K]
+    owned = (rel >= 0) & (rel < s)
+    safe = jnp.where(owned, rel, 0)
+    per_dev = jax.vmap(lambda f, r: jnp.take(f, r, axis=0))(
+        frames, safe)                                        # [D, K, ...]
+    sel = owned.astype(per_dev.dtype)
+    sel = sel.reshape(sel.shape + (1,) * (per_dev.ndim - 2))
+    out = (per_dev * sel).sum(axis=0)                        # [K, ...]
+    return out.reshape(tuple(idx.shape) + frames.shape[2:])
+
+
 class ShardedDeviceCachedDataset(DeviceCachedDataset):
     """A device cache whose uint8 frame axis is SHARDED across the mesh's
     ``data`` axis: an N-device mesh holds N× the dataset in HBM, lifting the
@@ -386,23 +431,11 @@ class ShardedDeviceCachedDataset(DeviceCachedDataset):
 
     def _init_frames(self, images: np.ndarray, mesh) -> None:
         import jax
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ab_line_classifier_tpu.parallel import mesh as mesh_lib
 
-        n = len(images)
-        d = mesh.shape[mesh_lib.DATA_AXIS]
-        self._shard_rows = s = -(-n // d)
-        pad = d * s - n
-        if pad:
-            # Padding rows are never indexed (epoch tables stay < n); zeros
-            # keep the reshape shape-clean without duplicating pixels.
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-        self._frames = jax.device_put(
-            images.reshape((d, s) + images.shape[1:]),
-            NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
+        # Padding rows are never indexed (epoch tables stay < n).
+        self._frames = shard_frames_over_data(images, mesh)
         # Labels are 4 bytes/frame — replicate them; only pixels shard.
         self._labels = jax.device_put(self._labels,
                                       mesh_lib.replicated(mesh))
@@ -411,25 +444,9 @@ class ShardedDeviceCachedDataset(DeviceCachedDataset):
         import jax
         import jax.numpy as jnp
 
-        s = self._shard_rows
-        d = self._frames.shape[0]
-        offsets = jnp.arange(d, dtype=jnp.int32)[:, None] * s
-
         def gather(frames, labels_d, idx, mask):
             del mask
-            rel = idx[None, :].astype(jnp.int32) - offsets      # [D, B]
-            owned = (rel >= 0) & (rel < s)
-            safe = jnp.where(owned, rel, 0)
-            # Per-device local gather stays on the owning shard (vmap over
-            # the sharded axis); off-shard rows contribute zeros.
-            per_dev = jax.vmap(lambda f, r: jnp.take(f, r, axis=0))(
-                frames, safe)                                   # [D, B, ...]
-            sel = owned.astype(per_dev.dtype)
-            sel = sel.reshape(sel.shape + (1,) * (per_dev.ndim - 2))
-            # Sum over the sharded device axis == one all-reduce of the
-            # batch over ICI; exactly one device owns each row, so the
-            # uint8 sum reconstructs the batch exactly.
-            images = (per_dev * sel).sum(axis=0)
+            images = sharded_gather(frames, idx)
             lbs = jnp.take(labels_d, idx, axis=0)
             if batch_sharding is not None:
                 images = jax.lax.with_sharding_constraint(images,

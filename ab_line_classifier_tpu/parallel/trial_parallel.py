@@ -224,14 +224,22 @@ class ParallelFoldTrainer:
     def make_eval_step(self):
         return jax.jit(self._eval_step_core())
 
-    @staticmethod
-    def _gather(frames, labels, idx):
+    _frames_sharded = False  # set by fit() when the frame store is sharded
+
+    def _gather(self, frames, labels, idx):
         # Padded index positions carry real wraparound-duplicated frames
         # from the SAME fold (pad_index_table): the mask removes them from
         # loss/metrics, while trainable-BN batch statistics see genuine
         # images instead of zeros.
-        ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)
         lbs = jax.vmap(lambda ix: jnp.take(labels, ix, axis=0))(idx)
+        if self._frames_sharded:
+            # [D, S, ...] data-axis-sharded store: one all-reduce per
+            # gather reconstructs [F, B, ...] bit-identically (see
+            # data/pipeline.sharded_gather) — the mesh holds D× the
+            # dataset while folds still shard over 'trial'.
+            from ab_line_classifier_tpu.data.pipeline import sharded_gather
+            return sharded_gather(frames, idx), lbs
+        ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)
         return ims, lbs
 
     def make_epoch_fns(self, tx):
@@ -309,7 +317,8 @@ class ParallelFoldTrainer:
             train_idx: List[np.ndarray], val_idx: List[np.ndarray], *,
             batch_size: int, epochs: int, patience: int = 15,
             lr_factors=None, verbose: bool = True,
-            checkpoint_dir: Optional[str] = None, resume: bool = False):
+            checkpoint_dir: Optional[str] = None, resume: bool = False,
+            shard_dataset="auto"):
         """Train all folds. Returns (best stacked variables, history: list of
         per-epoch dicts of per-fold arrays).
 
@@ -323,13 +332,31 @@ class ParallelFoldTrainer:
             hyperparameter sweeps run trial-parallel.
         :param checkpoint_dir: if set, the full stacked state checkpoints
             every epoch; ``resume=True`` restores and continues exactly.
+        :param shard_dataset: frame-store placement on a mesh — ``"auto"``
+            shards the uint8 frames over the ``data`` axis only when they
+            exceed one device's cache budget (the mesh then holds D× the
+            dataset), ``True`` forces sharding, ``False`` replicates.
+            Gathers are bit-identical either way (data/pipeline.sharded_gather).
         """
         F = self.n_folds
-        frames = jnp.asarray(frames_u8)
         labels_d = jnp.asarray(labels.astype(np.int32))
+        self._frames_sharded = False
+        n_data = (self.mesh.shape[mesh_lib.DATA_AXIS]
+                  if self.mesh is not None else 1)
+        if self.mesh is not None and n_data > 1 and shard_dataset is not False:
+            from ab_line_classifier_tpu.data.pipeline import (
+                device_cache_budget, shard_frames_over_data)
+            nbytes = np.asarray(frames_u8).nbytes
+            if shard_dataset is True or nbytes > device_cache_budget():
+                frames = shard_frames_over_data(np.asarray(frames_u8),
+                                                self.mesh)
+                self._frames_sharded = True
+        if not self._frames_sharded:
+            frames = jnp.asarray(frames_u8)
         if self.mesh is not None:
             rep = mesh_lib.replicated(self.mesh)
-            frames = jax.device_put(frames, rep)
+            if not self._frames_sharded:
+                frames = jax.device_put(frames, rep)
             labels_d = jax.device_put(labels_d, rep)
 
         def batch_tables(index_lists):

@@ -89,6 +89,46 @@ def test_training_bit_identical_to_replicated(small_ds, mesh):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trial_parallel_sharded_frames_bit_identical(small_ds, mesh):
+    """The fold-parallel trainer accepts a data-axis-sharded frame store
+    too (folds shard over 'trial', pixels over 'data'): histories and best
+    weights bit-match the replicated run."""
+    from ab_line_classifier_tpu.data.splits import (fold_train_val_test,
+                                                    k_fold_splits)
+    from ab_line_classifier_tpu.parallel.trial_parallel import (
+        ParallelFoldTrainer)
+
+    df = small_ds.df
+    frames, labels = small_ds.load_all()
+    folds = k_fold_splits(df, 2, random_seed=42)
+    train_idx, val_idx, cls_w = [], [], []
+    for f in range(2):
+        tr, va, _ = fold_train_val_test(folds, f, 0.2, random_seed=42)
+        train_idx.append(tr.index.to_numpy())
+        val_idx.append(va.index.to_numpy())
+        hist = np.bincount(tr["Class"], minlength=2)
+        cls_w.append(0.5 * hist.sum() / np.maximum(hist, 1))
+
+    spec = build_model("cnn0", HP, (32, 32, 3), 2)
+
+    def run(shard):
+        pt = ParallelFoldTrainer(spec, 2, class_weights=np.stack(cls_w),
+                                 seed=0, mesh=mesh)
+        best, hist = pt.fit(frames, labels, train_idx, val_idx,
+                            batch_size=16, epochs=2, patience=4,
+                            verbose=False, shard_dataset=shard)
+        assert pt._frames_sharded is shard
+        return best, hist
+
+    best_rep, hist_rep = run(False)
+    best_sh, hist_sh = run(True)
+    for hr, hs in zip(hist_rep, hist_sh):
+        np.testing.assert_array_equal(hr["train_loss"], hs["train_loss"])
+        np.testing.assert_array_equal(hr["val_loss"], hs["val_loss"])
+    for a, b in zip(jax.tree.leaves(best_rep), jax.tree.leaves(best_sh)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_auto_cache_tiers(small_ds, mesh):
     """'auto' picks: replicated when one device's budget fits, sharded when
     only the aggregate mesh budget fits, host streaming otherwise."""
