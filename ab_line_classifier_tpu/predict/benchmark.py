@@ -162,6 +162,61 @@ def clip_inference_benchmark(model_name: str = "cutoffvgg16",
     return result
 
 
+def gradcam_benchmark(model_name: str = "cutoffvgg16",
+                      batch_size: int = 256,
+                      img_dim: Tuple[int, int] = (128, 128),
+                      mode: str = "normal",
+                      n_warmup: int = 3, n_iters: int = 10,
+                      verbose: bool = True) -> Dict[str, float]:
+    """Frames/sec for the fused Grad-CAM pass: preprocess -> forward ->
+    vjp -> heatmap, ONE compiled program per batch (successor to the
+    reference's per-frame eager GradientTape loop, reference
+    gradcam.py:61-83; BASELINE.json config #4)."""
+    from ab_line_classifier_tpu.explain.gradcam import build_fused_gradcam
+
+    spec = _build_flagship(model_name, img_dim)
+    variables = spec.init_variables(jax.random.PRNGKey(0))
+    fused = build_fused_gradcam(spec, mode)
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (batch_size, *img_dim, 3)),
+                         jnp.uint8)
+
+    def sync(out):
+        # Materialize the tiny probs output only (the [B, H, W] heatmap
+        # would cost ~0.1 s/batch of pure tunnel transfer); same-program
+        # outputs are bounded together.
+        return np.asarray(out[0])
+
+    for _ in range(n_warmup):
+        sync(fused(variables, frames))
+
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fused(variables, frames)
+        sync(out)
+        return time.perf_counter() - t0
+
+    dt = timed(n_iters)
+    dt2 = timed(2 * n_iters)   # async-dispatch guard (see clip benchmark)
+    if 1.5 * dt <= dt2:
+        dt = dt2 / 2.0
+    else:
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            sync(fused(variables, frames))
+        dt = time.perf_counter() - t0
+    fps = batch_size * n_iters / dt
+    result = {"gradcam_frames_per_sec": float(fps),
+              "batch_size": batch_size, "mode": mode,
+              "ms_per_batch": float(dt / n_iters * 1000)}
+    if verbose:
+        print(f"{model_name} fused Grad-CAM [{mode}]: {fps:,.0f} frames/sec "
+              f"(batch {batch_size})")
+    return result
+
+
 def flops_per_call(jitted, *args) -> Optional[float]:
     """XLA's counted FLOPs for one call of a jitted function, or None when
     the backend exposes no cost model. This is what makes the MFU claims in

@@ -52,7 +52,8 @@ def _run(fn, **kw):
 
 def main() -> int:
     from ab_line_classifier_tpu.predict.benchmark import (
-        clip_inference_benchmark, training_throughput_benchmark)
+        clip_inference_benchmark, gradcam_benchmark,
+        training_throughput_benchmark)
 
     best = 0.0
     detail = {}
@@ -97,6 +98,14 @@ def main() -> int:
             print(f"training benchmark (batch {batch}) failed: {e}",
                   file=sys.stderr)
 
+    gradcam_fps = 0.0
+    try:
+        g = _run(gradcam_benchmark, model_name="cutoffvgg16",
+                 batch_size=512)
+        gradcam_fps = g["gradcam_frames_per_sec"]
+    except Exception as e:
+        print(f"gradcam benchmark failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "cutoffvgg16_clip_inference",
         "value": round(best, 1),
@@ -110,6 +119,7 @@ def main() -> int:
         "train_frames_per_sec": round(train_fps, 1),
         "train_phase": "finetune",
         "train_phases": train_phases,
+        "gradcam_frames_per_sec": round(gradcam_fps, 1),
     }))
     return 0
 

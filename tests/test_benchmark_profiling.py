@@ -54,6 +54,29 @@ def test_training_throughput_benchmark_smoke():
                                       img_dim=(32, 32), n_warmup=1,
                                       n_iters=2, verbose=False)
     assert r["train_frames_per_sec"] > 0
+    # Per-phase results, each labeled with XLA-counted FLOPs/frame
+    # (cnn0 has one phase; top-level keys mirror the last phase).
+    assert [p["phase"] for p in r["phases"]] == ["train"]
+    assert r["phase"] == "train"
+    assert r["phases"][0]["flops_per_frame"] is None or \
+        r["phases"][0]["flops_per_frame"] > 0
+
+
+def test_training_benchmark_phase_filter():
+    with pytest.raises(ValueError):
+        training_throughput_benchmark(model_name="cnn0", batch_size=8,
+                                      img_dim=(32, 32), n_warmup=1,
+                                      n_iters=2, phase="nope",
+                                      verbose=False)
+
+
+def test_gradcam_benchmark_smoke():
+    from ab_line_classifier_tpu.predict.benchmark import gradcam_benchmark
+
+    r = gradcam_benchmark(model_name="cnn0", batch_size=8, img_dim=(32, 32),
+                          n_warmup=1, n_iters=2, verbose=False)
+    assert r["gradcam_frames_per_sec"] > 0
+    assert r["mode"] == "normal"
 
 
 def test_step_timer_discards_warmup():

@@ -12,6 +12,9 @@ import pytest
 from ab_line_classifier_tpu.config import Config
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def sweep_cfg(tmp_path_factory):
     ws = str(tmp_path_factory.mktemp("sweep_ws"))

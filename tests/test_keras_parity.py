@@ -21,6 +21,9 @@ from ab_line_classifier_tpu.models.preprocess import (  # noqa: E402
 from ab_line_classifier_tpu.models.vgg import vgg16_backbone  # noqa: E402
 from ab_line_classifier_tpu.ops.image import fused_preprocess, nearest_resize  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
+
 tf.config.set_visible_devices([], "GPU")
 
 

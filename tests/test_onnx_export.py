@@ -19,6 +19,9 @@ from ab_line_classifier_tpu.models.onnx_weights import import_onnx_weights
 from ab_line_classifier_tpu.utils import onnx_proto as OP
 from ab_line_classifier_tpu.utils.onnx_eval import evaluate
 
+pytestmark = pytest.mark.slow
+
+
 HP = {
     "cutoffvgg16": {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6,
                     "DROPOUT": 0.45, "CUTOFF_LAYER": 10,

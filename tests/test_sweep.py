@@ -60,6 +60,7 @@ def test_grid_enumerates_discrete():
     assert len(seen) == 4
 
 
+@pytest.mark.slow
 def test_bayes_improves_on_quadratic():
     """GP-EI should find a better optimum than pure random on a smooth
     objective with the same budget."""

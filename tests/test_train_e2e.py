@@ -12,6 +12,9 @@ import yaml
 
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
     ws = str(tmp_path_factory.mktemp("e2e_ws"))

@@ -17,6 +17,9 @@ from ab_line_classifier_tpu.parallel.trial_parallel import (
     ParallelFoldTrainer, pad_index_table)
 from conftest import derive_workspace_config
 
+pytestmark = pytest.mark.slow
+
+
 HP = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 1e-4, "NODES_DENSE0": 8,
       "KERNEL_SIZE": 3, "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
       "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
