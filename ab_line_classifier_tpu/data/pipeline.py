@@ -400,7 +400,10 @@ def sharded_gather(frames, idx):
         frames, safe)                                        # [D, K, ...]
     sel = owned.astype(per_dev.dtype)
     sel = sel.reshape(sel.shape + (1,) * (per_dev.ndim - 2))
-    out = (per_dev * sel).sum(axis=0)                        # [K, ...]
+    # accumulate in the FRAME dtype: jnp.sum would promote uint8 to uint32
+    # and quadruple the all-reduce bytes; exact regardless, since exactly
+    # one device owns each row (all other contributions are zero).
+    out = (per_dev * sel).sum(axis=0, dtype=per_dev.dtype)   # [K, ...]
     return out.reshape(tuple(idx.shape) + frames.shape[2:])
 
 
@@ -510,13 +513,15 @@ def maybe_device_cache(ds: FrameDataset, mode="auto", mesh=None,
         budget = device_cache_budget()
     h, w = ds.img_dim
     nbytes = len(ds) * h * w * 3
-    sharded = False
-    if mode == "auto" and nbytes > budget:
-        from ab_line_classifier_tpu.parallel import mesh as mesh_lib
-        n_data = mesh.shape.get(mesh_lib.DATA_AXIS, 1) if mesh else 1
-        if n_data <= 1 or nbytes > budget * n_data:
-            return ds
-        sharded = True
+    from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+    n_data = mesh.shape.get(mesh_lib.DATA_AXIS, 1) if mesh else 1
+    # Tier choice applies to forced caching too: mode=True with a dataset
+    # beyond one device's budget must not attempt (and OOM out of) the
+    # replicated cache when the mesh's aggregate budget can hold it.
+    sharded = nbytes > budget and n_data > 1
+    if mode == "auto" and nbytes > budget and not (
+            sharded and nbytes <= budget * n_data):
+        return ds
     try:
         if sharded:
             return ShardedDeviceCachedDataset(ds, mesh=mesh)

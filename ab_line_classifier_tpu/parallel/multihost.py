@@ -63,6 +63,10 @@ def one_step_params(mesh) -> list:
     images, labels, mask = global_batch()
     n_proc = jax.process_count()
     pid = jax.process_index()
+    if _BATCH % n_proc or _BATCH % len(jax.devices()):
+        raise ValueError(
+            f"global batch {_BATCH} must divide evenly across "
+            f"{n_proc} processes and {len(jax.devices())} devices")
     # Each process loads ONLY its host-local slice of the global batch
     # (a real pipeline reads different files per host); host_local_batch
     # stitches the slices into one global P('data') array.

@@ -232,11 +232,14 @@ class ParallelFoldTrainer:
         # loss/metrics, while trainable-BN batch statistics see genuine
         # images instead of zeros.
         lbs = jax.vmap(lambda ix: jnp.take(labels, ix, axis=0))(idx)
-        if self._frames_sharded:
-            # [D, S, ...] data-axis-sharded store: one all-reduce per
-            # gather reconstructs [F, B, ...] bit-identically (see
-            # data/pipeline.sharded_gather) — the mesh holds D× the
-            # dataset while folds still shard over 'trial'.
+        # Layout dispatch by rank, not mutable state: a replicated store is
+        # [N, H, W, C] (4-D); a data-axis-sharded store is [D, S, H, W, C]
+        # (5-D; see fit's shard_dataset). Rank is carried by the array
+        # itself, so epoch fns built in any order trace correctly.
+        if frames.ndim == 5:
+            # One all-reduce per gather reconstructs [F, B, ...]
+            # bit-identically (data/pipeline.sharded_gather) — the mesh
+            # holds D× the dataset while folds still shard over 'trial'.
             from ab_line_classifier_tpu.data.pipeline import sharded_gather
             return sharded_gather(frames, idx), lbs
         ims = jax.vmap(lambda ix: jnp.take(frames, ix, axis=0))(idx)

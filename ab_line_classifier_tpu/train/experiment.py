@@ -304,14 +304,20 @@ def hparam_search(cfg: Config, save_weights: bool = False,
     # without wandb installed this falls straight back to the native
     # controllers below.
     if str(search.get("BACKEND", "native")).lower() == "wandb":
+        # Availability check ONLY inside the try: an ImportError raised
+        # mid-sweep (a broken optional import deep in a trial) must
+        # propagate, not silently discard completed W&B trials and rerun
+        # the whole search natively.
         try:
             from ab_line_classifier_tpu.train.wandb_sweep import (
-                run_wandb_sweep)
-            return run_wandb_sweep(cfg, save_weights=save_weights,
-                                   verbose=verbose)
+                _default_wandb, run_wandb_sweep)
+            _default_wandb()
         except ImportError as e:
             print(f"wandb sweep backend unavailable ({e}); "
                   f"using the native controller")
+        else:
+            return run_wandb_sweep(cfg, save_weights=save_weights,
+                                   verbose=verbose)
     space = space_from_config(cfg.hparam_search_space())
     controller = make_controller(search["METHOD"], space,
                                  seed=int(cfg["TRAIN"]["SEED"]))

@@ -99,12 +99,15 @@ def main() -> int:
                   file=sys.stderr)
 
     gradcam_fps = 0.0
-    try:
-        g = _run(gradcam_benchmark, model_name="cutoffvgg16",
-                 batch_size=512)
-        gradcam_fps = g["gradcam_frames_per_sec"]
-    except Exception as e:
-        print(f"gradcam benchmark failed: {e}", file=sys.stderr)
+    for batch in (512, 256):  # graceful degradation, like the siblings
+        try:
+            g = _run(gradcam_benchmark, model_name="cutoffvgg16",
+                     batch_size=batch)
+            gradcam_fps = g["gradcam_frames_per_sec"]
+            break
+        except Exception as e:
+            print(f"gradcam benchmark (batch {batch}) failed: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "cutoffvgg16_clip_inference",

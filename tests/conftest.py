@@ -21,6 +21,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # the "+prefer-no-scatter/gather" pseudo-features it compiles with never
 # appear in LLVM host detection. Benign: entries load and run correctly.)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
+# Golden-parity tests compare against real TF/Keras; oneDNN chooses
+# computation order (and thus float rounding) per run, so the *golden*
+# side itself is nondeterministic with it enabled — multi-step training
+# parity then flakes on different assertions each run. Must be set
+# before `import tensorflow` anywhere; conftest runs first.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -494,6 +494,10 @@ def test_one_finetune_step_parity_with_keras():
 
     lr = 1e-4
     cutoff, finetune_layer = 10, 7
+    # Unseeded, VGG16(weights=None) draws fresh weights per run and the
+    # near-zero-gradient population shifts with them; seed so the
+    # magnitude-aware tolerances below face one fixed trajectory.
+    tf.keras.utils.set_random_seed(7)
     inp = Input((64, 64, 3))
     kvgg = VGG16(input_shape=(64, 64, 3), include_top=False, weights=None)
     x = inp
@@ -830,6 +834,13 @@ def test_multi_step_training_parity_with_keras():
     from ab_line_classifier_tpu.models import build_model
     from ab_line_classifier_tpu.ops import metrics as M
     from ab_line_classifier_tpu.train.loop import Trainer
+
+    # Keras's initializers are otherwise unseeded: every run would train
+    # from different weights, making the final drift-vs-tolerance margin a
+    # per-run coin flip (observed rare >5e-4 excursions). Seeding makes
+    # the whole 12-step trajectory reproducible, so the tolerances below
+    # are checked against ONE deterministic trajectory with real margin.
+    tf.keras.utils.set_random_seed(0)
 
     lr = 1e-3
     hp = {"LR": lr, "DROPOUT": 0.0, "L2_LAMBDA": 0.0, "NODES_DENSE0": 16,

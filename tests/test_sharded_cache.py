@@ -57,6 +57,9 @@ def test_batches_match_replicated(small_ds, mesh):
     for shuffle in (False, True):
         for br, bs in zip(rc.batches(8, shuffle=shuffle, seed=3),
                           sc.batches(8, shuffle=shuffle, seed=3)):
+            # dtype too: the all-reduce must accumulate in uint8, not
+            # promote (4x the ICI bytes otherwise).
+            assert np.asarray(bs.images).dtype == np.uint8
             np.testing.assert_array_equal(np.asarray(br.images),
                                           np.asarray(bs.images))
             np.testing.assert_array_equal(np.asarray(br.labels),
@@ -141,6 +144,11 @@ def test_auto_cache_tiers(small_ds, mesh):
     none = maybe_device_cache(small_ds, "auto", mesh=mesh,
                               budget=nbytes // 100)
     assert none is small_ds
+    # Forced caching picks the sharded tier too when one device's budget
+    # can't hold the frames (never OOM-attempt the replicated cache).
+    forced = maybe_device_cache(small_ds, True, mesh=mesh,
+                                budget=nbytes // 4)
+    assert type(forced) is ShardedDeviceCachedDataset
     # No mesh -> no sharded tier to fall back to.
     host = maybe_device_cache(small_ds, "auto", mesh=None,
                               budget=nbytes // 4)
