@@ -82,6 +82,87 @@ def clock_avg_runtime(n_warmup_runs: int = 10, n_experiment_runs: int = 50,
     return t_avg_ms, t_std_ms
 
 
+def single_frame_latency_benchmark(model_name: str = "cutoffvgg16",
+                                   img_dim: Tuple[int, int] = (128, 128),
+                                   chain_len: int = 64,
+                                   n_warmup: int = 3, n_iters: int = 5,
+                                   variables=None,
+                                   spec: Optional[ModelSpec] = None,
+                                   verbose: bool = True) -> Dict[str, float]:
+    """DEVICE-side serving latency at batch 1 (ms/frame).
+
+    Successor to the reference's ``clock_avg_runtime`` (reference
+    predict.py:425-448) for the latency question its mechanism actually
+    asks: how long does ONE frame take end-to-end through the production
+    serving program (fused preprocess -> bf16 forward -> f32 softmax)?
+    ``clock_avg_runtime`` here (kept above for mechanism parity) times a
+    host loop, which on this tunneled backend measures mostly the
+    O(10 ms) host<->device round-trip. This benchmark instead runs a
+    dependency-CHAINED ``lax.scan`` of the batch-1 serving program on
+    device: each iteration's input depends on the previous iteration's
+    output, so iterations cannot overlap and ms/frame is genuine serial
+    latency, not pipelined throughput.
+    """
+    if spec is None:
+        spec = _build_flagship(model_name, img_dim)
+    if variables is None:
+        variables = spec.init_variables(jax.random.PRNGKey(0))
+    bf16_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if isinstance(a, jnp.ndarray) and a.dtype == jnp.float32 else a,
+        variables)
+    module = spec.module()
+
+    def serve(v, frames_u8):
+        x = preprocess_frames(frames_u8, out_hw=tuple(img_dim),
+                              preprocess_mode=spec.preprocess_mode,
+                              out_dtype=jnp.bfloat16)
+        return module.apply(v, x, train=False).astype(jnp.float32)
+
+    def chained(v, frame):
+        def body(x, _):
+            probs = serve(v, x)
+            # Force a true serial dependency: the next input is offset by
+            # a runtime value that is always zero (probs <= 1, so
+            # uint8(probs*1e-30) == 0) but that XLA cannot constant-fold
+            # away — without it the loop body is invariant and could be
+            # hoisted, turning latency into a single-execution measurement.
+            bump = (probs[0, 0] * 1e-30).astype(jnp.uint8)
+            return x + bump, probs[0, 0]
+        _, probs = jax.lax.scan(body, frame, None, length=chain_len)
+        return probs
+
+    chained_jit = jax.jit(chained)
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.randint(0, 256, (1, *img_dim, 3)), jnp.uint8)
+    for _ in range(n_warmup):
+        np.asarray(chained_jit(bf16_vars, frame))
+
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = chained_jit(bf16_vars, frame)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    dt = timed(n_iters)
+    dt2 = timed(2 * n_iters)   # async-dispatch guard (see clip benchmark)
+    if 1.5 * dt <= dt2:
+        dt = dt2 / 2.0
+    else:
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            np.asarray(chained_jit(bf16_vars, frame))
+        dt = time.perf_counter() - t0
+    ms = dt / n_iters / chain_len * 1000
+    result = {"ms_per_frame": float(ms), "chain_len": chain_len,
+              "model": model_name}
+    if verbose:
+        print(f"{model_name} single-frame device latency: {ms:.3f} ms")
+    return result
+
+
 def clip_inference_benchmark(model_name: str = "cutoffvgg16",
                              batch_size: int = 512,
                              img_dim: Tuple[int, int] = (128, 128),

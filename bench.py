@@ -53,7 +53,7 @@ def _run(fn, **kw):
 def main() -> int:
     from ab_line_classifier_tpu.predict.benchmark import (
         clip_inference_benchmark, gradcam_benchmark,
-        training_throughput_benchmark)
+        single_frame_latency_benchmark, training_throughput_benchmark)
 
     best = 0.0
     detail = {}
@@ -98,6 +98,13 @@ def main() -> int:
             print(f"training benchmark (batch {batch}) failed: {e}",
                   file=sys.stderr)
 
+    latency_ms = None
+    try:
+        lat = _run(single_frame_latency_benchmark, model_name="cutoffvgg16")
+        latency_ms = round(lat["ms_per_frame"], 3)
+    except Exception as e:
+        print(f"latency benchmark failed: {e}", file=sys.stderr)
+
     gradcam_fps = 0.0
     for batch in (512, 256):  # graceful degradation, like the siblings
         try:
@@ -123,6 +130,7 @@ def main() -> int:
         "train_phase": "finetune",
         "train_phases": train_phases,
         "gradcam_frames_per_sec": round(gradcam_fps, 1),
+        "latency_ms_batch1": latency_ms,
     }))
     return 0
 

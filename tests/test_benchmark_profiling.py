@@ -38,6 +38,19 @@ def test_clock_avg_runtime_smoke():
     assert mean_ms > 0 and std_ms >= 0
 
 
+def test_single_frame_latency_benchmark_smoke():
+    from ab_line_classifier_tpu.predict.benchmark import (
+        single_frame_latency_benchmark)
+
+    spec = _tiny_spec()
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    r = single_frame_latency_benchmark(img_dim=(32, 32), chain_len=4,
+                                       n_warmup=1, n_iters=2, spec=spec,
+                                       variables=v, verbose=False)
+    assert r["ms_per_frame"] > 0
+    assert r["chain_len"] == 4
+
+
 def test_clip_inference_benchmark_smoke():
     spec = _tiny_spec()
     v = spec.init_variables(jax.random.PRNGKey(0))
