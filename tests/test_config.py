@@ -20,6 +20,31 @@ def test_load_repo_config():
     assert cfg.batch_size > 0
 
 
+REFERENCE_CONFIG = "/root/reference/config.yml"
+
+
+@pytest.mark.skipif(not os.path.isfile(REFERENCE_CONFIG),
+                    reason="reference checkout not present")
+def test_reference_config_loads_unchanged():
+    """Drop-in config compatibility: the REFERENCE project's own config.yml
+    (reference config.yml:1-197) loads, validates, and resolves through the
+    same accessors a migrating user's scripts rely on — no edits needed."""
+    cfg = load_config(REFERENCE_CONFIG)
+    assert cfg.model_name == "cutoffvgg16"
+    assert cfg["TRAIN"]["EXPERIMENT_TYPE"] == "single_train"
+    assert cfg.img_dim == (128, 128)
+    assert cfg.n_classes == 2
+    assert cfg.classes == ["a_lines", "b_lines"]
+    # Per-model hparams and search spaces resolve for the configured model.
+    assert {"LR_EXTRACT", "LR_FINETUNE", "CUTOFF_LAYER",
+            "FINETUNE_LAYER"} <= set(cfg.model_hparams())
+    assert {"LR_EXTRACT", "LR_FINETUNE"} <= set(cfg.hparam_search_space())
+    # Every model in the reference zoo has an hparam block we can resolve.
+    for name in ("cutoffvgg16", "vgg16", "mobilenetv2", "xception",
+                 "efficientnetb7", "cnn0", "custom_resnetv2"):
+        assert cfg.model_hparams(name), name
+
+
 def test_schema_sections_present():
     cfg = load_config(CONFIG_PATH)
     for section in ("PATHS", "WANDB", "DATA", "TRAIN", "CLIP_PREDICTION",
