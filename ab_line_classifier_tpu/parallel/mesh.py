@@ -98,6 +98,22 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def fetch(x) -> np.ndarray:
+    """Host-materialize a possibly process-spanning array.
+
+    ``np.asarray`` on a jax Array raises when shards live on another
+    process's devices (e.g. trial-axis-sharded metrics on a multi-host
+    mesh). This gathers the global value to EVERY process so host-side
+    callback logic (early stopping, LR plateaus, history) runs identically
+    everywhere — required for lockstep control flow across hosts. A plain
+    ``np.asarray`` when the array is already local/replicated."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def host_local_batch(mesh: Mesh, *arrays):
     """Assemble a global batch-sharded array from each process's local data.
 

@@ -79,6 +79,30 @@ def one_step_params(mesh) -> list:
     return [np.asarray(leaf) for leaf in jax.tree.leaves(state.params)]
 
 
+def one_epoch_trial_parallel(mesh) -> np.ndarray:
+    """One trial-parallel training epoch over ``mesh`` (which may span
+    processes) in the recommended pod topology (docs/SCALING.md): the
+    ``trial`` axis on the OUTER, DCN-crossing dimension — trials exchange
+    no tensors, so the slow links carry nothing — while each trial's batch
+    shards over the intra-host ``data`` axis. Returns the per-trial val
+    losses, host-materialized on every process."""
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.parallel import mesh as mesh_lib
+    from ab_line_classifier_tpu.parallel.trial_parallel import (
+        ParallelFoldTrainer)
+
+    n_trial = mesh.shape[mesh_lib.TRIAL_AXIS]
+    spec = build_model("cnn0", _HP, _IMG + (3,), 2)
+    pt = ParallelFoldTrainer(
+        spec, n_trial, class_weights=np.ones((n_trial, 2), np.float32),
+        mesh=mesh, seed=0)
+    images, labels, mask = global_batch()
+    idx = [np.arange(_BATCH) for _ in range(n_trial)]
+    _, hist = pt.fit(images, labels, idx, idx, batch_size=_BATCH,
+                     epochs=1, verbose=False)
+    return np.asarray(hist[-1]["val_loss"])
+
+
 def dryrun_multihost(process_id: int, num_processes: int,
                      coordinator: str, out_path: Optional[str] = None,
                      local_device_count: int = 4) -> None:
@@ -106,8 +130,15 @@ def dryrun_multihost(process_id: int, num_processes: int,
     assert len(jax.devices()) == num_processes * local_device_count
     mesh = mesh_lib.make_mesh(n_data=len(jax.devices()), n_trial=1)
     leaves = one_step_params(mesh)
+
+    # The recommended pod topology: trial = the process (DCN) axis,
+    # data = the intra-host axis.
+    mesh_t = mesh_lib.make_mesh(n_data=local_device_count,
+                                n_trial=num_processes)
+    val_loss = one_epoch_trial_parallel(mesh_t)
+
     if out_path and process_id == 0:
-        np.savez(out_path, *leaves)
+        np.savez(out_path, *leaves, trial_val_loss=val_loss)
     jax.distributed.shutdown()
 
 

@@ -308,13 +308,22 @@ class ParallelFoldTrainer:
         batch_stats, optimizer, best weights, per-fold callback vectors), so
         an interrupted trial-parallel run resumes exactly — the SPMD
         counterpart of the serial Trainer's resume (train/loop.py). One
-        atomic file — see utils/resume.py."""
+        atomic file — see utils/resume.py.
+
+        On a multi-host mesh the stacked leaves are trial-sharded across
+        processes: every process gathers (serialization materializes to
+        host anyway, and the gather is collective so all must join), but
+        only process 0 writes the file."""
+        import jax
         from flax import serialization
 
         from ab_line_classifier_tpu.utils.resume import save_resume
 
-        save_resume(path, self.RESUME_FILE,
-                    serialization.to_state_dict(payload_arrays), host_state)
+        payload_arrays = jax.tree.map(mesh_lib.fetch, payload_arrays)
+        if jax.process_index() == 0:
+            save_resume(path, self.RESUME_FILE,
+                        serialization.to_state_dict(payload_arrays),
+                        host_state)
 
     def fit(self, frames_u8: np.ndarray, labels: np.ndarray,
             train_idx: List[np.ndarray], val_idx: List[np.ndarray], *,
@@ -505,10 +514,12 @@ class ParallelFoldTrainer:
                 val_metrics = eval_epoch(params, batch_stats, frames,
                                          labels_d, v_idx_tab, v_mask_tab)
 
-                # host-side vectorized callbacks
+                # host-side vectorized callbacks; fetch() gathers the
+                # trial-sharded [F] vectors to every process on a
+                # multi-host mesh so the callback decisions stay lockstep.
                 val_final = jax.vmap(M.compute_metrics)(val_metrics)
-                val_loss = np.asarray(val_final["loss"])
-                val_auc = np.asarray(val_final["auc"])
+                val_loss = mesh_lib.fetch(val_final["loss"])
+                val_auc = mesh_lib.fetch(val_final["auc"])
                 # EarlyStopping and ReduceLROnPlateau track improvement
                 # independently with Keras's min_deltas (0 strict vs 1e-4),
                 # matching train/loop.py.
@@ -546,8 +557,8 @@ class ParallelFoldTrainer:
                 tr_final = jax.vmap(M.compute_metrics)(train_metrics)
                 history.append({
                     "epoch": epoch, "phase": phase.name,
-                    "train_loss": np.asarray(tr_final["loss"]),
-                    "train_auc": np.asarray(tr_final["auc"]),
+                    "train_loss": mesh_lib.fetch(tr_final["loss"]),
+                    "train_auc": mesh_lib.fetch(tr_final["auc"]),
                     "val_loss": val_loss, "val_auc": val_auc,
                     "active": np.asarray(active).copy(),
                     "seconds": time.time() - t0,

@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 from ab_line_classifier_tpu.parallel import mesh as mesh_lib
-from ab_line_classifier_tpu.parallel.multihost import one_step_params
+from ab_line_classifier_tpu.parallel.multihost import (
+    one_epoch_trial_parallel, one_step_params)
 
 pytestmark = pytest.mark.slow
 
@@ -56,7 +57,9 @@ def test_two_process_step_matches_single_process(tmp_path):
     assert os.path.isfile(out)
 
     multi = np.load(out)
-    multi_leaves = [multi[k] for k in multi.files]
+    trial_val_loss = multi["trial_val_loss"]
+    multi_leaves = [multi[k] for k in multi.files
+                    if k != "trial_val_loss"]
 
     # Single-process oracle: same step on this process's 8-device mesh.
     single_leaves = one_step_params(mesh_lib.make_mesh(n_data=8, n_trial=1))
@@ -66,3 +69,14 @@ def test_two_process_step_matches_single_process(tmp_path):
         # Gloo's cross-host psum may reduce in a different order than the
         # single-process reduction -> float-associativity tolerance.
         np.testing.assert_allclose(m, s, rtol=1e-5, atol=1e-6)
+
+    # Trial-parallel in the recommended pod topology (trial = the
+    # DCN-crossing process axis, data = intra-host): the 2-process run's
+    # per-trial val losses match the single-process (trial=2, data=4)
+    # mesh — multi-host trial parallelism executes, and its host-side
+    # callback inputs (gathered via mesh.fetch) agree across layouts.
+    single_val = one_epoch_trial_parallel(
+        mesh_lib.make_mesh(n_data=4, n_trial=2))
+    assert trial_val_loss.shape == single_val.shape == (2,)
+    np.testing.assert_allclose(trial_val_loss, single_val,
+                               rtol=1e-5, atol=1e-6)
