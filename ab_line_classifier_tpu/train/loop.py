@@ -341,11 +341,17 @@ class Trainer:
         """Mid-training checkpoint: full optimizer/callback state so an
         interrupted run (or a preempted sweep trial) resumes exactly.
         The reference has no mid-training checkpointing (final .h5 only,
-        train.py:139-144). One atomic file — see utils/resume.py."""
+        train.py:139-144). One atomic file — see utils/resume.py.
+
+        Multi-host: the serial trainer's state is fully replicated (batch
+        shards, params don't), so no gather is needed — but only process 0
+        writes, or hosts sharing a filesystem would race on the file."""
         from flax import serialization
 
         from ab_line_classifier_tpu.utils.resume import save_resume
 
+        if jax.process_index() != 0:
+            return
         save_resume(
             path, self.RESUME_FILE,
             {"state": serialization.to_state_dict(state),
