@@ -137,6 +137,26 @@ def dryrun_multihost(process_id: int, num_processes: int,
                                 n_trial=num_processes)
     val_loss = one_epoch_trial_parallel(mesh_t)
 
+    # Resume sync across hosts: write a checkpoint into a dir that exists
+    # ONLY on process 0 (host-local checkpoint dirs, the non-shared-FS
+    # case) and load it from every process — load_resume must broadcast
+    # process 0's bytes so all hosts take the same resume decision.
+    import tempfile
+
+    from ab_line_classifier_tpu.utils.resume import load_resume, save_resume
+
+    ckpt_dir = tempfile.mkdtemp(prefix="mh_resume_") if process_id == 0 \
+        else "/nonexistent/mh_resume"
+    if process_id == 0:
+        save_resume(ckpt_dir, "probe.msgpack",
+                    {"w": np.arange(4, dtype=np.float32)}, {"epoch": 7})
+    loaded = load_resume(ckpt_dir, "probe.msgpack")
+    assert loaded is not None, "resume sync lost process 0's checkpoint"
+    payload, progress = loaded
+    assert progress["epoch"] == 7
+    np.testing.assert_array_equal(payload["w"],
+                                  np.arange(4, dtype=np.float32))
+
     if out_path and process_id == 0:
         np.savez(out_path, *leaves, trial_val_loss=val_loss)
     jax.distributed.shutdown()

@@ -119,20 +119,23 @@ def single_frame_latency_benchmark(model_name: str = "cutoffvgg16",
                               out_dtype=jnp.bfloat16)
         return module.apply(v, x, train=False).astype(jnp.float32)
 
-    def chained(v, frame):
-        def body(x, _):
-            probs = serve(v, x)
-            # Force a true serial dependency: the next input is offset by
-            # a runtime value that is always zero (probs <= 1, so
-            # uint8(probs*1e-30) == 0) but that XLA cannot constant-fold
-            # away — without it the loop body is invariant and could be
-            # hoisted, turning latency into a single-execution measurement.
-            bump = (probs[0, 0] * 1e-30).astype(jnp.uint8)
-            return x + bump, probs[0, 0]
-        _, probs = jax.lax.scan(body, frame, None, length=chain_len)
-        return probs
+    def make_chained(length):
+        def chained(v, frame):
+            def body(x, _):
+                probs = serve(v, x)
+                # Force a true serial dependency: the next input is offset
+                # by a runtime value that is always zero (probs <= 1, so
+                # uint8(probs*1e-30) == 0) but that XLA cannot constant-
+                # fold away — without it the loop body is invariant and
+                # could be hoisted, turning latency into a single-execution
+                # measurement.
+                bump = (probs[0, 0] * 1e-30).astype(jnp.uint8)
+                return x + bump, probs[0, 0]
+            _, probs = jax.lax.scan(body, frame, None, length=length)
+            return probs
+        return chained
 
-    chained_jit = jax.jit(chained)
+    chained_jit = jax.jit(make_chained(chain_len))
     rng = np.random.RandomState(0)
     frame = jnp.asarray(rng.randint(0, 256, (1, *img_dim, 3)), jnp.uint8)
     for _ in range(n_warmup):
@@ -150,12 +153,22 @@ def single_frame_latency_benchmark(model_name: str = "cutoffvgg16",
     dt2 = timed(2 * n_iters)   # async-dispatch guard (see clip benchmark)
     if 1.5 * dt <= dt2:
         dt = dt2 / 2.0
+        ms = dt / n_iters / chain_len * 1000
     else:
+        # Per-call sync fallback: each np.asarray pays the host<->device
+        # round-trip (~10 ms on this tunneled backend), which at 64 frames
+        # per chain would EXCEED the ~0.13 ms/frame being measured. Compile
+        # the chain 8x longer so the per-sync overhead amortizes to a few
+        # percent instead of reporting a phantom 2x latency regression.
+        long_len = 8 * chain_len
+        long_jit = jax.jit(make_chained(long_len))
+        np.asarray(long_jit(bf16_vars, frame))  # warm
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            np.asarray(chained_jit(bf16_vars, frame))
+            np.asarray(long_jit(bf16_vars, frame))
         dt = time.perf_counter() - t0
-    ms = dt / n_iters / chain_len * 1000
+        chain_len = long_len
+        ms = dt / n_iters / chain_len * 1000
     result = {"ms_per_frame": float(ms), "chain_len": chain_len,
               "model": model_name}
     if verbose:

@@ -46,6 +46,31 @@ def save_resume(dir_path: str, filename: str, payload: Dict[str, Any],
     os.replace(tmp, final)
 
 
+def _sync_blob_across_processes(blob: Optional[bytes]) -> Optional[bytes]:
+    """Make the checkpoint bytes identical on every process: process 0's
+    file (or its absence) is authoritative.
+
+    Checkpoints are written by process 0 only; when the checkpoint dir is
+    host-local rather than a shared filesystem, the other processes see no
+    file. Without this sync each process would decide independently whether
+    to resume — hosts would then issue different collective sequences and
+    deadlock (or train desynchronized). Broadcasting the raw bytes keeps the
+    decision AND the restored state identical everywhere."""
+    if jax.process_count() == 1:
+        return blob
+    from jax.experimental import multihost_utils
+
+    has = blob is not None and jax.process_index() == 0
+    length = int(multihost_utils.broadcast_one_to_all(
+        np.int64(len(blob) if has else -1)))
+    if length < 0:
+        return None
+    buf = (np.frombuffer(blob, np.uint8) if has
+           else np.zeros((length,), np.uint8))
+    return np.asarray(
+        multihost_utils.broadcast_one_to_all(buf)).tobytes()
+
+
 def load_resume(dir_path: Optional[str], filename: str
                 ) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
     """Read a checkpoint written by :func:`save_resume`.
@@ -54,14 +79,22 @@ def load_resume(dir_path: Optional[str], filename: str
     ``payload`` leaves come back as numpy arrays; callers restore pytree
     structure with ``flax.serialization.from_state_dict`` against a
     template and re-place on devices as needed.
+
+    Multi-process: process 0's checkpoint is broadcast to all (see
+    :func:`_sync_blob_across_processes`); a checkpoint existing only on
+    another host is deliberately ignored so the resume decision has one
+    authority.
     """
-    if not dir_path:
-        return None
-    path = os.path.join(dir_path, filename)
-    if not os.path.isfile(path):
+    blob: Optional[bytes] = None
+    if dir_path:
+        path = os.path.join(dir_path, filename)
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                blob = f.read()
+    blob = _sync_blob_across_processes(blob)
+    if blob is None:
         return None
     from flax import serialization
 
-    with open(path, "rb") as f:
-        blob = serialization.msgpack_restore(f.read())
-    return blob["payload"], json.loads(blob["progress"])
+    restored = serialization.msgpack_restore(blob)
+    return restored["payload"], json.loads(restored["progress"])

@@ -48,7 +48,10 @@ def test_single_frame_latency_benchmark_smoke():
                                        n_warmup=1, n_iters=2, spec=spec,
                                        variables=v, verbose=False)
     assert r["ms_per_frame"] > 0
-    assert r["chain_len"] == 4
+    # chain_len reports the chain actually timed: the requested 4, or 8x
+    # that when timing noise trips the per-call-sync fallback (expected
+    # on a 1-CPU host with sub-ms chains).
+    assert r["chain_len"] in (4, 32)
 
 
 def test_clip_inference_benchmark_smoke():
