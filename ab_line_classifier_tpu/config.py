@@ -39,7 +39,12 @@ CLIP_ALGORITHMS = ("contiguous", "sliding_window", "average")
 # src/train.py:281-295 translates these to W&B distributions).
 SWEEP_TYPES = ("set", "int_uniform", "float_log", "float_uniform")
 
-_REQUIRED_SECTIONS = ("PATHS", "DATA", "TRAIN", "CLIP_PREDICTION", "HPARAMS")
+# WANDB is required despite the name: it carries ARTIFACT_SEED, the split
+# seed every experiment path dereferences (reference config.yml:35-47; the
+# reference likewise hard-reads it). Validation must reject what runtime
+# rejects.
+_REQUIRED_SECTIONS = ("PATHS", "WANDB", "DATA", "TRAIN", "CLIP_PREDICTION",
+                      "HPARAMS")
 
 
 class ConfigError(ValueError):
@@ -184,6 +189,11 @@ def validate_config(data: Dict[str, Any]) -> None:
     img_dim = data["DATA"].get("IMG_DIM")
     if not (isinstance(img_dim, (list, tuple)) and len(img_dim) == 2):
         raise ConfigError("DATA.IMG_DIM must be [height, width]")
+
+    if "ARTIFACT_SEED" not in data["WANDB"]:
+        raise ConfigError(
+            "WANDB.ARTIFACT_SEED is required (the dataset-split seed; "
+            "reference config.yml:47)")
 
     clip = data["CLIP_PREDICTION"]
     algo = str(clip.get("ALGORITHM", ""))

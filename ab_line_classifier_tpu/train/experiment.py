@@ -147,6 +147,30 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
     own_tracker = tracker is None
     if own_tracker:
         tracker = make_tracker(cfg, group=group, job_type=experiment)
+        try:
+            return _perform_single_run_body(
+                cfg, tracker, hparam_overrides=hparam_overrides,
+                fold_id=fold_id, save_weights=save_weights,
+                verbose=verbose, checkpoint_dir=checkpoint_dir,
+                resume=resume, finish_tracker=True)
+        except BaseException as e:
+            # A crashed trial must still close its run: without this the
+            # run dir has an open events.jsonl and no summary.json, so
+            # failed runs are indistinguishable from in-progress ones to
+            # sweep resume/indexing, and fds leak across failed trials.
+            tracker.finish({"status": "failed",
+                            "error": f"{type(e).__name__}: {e}"})
+            raise
+    return _perform_single_run_body(
+        cfg, tracker, hparam_overrides=hparam_overrides, fold_id=fold_id,
+        save_weights=save_weights, verbose=verbose,
+        checkpoint_dir=checkpoint_dir, resume=resume, finish_tracker=False)
+
+
+def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
+                             save_weights, verbose, checkpoint_dir, resume,
+                             finish_tracker) -> "RunResult":
+    model_name = cfg.model_name
 
     # Config-default hparams overridden by sweep values (train.py:198-200).
     hparams = cfg.model_hparams()
@@ -253,7 +277,7 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
         if with_val:
             best = min(with_val, key=lambda h: h.val["loss"])
             best_val = {f"val_{k}": v for k, v in best.val.items()}
-    if own_tracker:
+    if finish_tracker:
         tracker.finish({**{f"test/{k}": v for k, v in test_metrics.items()
                            if not isinstance(v, list)}, **best_val})
     return RunResult(test_metrics=test_metrics, history=history,
@@ -268,7 +292,12 @@ def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
     else:
         value = result.test_metrics.get(key)
     if value is None:
-        value = result.best_val.get("val_auc", 0.0)
+        # Configured metric absent from the run's results: fall back to
+        # val AUC — a maximize quantity REGARDLESS of the configured goal
+        # (applying a 'minimize' sign-flip here would make the sweep
+        # select the worst trial; the trial-parallel twin
+        # lr_search_parallel forces maximize on this same substitution).
+        return float(result.best_val.get("val_auc", 0.0))
     return float(value) if goal == "maximize" else -float(value)
 
 
@@ -364,6 +393,11 @@ def hparam_search(cfg: Config, save_weights: bool = False,
         results.append(rec)
         with open(trials_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+    if controller.best is None:
+        raise ValueError(
+            "hparam search observed no trials (N_EVALS set to 0, or a "
+            "resumed sweep with an empty trials file) — nothing to select "
+            "a best from")
     best_params, best_obj = controller.best
     out_dir = cfg["PATHS"]["EXPERIMENTS"]
     os.makedirs(out_dir, exist_ok=True)

@@ -88,7 +88,10 @@ def run_wandb_sweep(cfg, *, save_weights: bool = False, verbose: bool = True,
                                    cfg.hparam_search_space())
     sweep_id = wandb.sweep(sweep=sweep_cfg,
                            project=cfg["WANDB"]["PROJECT_NAME"],
-                           entity=cfg["WANDB"]["ENTITY"] or None)
+                           # .get: an absent ENTITY means the account's
+                           # default entity (same treatment as the tracker,
+                           # tracker.py WandbTracker).
+                           entity=cfg["WANDB"].get("ENTITY") or None)
     trials: List[Dict[str, Any]] = []
 
     def trial():

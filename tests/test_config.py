@@ -66,6 +66,21 @@ def test_invalid_model_rejected():
         validate_config(bad.to_dict())
 
 
+def test_missing_wandb_section_rejected():
+    """Every experiment path dereferences WANDB.ARTIFACT_SEED (the split
+    seed); validation must reject what runtime rejects instead of blessing
+    a config that raises KeyError at resolve_datasets."""
+    cfg = load_config(CONFIG_PATH)
+    d = cfg.to_dict()
+    del d["WANDB"]
+    with pytest.raises(ConfigError, match="WANDB"):
+        validate_config(d)
+    d = cfg.to_dict()
+    del d["WANDB"]["ARTIFACT_SEED"]
+    with pytest.raises(ConfigError, match="ARTIFACT_SEED"):
+        validate_config(d)
+
+
 def test_invalid_clip_algorithm_rejected():
     cfg = load_config(CONFIG_PATH)
     bad = cfg.replace_path("CLIP_PREDICTION.ALGORITHM", "median")

@@ -151,3 +151,20 @@ def test_grid_resume_skips_completed():
     c.observe({"BLOCKS": 1}, 0.1)
     c.observe({"BLOCKS": 2}, 0.2)
     assert c.suggest() == {"BLOCKS": 3}
+
+
+def test_sweep_objective_fallback_ignores_minimize_sign():
+    """When METRIC_NAME is absent from the run's results the objective
+    falls back to val AUC — a maximize quantity; a configured 'minimize'
+    goal must NOT flip its sign (that would make the sweep select the
+    worst trial)."""
+    from ab_line_classifier_tpu.train.experiment import (RunResult,
+                                                         _sweep_objective)
+
+    r = RunResult(test_metrics={}, history=[], model_dir=None,
+                  best_val={"val_auc": 0.9, "val_loss": 0.3})
+    # Present metric: minimize flips the sign (controller maximizes).
+    assert _sweep_objective(r, "epoch/val_loss", "minimize") == -0.3
+    # Absent metric: the AUC fallback keeps maximize semantics either way.
+    assert _sweep_objective(r, "test/loss", "minimize") == 0.9
+    assert _sweep_objective(r, "test/loss", "maximize") == 0.9
