@@ -131,10 +131,17 @@ class GradCAMExplainer:
     def __init__(self, cfg: Config, spec: Optional[ModelSpec] = None,
                  variables: Optional[Dict] = None, mode: Optional[str] = None):
         if spec is None or variables is None:
-            variables, meta = ckpt.load_model(cfg["PATHS"]["MODEL_TO_LOAD"])
-            spec = build_model(meta["model_name"], meta["hparams"],
-                               tuple(meta["input_shape"]),
-                               int(meta["n_classes"]))
+            # Fill in only what the caller left out — a provided spec (or
+            # provided variables) must never be silently replaced by the
+            # checkpoint's, or heatmaps would explain a different model
+            # than the one passed in.
+            loaded_vars, meta = ckpt.load_model(cfg["PATHS"]["MODEL_TO_LOAD"])
+            if variables is None:
+                variables = loaded_vars
+            if spec is None:
+                spec = build_model(meta["model_name"], meta["hparams"],
+                                   tuple(meta["input_shape"]),
+                                   int(meta["n_classes"]))
         self.cfg = cfg
         self.spec = spec
         self.variables = variables

@@ -113,13 +113,14 @@ class LayerGraph:
     def layer_names(self) -> List[str]:
         return [s.name for s in self.layers]
 
-    def last_layer_of_kind(self, kind: str) -> str:
-        """Name of the last layer of ``kind`` (Grad-CAM conv tap, reference
-        ``gradcam.py:33-38`` scans for the last 'Conv' layer)."""
+    def last_layer_of_kind(self, *kinds: str) -> str:
+        """Name of the last layer whose kind is one of ``kinds`` (Grad-CAM
+        conv tap, reference ``gradcam.py:33-38`` scans for the last 'Conv'
+        layer — which matches Conv2D, SeparableConv2D AND DepthwiseConv2D)."""
         for spec in reversed(self.layers):
-            if spec.kind == kind:
+            if spec.kind in kinds:
                 return spec.name
-        raise GraphError(f"graph has no layer of kind {kind!r}")
+        raise GraphError(f"graph has no layer of kind {kinds!r}")
 
     # Transformations ------------------------------------------------------
     def cut(self, at) -> "LayerGraph":

@@ -188,10 +188,7 @@ class ModelSpec:
         """Last conv-like layer for Grad-CAM. The reference scans keras api
         names for 'Conv' (gradcam.py:33-38), which matches Conv2D,
         SeparableConv2D AND DepthwiseConv2D — so depthwise nodes count."""
-        for spec in reversed(self.graph.layers):
-            if spec.kind in (G.KIND_CONV, G.KIND_DEPTHWISE):
-                return spec.name
-        raise ValueError("graph has no conv layer")
+        return self.graph.last_layer_of_kind(G.KIND_CONV, G.KIND_DEPTHWISE)
 
 
 def output_bias_init(output_bias: Optional[np.ndarray]) -> Optional[Callable]:

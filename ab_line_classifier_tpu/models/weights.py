@@ -234,45 +234,86 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
     return out, copied
 
 
-def export_h5_weights(h5_path: str, variables: Dict[str, Any]) -> None:
-    """Write params to a Keras-style h5 layout (round-trip for parity
-    tests and for users migrating back)."""
+def export_h5_weights(h5_path: str, variables: Dict[str, Any],
+                      graph=None) -> None:
+    """Write params to the Keras-2.x h5 layout (round-trip for parity tests
+    and for users migrating back to the reference's Keras stack).
+
+    Keras ``load_weights(by_name=True)`` does NOT walk the hdf5 tree — it
+    reads the ``layer_names`` group attribute and each layer group's
+    ``weight_names`` attribute (legacy hdf5 format), so both are written
+    here and verified against real tf.keras in
+    ``tests/test_keras_parity.py``. Pass ``graph`` (the LayerGraph) to
+    distinguish DepthwiseConv2D nodes exactly — Keras names their kernel
+    ``depthwise_kernel:0`` with layout ``(h, w, C, 1)``, not ``kernel:0``
+    ``(h, w, 1, C)``; without a graph the ``(h, w, 1, C>1)`` kernel shape is
+    used as the heuristic (no model in this zoo has a 1-channel input
+    conv)."""
     import h5py
+
+    kinds = ({spec.name: spec.kind for spec in graph.layers}
+             if graph is not None else {})
+
+    def _is_depthwise(layer_name: str, p) -> bool:
+        if layer_name in kinds:
+            return kinds[layer_name] == "depthwise"
+        k = np.asarray(p["kernel"])
+        return k.ndim == 4 and k.shape[2] == 1 and k.shape[3] > 1
 
     with h5py.File(h5_path, "w") as f:
         root = f.create_group("model_weights")
+        root.attrs["backend"] = np.bytes_(b"tensorflow")
+        root.attrs["keras_version"] = np.bytes_(b"2.9.0")
         bs = variables.get("batch_stats", {})
-        for layer_name, p in variables["params"].items():
+        layer_names = []
+
+        def write_layer(layer_name, weights):
+            """One layer group with its Keras ``weight_names`` attr."""
             g = root.create_group(layer_name).create_group(layer_name)
-            if "depthwise" in p:
-                g.create_dataset(
-                    "depthwise_kernel:0",
-                    data=np.asarray(p["depthwise"]["kernel"]).transpose(
-                        0, 1, 3, 2))
-                g.create_dataset("pointwise_kernel:0",
-                                 data=np.asarray(p["pointwise"]["kernel"]))
+            names = []
+            for wname, arr in weights:
+                g.create_dataset(wname, data=np.asarray(arr))
+                names.append(f"{layer_name}/{wname}".encode())
+            root[layer_name].attrs["weight_names"] = names
+            layer_names.append(layer_name.encode())
+
+        for layer_name, p in variables["params"].items():
+            if "depthwise" in p:  # SeparableConv2D
+                ws = [("depthwise_kernel:0",
+                       np.asarray(p["depthwise"]["kernel"]).transpose(
+                           0, 1, 3, 2)),
+                      ("pointwise_kernel:0", p["pointwise"]["kernel"])]
                 if "bias" in p["pointwise"]:
-                    g.create_dataset("bias:0",
-                                     data=np.asarray(p["pointwise"]["bias"]))
-            elif "scale" in p or layer_name in bs:
+                    ws.append(("bias:0", p["pointwise"]["bias"]))
+            elif "scale" in p or layer_name in bs:  # BatchNormalization
+                ws = []
                 if "scale" in p:
-                    g.create_dataset("gamma:0", data=np.asarray(p["scale"]))
+                    ws.append(("gamma:0", p["scale"]))
                 if "bias" in p:
-                    g.create_dataset("beta:0", data=np.asarray(p["bias"]))
+                    ws.append(("beta:0", p["bias"]))
                 if layer_name in bs:
-                    g.create_dataset("moving_mean:0",
-                                     data=np.asarray(bs[layer_name]["mean"]))
-                    g.create_dataset("moving_variance:0",
-                                     data=np.asarray(bs[layer_name]["var"]))
-            else:
-                g.create_dataset("kernel:0", data=np.asarray(p["kernel"]))
+                    ws.append(("moving_mean:0", bs[layer_name]["mean"]))
+                    ws.append(("moving_variance:0", bs[layer_name]["var"]))
+            elif _is_depthwise(layer_name, p):  # DepthwiseConv2D
+                ws = [("depthwise_kernel:0",
+                       np.asarray(p["kernel"]).transpose(0, 1, 3, 2))]
                 if "bias" in p:
-                    g.create_dataset("bias:0", data=np.asarray(p["bias"]))
+                    ws.append(("bias:0", p["bias"]))
+            else:  # Conv2D / Dense
+                ws = [("kernel:0", p["kernel"])]
+                if "bias" in p:
+                    ws.append(("bias:0", p["bias"]))
+            write_layer(layer_name, ws)
+
         # Stats-only layers (keras Normalization) have no params entry;
-        # mirror the importer so export/import round-trips.
+        # Keras tracks [mean, variance, count] — count is adapt()-time
+        # bookkeeping we don't carry, exported as 0 so by-name loading
+        # sees the full weight list.
         for layer_name, stats in bs.items():
             if layer_name in variables["params"] or "variance" not in stats:
                 continue
-            g = root.create_group(layer_name).create_group(layer_name)
-            g.create_dataset("mean", data=np.asarray(stats["mean"]))
-            g.create_dataset("variance", data=np.asarray(stats["variance"]))
+            write_layer(layer_name,
+                        [("mean:0", stats["mean"]),
+                         ("variance:0", stats["variance"]),
+                         ("count:0", np.asarray(0, np.int64))])
+        root.attrs["layer_names"] = layer_names

@@ -38,11 +38,17 @@ def _default_mask(probs, mask):
 
 def average_clip_probs(probs: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
     """Masked mean over the frame axis (reference ``np.mean(pred_probs, 0)``,
-    predict.py:163-164)."""
-    m = _default_mask(probs, mask)
-    total = jnp.sum(probs * m[..., None], axis=-2)
+    predict.py:163-164).
+
+    Sum and count accumulate in float32 regardless of the prob dtype: a
+    bf16 count saturates at 256 (257 is unrepresentable) and a bf16 prob
+    sum loses low bits, so long clips would get means off by percents —
+    the same hazard sliding_window guards with its int32 validity
+    arithmetic. The mean is cast back to the input dtype."""
+    m = _default_mask(probs, mask).astype(jnp.float32)
+    total = jnp.sum(probs.astype(jnp.float32) * m[..., None], axis=-2)
     count = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
-    return total / count
+    return (total / count).astype(probs.dtype)
 
 
 def max_contiguous_positive(preds: jax.Array,

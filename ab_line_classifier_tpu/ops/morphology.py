@@ -50,10 +50,18 @@ def ellipse_kernel(size: int) -> np.ndarray:
 
 def _conv2d_same(x: jax.Array, kernel: jax.Array,
                  pad_value: float) -> jax.Array:
-    """2-D correlation with SAME geometry and explicit border fill."""
+    """2-D correlation with SAME geometry and explicit border fill.
+
+    cv2 anchors the structuring element at ``(kh // 2, kw // 2)`` and reads
+    the window unflipped for BOTH erode and dilate (verified empirically
+    with an asymmetric element), so offsets span ``[-k // 2, +(k - 1) // 2]``
+    and the pad split is ``(k // 2, (k - 1) // 2)`` — for even kernels the
+    larger pad goes BEFORE, the opposite of the usual SAME convention.
+    Getting this backwards shifts even-kernel morphology by one pixel; the
+    real automask path uses a 24x24 ellipse (auto_masking.py:58-61)."""
     kh, kw = kernel.shape
-    ph0, ph1 = (kh - 1) // 2, kh // 2
-    pw0, pw1 = (kw - 1) // 2, kw // 2
+    ph0, ph1 = kh // 2, (kh - 1) // 2
+    pw0, pw1 = kw // 2, (kw - 1) // 2
     xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1)),
                  constant_values=pad_value)
     lhs = xp[:, None, :, :]                          # NCHW

@@ -171,6 +171,9 @@ def preprocess_frames(frames: jax.Array, *, use_pallas: Optional[bool] = None,
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return pallas_preprocess(frames, **kwargs)
+    # Pallas-only debug knob: meaningless for the XLA path, dropped so the
+    # same call works on every backend.
+    kwargs.pop("interpret", None)
     mask = kwargs.pop("mask", None)
     if mask is not None:
         mask = jnp.asarray(mask)

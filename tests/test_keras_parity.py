@@ -912,3 +912,57 @@ def test_multi_step_training_parity_with_keras():
         jnp.asarray(x_eval), train=False))
     want = km(x_eval, training=False).numpy()
     np.testing.assert_allclose(ours, want, atol=5e-4)
+
+
+def test_export_h5_loads_into_real_keras(tmp_path):
+    """The exporter's stated purpose is 'users migrating back': a real
+    tf.keras model must load our h5 with ``load_weights(by_name=True)`` —
+    which reads the legacy ``layer_names`` / ``weight_names`` attrs, not the
+    hdf5 tree — and reproduce our forward pass. Covers the DepthwiseConv2D
+    naming/layout conversion (Keras wants ``depthwise_kernel:0`` in
+    ``(h, w, C, 1)``, not the Flax grouped-conv ``kernel`` ``(h, w, 1, C)``)."""
+    from tensorflow.keras import layers as L
+
+    from ab_line_classifier_tpu.models.weights import export_h5_weights
+
+    g = G.graph_of(
+        G.conv2d("conv_a", G.INPUT, 8, (3, 3)),
+        G.depthwise_conv2d("dw_a", "conv_a", 8, (3, 3)),
+        G.batch_norm("bn_a", "dw_a"),
+        G.relu("relu_a", "bn_a"),
+        G.global_avg_pool("gap", "relu_a"),
+        G.dense("dense_a", "gap", 4))
+    mod = G.GraphModule(graph=g)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    # Distinctive BN stats so moving_mean/variance transfer is visible.
+    v = jax.tree.map(np.asarray, v)
+    v["batch_stats"]["bn_a"]["mean"] = np.linspace(-1, 1, 8).astype(np.float32)
+    v["batch_stats"]["bn_a"]["var"] = np.linspace(0.5, 2, 8).astype(np.float32)
+
+    h5 = str(tmp_path / "export.h5")
+    export_h5_weights(h5, v, graph=g)
+
+    km = tf.keras.Sequential([
+        tf.keras.Input((16, 16, 3)),
+        L.Conv2D(8, 3, padding="same", name="conv_a"),
+        L.DepthwiseConv2D(3, padding="same", use_bias=False, name="dw_a"),
+        L.BatchNormalization(name="bn_a"),
+        L.ReLU(),
+        L.GlobalAveragePooling2D(),
+        L.Dense(4, name="dense_a"),
+    ])
+    km.load_weights(h5, by_name=True)
+
+    np.testing.assert_array_equal(
+        km.get_layer("dw_a").get_weights()[0],
+        np.asarray(v["params"]["dw_a"]["kernel"]).transpose(0, 1, 3, 2))
+    np.testing.assert_array_equal(
+        km.get_layer("bn_a").get_weights()[2],
+        np.asarray(v["batch_stats"]["bn_a"]["mean"]))
+
+    x = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    ours = np.asarray(mod.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]},
+        jnp.asarray(x), train=False))
+    want = km(x, training=False).numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-5)

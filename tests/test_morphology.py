@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import ndimage
 
 from ab_line_classifier_tpu.ops import morphology as M
@@ -19,6 +20,32 @@ def test_dilate_erode_match_scipy():
                                                  border_value=1)
                           for m in mask]).astype(np.float32)
         np.testing.assert_array_equal(e, e_ref)
+
+
+def test_dilate_erode_match_cv2_even_and_odd():
+    """Bit-parity with cv2.morphologyEx windows for EVEN structuring elements
+    too: cv2 anchors at ``k // 2`` unflipped, so the SAME-pad split is
+    ``(k // 2, (k - 1) // 2)`` — one pixel off from the usual convention.
+    The real automask path uses an even 24x24 ellipse for 480-row clips
+    (reference auto_masking.py:58-61), where the odd-only scipy test above
+    cannot see the shift."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(2, 48, 48) > 0.5).astype(np.float32)
+    for size in (3, 4, 6, 24):
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size))
+        np.testing.assert_array_equal(M.ellipse_kernel(size),
+                                      k.astype(np.float32), err_msg=f"{size}")
+        d = np.asarray(M.binary_dilate(jnp.asarray(mask),
+                                       jnp.asarray(k, jnp.float32)))
+        d_ref = np.stack([cv2.dilate(m.astype(np.uint8), k) for m in mask])
+        np.testing.assert_array_equal(d.astype(np.uint8), d_ref,
+                                      err_msg=f"dilate {size}")
+        e = np.asarray(M.binary_erode(jnp.asarray(mask),
+                                      jnp.asarray(k, jnp.float32)))
+        e_ref = np.stack([cv2.erode(m.astype(np.uint8), k) for m in mask])
+        np.testing.assert_array_equal(e.astype(np.uint8), e_ref,
+                                      err_msg=f"erode {size}")
 
 
 def test_ellipse_kernel_shapes():
