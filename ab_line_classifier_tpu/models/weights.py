@@ -24,6 +24,8 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
+from ..graph import KIND_DEPTHWISE
+
 
 def _h5_layer_weights(h5_file, layer_name: str) -> Dict[str, np.ndarray]:
     """Flatten one layer's weight arrays out of a Keras h5 file."""
@@ -256,7 +258,7 @@ def export_h5_weights(h5_path: str, variables: Dict[str, Any],
 
     def _is_depthwise(layer_name: str, p) -> bool:
         if layer_name in kinds:
-            return kinds[layer_name] == "depthwise"
+            return kinds[layer_name] == KIND_DEPTHWISE
         k = np.asarray(p["kernel"])
         return k.ndim == 4 and k.shape[2] == 1 and k.shape[3] > 1
 

@@ -42,9 +42,8 @@ def average_clip_probs(probs: jax.Array, mask: Optional[jax.Array] = None) -> ja
 
     Sum and count accumulate in float32 regardless of the prob dtype: a
     bf16 count saturates at 256 (257 is unrepresentable) and a bf16 prob
-    sum loses low bits, so long clips would get means off by percents —
-    the same hazard sliding_window guards with its int32 validity
-    arithmetic. The mean is cast back to the input dtype."""
+    sum loses low bits, so long clips would get means off by percents.
+    The mean is cast back to the input dtype."""
     m = _default_mask(probs, mask).astype(jnp.float32)
     total = jnp.sum(probs.astype(jnp.float32) * m[..., None], axis=-2)
     count = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
@@ -97,9 +96,14 @@ def sliding_window_clip_probs(probs: jax.Array, window: int,
 
     Matches the reference's edge case exactly: when a clip has fewer valid
     frames than ``window`` the loop body never runs and the result is 0.
+
+    The prefix sum accumulates in float32 regardless of the prob dtype: a
+    bf16 cumsum near T=300 has a resolution of 2.0, so window differences
+    ``s[i+W]-s[i]`` would be off by whole units on long clips. The result
+    is cast back to the input dtype.
     """
     m = _default_mask(probs, mask)
-    b = probs[..., 1] * m
+    b = (probs[..., 1] * m).astype(jnp.float32)
     T = b.shape[-1]
     # Prefix sums with a leading zero: w_i = (s[i+W] - s[i]) / W for window
     # starting at i.
@@ -121,7 +125,7 @@ def sliding_window_clip_probs(probs: jax.Array, window: int,
     win_means = jnp.where(valid, win_means, -jnp.inf)
     max_b = jnp.max(win_means, axis=-1)
     # Clips shorter than the window: no valid window -> 0 (reference behavior).
-    max_b = jnp.where(jnp.isfinite(max_b), max_b, 0.0)
+    max_b = jnp.where(jnp.isfinite(max_b), max_b, 0.0).astype(probs.dtype)
     return jnp.stack([1.0 - max_b, max_b], axis=-1)
 
 
