@@ -263,6 +263,49 @@ def conv2d(name: str, inp: str, features: int, kernel: Tuple[int, int],
                      post_fn=act)
 
 
+class DepthwiseConv(nn.Module):
+    """Keras DepthwiseConv2D on the Pallas depthwise kernel.
+
+    Parameter tree is IDENTICAL to ``nn.Conv(feature_group_count=C)`` —
+    ``kernel [K, K, 1, C]`` (+ optional ``bias [C]``) under the layer name —
+    so h5/ONNX import-export, parity tests, and checkpoints are unaffected.
+    The forward runs ops/depthwise_pallas.depthwise_conv, which defaults to
+    XLA's grouped conv everywhere: the hand-written Pallas shift-MAC kernel
+    measured at 0.5-1.0x XLA on TPU v5e (depthwise is VPU-compute-bound and
+    XLA's emitter is already near that roofline — docs/PERFORMANCE.md
+    rejected-levers) and remains an ``ABLC_DEPTHWISE=pallas`` opt-in.
+    Gradients always take the XLA path (custom_vjp), so training is
+    bit-identical either way."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    use_bias: bool = False
+    kernel_init: Optional[Callable] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ab_line_classifier_tpu.ops.depthwise_pallas import depthwise_conv
+
+        c = x.shape[-1]
+        kernel = self.param("kernel",
+                            self.kernel_init or keras_default_init(),
+                            tuple(self.kernel_size) + (1, c), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if self.strides[0] != self.strides[1]:
+            raise ValueError("DepthwiseConv requires square strides")
+        y = depthwise_conv(x, kernel, int(self.strides[0]),
+                           self.padding)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 def depthwise_conv2d(name: str, inp: str, channels: int,
                      kernel: Tuple[int, int],
                      strides: Tuple[int, int] = (1, 1), padding: str = "SAME",
@@ -270,11 +313,11 @@ def depthwise_conv2d(name: str, inp: str, channels: int,
                      kernel_init: Optional[Callable] = None,
                      dtype=None) -> LayerSpec:
     def factory(name: str):
-        return nn.Conv(features=channels, kernel_size=kernel, strides=strides,
-                       padding=padding, use_bias=use_bias,
-                       feature_group_count=channels, dtype=dtype,
-                       kernel_init=kernel_init or keras_default_init(),
-                       name=name)
+        return DepthwiseConv(features=channels, kernel_size=kernel,
+                             strides=strides, padding=padding,
+                             use_bias=use_bias, dtype=dtype,
+                             kernel_init=kernel_init or keras_default_init(),
+                             name=name)
     return LayerSpec(name=name, kind=KIND_DEPTHWISE, inputs=(inp,), module_fn=factory)
 
 
@@ -293,11 +336,10 @@ class SeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        x = nn.Conv(features=c, kernel_size=self.kernel_size,
-                    strides=self.strides, padding=self.padding,
-                    feature_group_count=c, use_bias=False,
-                    kernel_init=keras_default_init(),
-                    dtype=self.dtype, name="depthwise")(x)
+        x = DepthwiseConv(features=c, kernel_size=self.kernel_size,
+                          strides=self.strides, padding=self.padding,
+                          use_bias=False, dtype=self.dtype,
+                          name="depthwise")(x)
         x = nn.Conv(features=self.features, kernel_size=(1, 1),
                     use_bias=self.use_bias,
                     kernel_init=keras_default_init(),
