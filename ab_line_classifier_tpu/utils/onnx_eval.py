@@ -170,9 +170,10 @@ def evaluate(model, feeds: Dict[str, np.ndarray],
         elif op == "Relu":
             out = np.maximum(ins[0], 0)
         elif op == "Softmax":
-            z = ins[0] - ins[0].max(axis=-1, keepdims=True)
+            ax = int(attrs.get("axis", -1))  # opset-13 default
+            z = ins[0] - ins[0].max(axis=ax, keepdims=True)
             e = np.exp(z)
-            out = e / e.sum(axis=-1, keepdims=True)
+            out = e / e.sum(axis=ax, keepdims=True)
         elif op == "GlobalAveragePool":
             out = ins[0].mean(axis=tuple(range(2, ins[0].ndim)),
                               keepdims=True)
