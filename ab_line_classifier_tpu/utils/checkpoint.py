@@ -76,10 +76,32 @@ def resolve_model_dir(path: str) -> str:
 
 
 def load_model(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Returns ``(variables, meta)``."""
+    """Returns ``(variables, meta)``.
+
+    The restore passes a target tree rebuilt from ``meta.json`` (abstract
+    init of the exact ModelSpec) — orbax treats target-less restores as
+    unsafe (topology comes from disk) and warns on every call; the meta is
+    the source of truth for the topology anyway. Falls back to a
+    target-less restore if the spec cannot be rebuilt (e.g. meta from a
+    newer version)."""
     model_dir = resolve_model_dir(path)
     with open(os.path.join(model_dir, META_NAME)) as f:
         meta = json.load(f)
     ckptr = ocp.StandardCheckpointer()
-    variables = ckptr.restore(os.path.join(model_dir, STATE_NAME))
+    state_path = os.path.join(model_dir, STATE_NAME)
+    try:
+        template = _abstract_variables(meta)
+        variables = ckptr.restore(state_path, template)
+    except Exception:
+        variables = ckptr.restore(state_path)
     return variables, meta
+
+
+def _abstract_variables(meta: Dict[str, Any]):
+    """Abstract {params, batch_stats} tree for the checkpointed model —
+    shapes/dtypes from an eval_shape'd init, no FLOPs spent."""
+    from ab_line_classifier_tpu.models import build_model  # deferred: cycle
+
+    spec = build_model(meta["model_name"], meta["hparams"],
+                       tuple(meta["input_shape"]), int(meta["n_classes"]))
+    return jax.eval_shape(lambda: spec.init_variables(jax.random.PRNGKey(0)))
