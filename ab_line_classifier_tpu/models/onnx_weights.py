@@ -58,6 +58,28 @@ import numpy as np
 from ab_line_classifier_tpu.utils import onnx_proto as OP
 
 
+#: Shape-only unary ops a bias initializer may pass through between its
+#: declaration and the Add that applies it (our exporter emits
+#: ``Reshape(bias) -> Add``; tf2onnx variants use Unsqueeze/Identity).
+_SHAPE_ONLY_OPS = {"Reshape", "Identity", "Unsqueeze", "Squeeze", "Flatten"}
+
+
+def _resolve_initializer(name: str, inits: Dict[str, np.ndarray],
+                         producers: Dict[str, Any], hops: int = 4
+                         ) -> Optional[Tuple[str, np.ndarray]]:
+    """Follow ``name`` backwards through shape-only unary ops to a named
+    initializer; returns ``(initializer_name, array)`` or None."""
+    for _ in range(hops + 1):
+        if name in inits:
+            return name, inits[name]
+        node = producers.get(name)
+        if node is None or node.op_type not in _SHAPE_ONLY_OPS \
+                or not node.input:
+            return None
+        name = node.input[0]
+    return None
+
+
 def _weighted_entries(gp) -> List[Dict[str, Any]]:
     """Ordered (kind, weights, names) entries for every weighted ONNX node.
 
@@ -66,6 +88,7 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
     entry (the tf2onnx Dense pattern).
     """
     inits = OP.initializer_arrays(gp)
+    producers = {out: node for node in gp.node for out in node.output}
     entries: List[Dict[str, Any]] = []
     consumed_bias_adds = set()
 
@@ -107,11 +130,15 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
                         cur = nxt.output[0]
                         continue
                     if nxt.op_type == "Add":
-                        const = [x for x in nxt.input
-                                 if x != cur and x in inits]
-                        if const and inits[const[0]].size == w.shape[0]:
-                            weights["bias"] = inits[const[0]].reshape(-1)
-                            names += [nxt.name] + const[:1]
+                        for cand in nxt.input:
+                            if cand == cur:
+                                continue
+                            hit = _resolve_initializer(cand, inits, producers)
+                            if hit is not None \
+                                    and hit[1].size == w.shape[0]:
+                                weights["bias"] = hit[1].reshape(-1)
+                                names += [nxt.name, hit[0]]
+                                break
                     break
             entries.append({"kind": kind, "weights": weights, "names": names})
         elif op == "Gemm" and len(node.input) > 1 and node.input[1] in inits:
@@ -127,16 +154,22 @@ def _weighted_entries(gp) -> List[Dict[str, Any]]:
                 and node.input[1] in inits:
             weights = {"kernel": inits[node.input[1]]}
             out = node.output[0] if node.output else None
+            n_out = weights["kernel"].shape[-1] if \
+                weights["kernel"].ndim == 2 else weights["kernel"].size
             for j in range(i + 1, min(i + 5, len(gp.node))):
                 nxt = gp.node[j]
                 if nxt.op_type == "Add" and out in nxt.input \
                         and j not in consumed_bias_adds:
-                    const = [x for x in nxt.input
-                             if x != out and x in inits]
-                    if const:
-                        weights["bias"] = inits[const[0]].reshape(-1)
-                        names += [nxt.name] + const[:1]
-                        consumed_bias_adds.add(j)
+                    for cand in nxt.input:
+                        if cand == out:
+                            continue
+                        hit = _resolve_initializer(cand, inits, producers)
+                        if hit is not None and hit[1].size in (
+                                n_out, weights["kernel"].shape[0]):
+                            weights["bias"] = hit[1].reshape(-1)
+                            names += [nxt.name, hit[0]]
+                            consumed_bias_adds.add(j)
+                            break
                     break
             entries.append({"kind": "dense", "weights": weights,
                             "names": names})
@@ -205,7 +238,11 @@ def _apply_entry(entry: Dict[str, Any], name: str, p: Optional[Dict],
         pw = pointwise["weights"]
         p["pointwise"]["kernel"] = _fit_conv_kernel(
             pw["kernel"], np.shape(p["pointwise"]["kernel"]))
-        if "bias" in pw and "bias" in p["pointwise"]:
+        if "bias" in p["pointwise"]:
+            if "bias" not in pw:
+                raise ValueError(
+                    "pointwise conv expects a bias but the onnx entry "
+                    "carries none")
             p["pointwise"]["bias"] = pw["bias"]
         return
     if kind == "dense":
@@ -213,7 +250,14 @@ def _apply_entry(entry: Dict[str, Any], name: str, p: Optional[Dict],
                                         np.shape(p["kernel"]))
     else:  # conv / depthwise
         p["kernel"] = _fit_conv_kernel(w["kernel"], np.shape(p["kernel"]))
-    if "bias" in w and "bias" in p:
+    if "bias" in p:
+        # A biased layer whose entry carries no bias must NOT count as
+        # restored: leaving the zero init silently serves wrong
+        # predictions (the caller falls back to the named-initializer
+        # fill, then warns loudly if that also misses).
+        if "bias" not in w:
+            raise ValueError(
+                "layer expects a bias but the onnx entry carries none")
         p["bias"] = w["bias"].reshape(np.shape(p["bias"]))
 
 
@@ -261,6 +305,7 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
     name_based = len(bound) == len(entries) and len(by_layer) > 0
 
     done = set()
+    failures: Dict[str, str] = {}
     if name_based:
         for name, layer_entries in by_layer.items():
             p = params.get(name)
@@ -279,8 +324,7 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
                                  p if p is not None else {}, batch_stats)
                 done.add(name)
             except Exception as e:
-                if verbose:
-                    print(f"could not copy {name}: {e}")
+                failures[name] = str(e)
     else:
         if graph is None:
             raise ValueError(
@@ -322,8 +366,7 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
                     continue
                 done.add(name)
             except Exception as e:
-                if verbose:
-                    print(f"could not copy {name}: {e}")
+                failures[name] = str(e)
 
     # Strategy 3: semantic-initializer fill for whatever the node-based
     # strategies missed (BatchNorm / Normalization decomposed into anonymous
@@ -335,6 +378,10 @@ def import_onnx_weights(onnx_path: str, variables: Dict[str, Any],
             OP.initializer_arrays(model.graph), missing, params, batch_stats)
 
     missing = [name for name, _ in order if name not in done]
+    if verbose:
+        for name in missing:
+            if name in failures:
+                print(f"could not copy {name}: {failures[name]}")
     if missing:
         import warnings
         warnings.warn(

@@ -52,6 +52,18 @@ ZOO = ["cutoffvgg16", "cnn0", "mobilenetv2", "xception", "custom_resnetv2",
        "vgg16"]
 
 
+def _randomize(variables, seed: int):
+    """Fill every leaf with non-zero uniform values. Fresh inits carry
+    ZERO biases, which once hid an importer bug (unbound biases silently
+    kept their zero init and every round-trip assertion still passed) —
+    round-trip tests must run on a tree where no leaf is at its init
+    value. Uniform-positive keeps BN variances valid."""
+    rs = np.random.RandomState(seed)
+    return jax.tree.map(
+        lambda a: jnp.asarray(rs.uniform(0.05, 1.0, np.shape(a)),
+                              dtype=a.dtype), variables)
+
+
 @pytest.mark.parametrize("name", ZOO)
 def test_export_matches_forward(name, tmp_path):
     spec = build_model(name, HP[name], IMG, 2)
@@ -103,7 +115,7 @@ def test_export_import_roundtrip(tmp_path):
     fold to OIHW on the way out and back; biases survive the unfused
     Conv+Transpose+Add pattern)."""
     spec = build_model("cutoffvgg16", HP["cutoffvgg16"], IMG, 2)
-    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    v1 = _randomize(spec.init_variables(jax.random.PRNGKey(0)), seed=7)
     path = str(tmp_path / "m.onnx")
     export_onnx(spec, v1, path)
     v2 = spec.init_variables(jax.random.PRNGKey(1))
@@ -132,7 +144,7 @@ def test_exported_file_serves_through_predictor(tmp_path):
     cfg = Config(d)
 
     spec = build_model("cutoffvgg16", HP["cutoffvgg16"], IMG, 2)
-    v = spec.init_variables(jax.random.PRNGKey(0))
+    v = _randomize(spec.init_variables(jax.random.PRNGKey(0)), seed=11)
     path = str(tmp_path / "m.onnx")
     export_onnx(spec, v, path)
 
@@ -183,7 +195,7 @@ def test_export_import_roundtrip_batchnorm(tmp_path):
         import_onnx_weights)
 
     spec = build_model("cnn0", HP["cnn0"], IMG, 2)
-    v = spec.init_variables(jax.random.PRNGKey(0))
+    v = _randomize(spec.init_variables(jax.random.PRNGKey(0)), seed=13)
     path = str(tmp_path / "cnn0.onnx")
     export_onnx(spec, v, path, batch_size=2)
 
