@@ -76,9 +76,13 @@ class ParallelFoldTrainer:
                  class_weights: np.ndarray,  # [F, C]
                  output_biases: Optional[np.ndarray] = None,  # [F, C]
                  aug_config: Optional[Dict] = None,
-                 mesh=None, seed: int = 0, compute_dtype=jnp.float32):
+                 mesh=None, seed: int = 0, compute_dtype=jnp.float32,
+                 progress_label: str = "folds"):
         self.spec = spec
         self.n_folds = n_folds
+        # What the trial axis means in progress lines: "folds" for k-fold
+        # cross-validation, "trials" for LR sweeps.
+        self.progress_label = progress_label
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.base_rng = jax.random.PRNGKey(seed)
@@ -564,7 +568,8 @@ class ParallelFoldTrainer:
                     "seconds": time.time() - t0,
                 })
                 if verbose:
-                    print(f"[folds x{F}|{phase.name}] epoch {epoch}: "
+                    print(f"[{self.progress_label} x{F}|{phase.name}] "
+                          f"epoch {epoch}: "
                           f"val_loss={np.round(val_loss, 3)} "
                           f"val_auc={np.round(val_auc, 3)} "
                           f"active={int(np.asarray(active).sum())} "

@@ -533,7 +533,8 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
         output_biases=np.tile(bias, (T, 1)),
         aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
         seed=int(cfg["TRAIN"]["SEED"]),
-        compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
+        compute_dtype=jnp.bfloat16 if mixed else jnp.float32,
+        progress_label="trials")
     best_vars, history = trainer.fit(
         frames, labels, train_idx, val_idx,
         batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
