@@ -110,6 +110,34 @@ def test_export_efficientnet_family(tmp_path):
     np.testing.assert_allclose(got, ref, atol=5e-6)
 
 
+@pytest.mark.parametrize("name", ["mobilenetv2", "xception"])
+def test_export_import_roundtrip_depthwise_families(name, tmp_path):
+    """Depthwise (mobilenetv2) and separable (xception) layer families
+    round-trip with every leaf randomized: depthwise OIHW<->HWIO kernel
+    folds, separable depthwise+pointwise entry pairing, decomposed-BN
+    strategy-3 fills, and non-zero biases all come back bit-exactly."""
+    import warnings
+
+    spec = build_model(name, HP[name], IMG, 2)
+    v = _randomize(spec.init_variables(jax.random.PRNGKey(0)), seed=17)
+    path = str(tmp_path / f"{name}.onnx")
+    export_onnx(spec, v, path, batch_size=2)
+    fresh = spec.init_variables(jax.random.PRNGKey(42))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a partial-import warning = failure
+        imported, _ = import_onnx_weights(path, fresh, graph=spec.graph,
+                                          verbose=False)
+    for col in ("params", "batch_stats"):
+        flat_ref = jax.tree_util.tree_flatten_with_path(v[col])[0]
+        flat_imp = dict(
+            (jax.tree_util.keystr(k), a) for k, a in
+            jax.tree_util.tree_flatten_with_path(imported[col])[0])
+        for k, a in flat_ref:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(flat_imp[jax.tree_util.keystr(k)]),
+                err_msg=f"{col}{jax.tree_util.keystr(k)}")
+
+
 def test_export_import_roundtrip(tmp_path):
     """Exported weights import back by layer name, bit-exactly (conv kernels
     fold to OIHW on the way out and back; biases survive the unfused
