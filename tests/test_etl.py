@@ -189,3 +189,47 @@ def test_rt_image_dataset_end_to_end(tmp_path):
     # frames materialized on disk with the {clip}_{idx}.jpg contract
     import os
     assert os.path.isfile(os.path.join(cfg["PATHS"]["FRAMES"], "111_0.jpg"))
+
+
+def test_predict_wavebase_mp4_end_to_end(tmp_path):
+    """Deploy-path clip prediction (reference deploy.py:36-68): one batched
+    device pass over pre-decoded frames writes the ``Frame, A lines,
+    B lines`` CSV, and the 50x160 top-left UI region is blanked before
+    resize (reference deploy.py:56) — frames differing ONLY there must
+    predict identically."""
+    import jax
+
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.predict.deploy import predict_wavebase_mp4
+    from ab_line_classifier_tpu.utils import checkpoint as ckpt
+
+    hp = {"LR": 1e-3, "DROPOUT": 0.35, "L2_LAMBDA": 1e-4,
+          "NODES_DENSE0": 8, "KERNEL_SIZE": 3, "STRIDES": 1,
+          "MAXPOOL_SIZE": 2, "BLOCKS": 1, "INIT_FILTERS": 4,
+          "FILTER_EXP_BASE": 2}
+    spec = build_model("cnn0", hp, (32, 32, 3), 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    model_dir = str(tmp_path / "model")
+    ckpt.save_model(model_dir, v, meta={
+        "model_name": "cnn0", "hparams": hp, "input_shape": [32, 32, 3],
+        "n_classes": 2, "classes": ["a_lines", "b_lines"],
+        "preprocess_mode": spec.preprocess_mode, "mixed_precision": False})
+
+    rs = np.random.RandomState(0)
+    frames = rs.randint(0, 255, (5, 64, 192, 3)).astype(np.uint8)
+    csv_path = str(tmp_path / "wb_preds.csv")
+    preds = predict_wavebase_mp4(model_dir, "unused.mp4", csv_path,
+                                 frames=frames)
+    assert preds.shape == (5, 2)
+    np.testing.assert_allclose(preds.sum(-1), 1.0, atol=1e-5)
+    df = pd.read_csv(csv_path)
+    assert list(df.columns) == ["Frame", "A lines", "B lines"]
+    assert len(df) == 5
+
+    # UI blanking: scribbling over [0:50, 0:160] must not change anything.
+    scribbled = frames.copy()
+    scribbled[:, 0:50, 0:160] = rs.randint(0, 255, (5, 50, 160, 3))
+    preds2 = predict_wavebase_mp4(model_dir, "unused.mp4",
+                                  str(tmp_path / "wb2.csv"),
+                                  frames=scribbled)
+    np.testing.assert_array_equal(preds, preds2)
