@@ -89,8 +89,7 @@ class ArtifactStore:
 
     # -- lineage stages ----------------------------------------------------
     def log_images(self, frames_csv: str, clips_csv: str,
-                   frames_dir: Optional[str] = None,
-                   link_frames: bool = True) -> str:
+                   frames_dir: Optional[str] = None) -> str:
         """Stage 1 (reference artifact_logging.py:54-84): the raw frames +
         clips tables (frame files referenced by directory, not copied)."""
         path = self.new_version_dir(IMAGES)
