@@ -290,6 +290,11 @@ class DepthwiseConv(nn.Module):
         from ab_line_classifier_tpu.ops.depthwise_pallas import depthwise_conv
 
         c = x.shape[-1]
+        if self.features != c:
+            raise ValueError(
+                f"DepthwiseConv features={self.features} must equal the "
+                f"input channel count {c} (depth_multiplier 1, like Keras "
+                f"DepthwiseConv2D)")
         kernel = self.param("kernel",
                             self.kernel_init or keras_default_init(),
                             tuple(self.kernel_size) + (1, c), jnp.float32)

@@ -245,19 +245,21 @@ def _apply_entry(entry: Dict[str, Any], name: str, p: Optional[Dict],
                     "carries none")
             p["pointwise"]["bias"] = pw["bias"]
         return
+    # A biased layer whose entry carries no bias must NOT count as
+    # restored: leaving the zero init silently serves wrong predictions
+    # (the caller falls back to the named-initializer fill, then warns
+    # loudly if that also misses). Checked BEFORE the kernel assignment so
+    # a failed layer is left untouched — matching the partial-import
+    # warning's "those layers keep their fresh-init values".
+    if "bias" in p and "bias" not in w:
+        raise ValueError(
+            "layer expects a bias but the onnx entry carries none")
     if kind == "dense":
         p["kernel"] = _fit_dense_kernel(w["kernel"],
                                         np.shape(p["kernel"]))
     else:  # conv / depthwise
         p["kernel"] = _fit_conv_kernel(w["kernel"], np.shape(p["kernel"]))
     if "bias" in p:
-        # A biased layer whose entry carries no bias must NOT count as
-        # restored: leaving the zero init silently serves wrong
-        # predictions (the caller falls back to the named-initializer
-        # fill, then warns loudly if that also misses).
-        if "bias" not in w:
-            raise ValueError(
-                "layer expects a bias but the onnx entry carries none")
         p["bias"] = w["bias"].reshape(np.shape(p["bias"]))
 
 

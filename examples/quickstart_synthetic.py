@@ -64,7 +64,13 @@ def main() -> None:
         description="synthetic end-to-end quickstart")
     ap.add_argument("--workspace", default="quickstart_ws")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu: the quickstart is "
+                         "CPU-sized, and on a TPU-attached host grabbing "
+                         "the chip would contend with any training/bench "
+                         "job; pass 'tpu' to run on the chip)")
     args = ap.parse_args()
+    os.environ.setdefault("ABLC_PLATFORM", args.platform)
     ws = os.path.abspath(args.workspace)
     os.makedirs(ws, exist_ok=True)
 
