@@ -12,8 +12,39 @@ incl. fused matmul augmentation) so rounds track training perf too.
 """
 
 import json
+import os
 import shutil
 import sys
+
+
+def _backend_responds(timeout_s: float) -> bool:
+    """True once ``jax.devices()`` answers within ``timeout_s``.
+
+    The axon tunnel has been observed to go fully unresponsive (backend
+    initialization blocks forever, not just slow remote compiles). Probing
+    in a daemon thread bounds that failure to a clear JSON error line
+    instead of an indefinite hang the driver can only time out on. A
+    healthy backend answers in seconds even when its compiles take
+    minutes, so the timeout only ever fires on a dead tunnel.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        # Init through the package so platform selection (ABLC_PLATFORM)
+        # and the persistent compile cache are configured before the
+        # backend comes up — same order as the benchmark imports below.
+        import ab_line_classifier_tpu  # noqa: F401
+        import jax
+
+        jax.devices()
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
 
 
 def _purge_compile_cache() -> None:
@@ -51,6 +82,15 @@ def _run(fn, **kw):
 
 
 def main() -> int:
+    probe_s = float(os.environ.get("ABLC_BENCH_PROBE_TIMEOUT", "900"))
+    if not _backend_responds(probe_s):
+        print(json.dumps({"metric": "cutoffvgg16_clip_inference",
+                          "value": 0, "unit": "frames/sec",
+                          "vs_baseline": 0.0,
+                          "error": f"backend unresponsive: jax.devices() "
+                                   f"did not answer within {probe_s:.0f}s"}))
+        return 1
+
     from ab_line_classifier_tpu.predict.benchmark import (
         clip_inference_benchmark, gradcam_benchmark,
         single_frame_latency_benchmark, training_throughput_benchmark)
