@@ -1,0 +1,86 @@
+"""The installed CLI surface driven exactly as a user would: fresh
+subprocesses of ``python -m ab_line_classifier_tpu.{train,predict,export}``
+and ``.explain`` chained on one workspace via ``ABLC_CONFIG``.
+
+The library behind each command is covered elsewhere
+(tests/test_train_e2e.py etc.); what only a subprocess can regress-test is
+the argparse plumbing, the ``ABLC_CONFIG`` env resolution, and each
+module's import-time behavior — the surface the reference exposes as
+``python src/train.py`` / ``python src/predict.py``
+(reference ``src/train.py:374-375``, ``src/predict.py:450-459``).
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from ab_line_classifier_tpu.data.synthetic import generate_dataset
+from tests.conftest import REPO_ROOT, derive_workspace_config
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("cli_ws"))
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=12,
+                                        clips_per_patient=2,
+                                        frames_per_clip=4, hw=(48, 64),
+                                        seed=7)
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
+    d["TRAIN"].update({"MODEL_DEF": "cnn0", "EXPERIMENT_TYPE": "single_train",
+                       "EPOCHS": 2, "BATCH_SIZE": 16, "PATIENCE": 5,
+                       "MIXED_PRECISION": False})
+    d["HPARAMS"]["CNN0"].update({"BLOCKS": 1, "INIT_FILTERS": 4,
+                                 "NODES_DENSE0": 8})
+    cfg_path = os.path.join(ws, "config.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=False)
+    return ws, cfg_path
+
+
+def _run_cli(module, cfg_path, *args):
+    env = dict(os.environ)
+    env.update({
+        "ABLC_PLATFORM": "cpu",
+        "ABLC_CONFIG": cfg_path,
+        "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    proc = subprocess.run(
+        [sys.executable, "-m", f"ab_line_classifier_tpu.{module}", *args],
+        env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"{module} failed:\n{proc.stderr[-4000:]}")
+    return proc.stdout
+
+
+def test_cli_lifecycle(workspace):
+    ws, cfg_path = workspace
+
+    # train: TRAIN.EXPERIMENT_TYPE from the config, weights saved.
+    _run_cli("train", cfg_path)
+    ckpts = [c for c in glob.glob(os.path.join(ws, "results", "models",
+                                               "model*"))
+             if os.path.isfile(os.path.join(c, "meta.json"))]
+    assert ckpts, "train CLI left no checkpoint"
+
+    # predict: clip + frame passes against MODEL_TO_LOAD (latest).
+    _run_cli("predict", cfg_path)
+    preds = glob.glob(os.path.join(ws, "results", "predictions", "*.csv"))
+    assert any("clip" in os.path.basename(p) for p in preds)
+    assert any("frame" in os.path.basename(p) for p in preds)
+    assert glob.glob(os.path.join(ws, "results", "metrics", "*.json"))
+
+    # explain: headless Grad-CAM (plusplus mode exercises the CLI flag).
+    out = _run_cli("explain", cfg_path, "--limit", "2", "--mode", "plusplus")
+    assert "wrote 2 heatmaps" in out
+    assert len(glob.glob(os.path.join(ws, "img", "heatmaps", "*.png"))) == 2
+
+    # export: checkpoint -> ONNX file.
+    onnx_path = os.path.join(ws, "model.onnx")
+    _run_cli("export", cfg_path, "--out", onnx_path, "--batch-size", "2")
+    assert os.path.getsize(onnx_path) > 0
