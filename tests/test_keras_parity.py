@@ -152,10 +152,16 @@ def test_mobilenetv2_forward_parity():
 
 
 def test_xception_layer_names_and_forward_parity():
+    import tensorflow as tf
     from tensorflow.keras.applications import Xception
 
     from ab_line_classifier_tpu.models.xception import xception_backbone
 
+    # Xception's residual-shortcut layers are unnamed, so Keras assigns
+    # process-global counter names (conv2d_N) — any unnamed TF layer built
+    # by an earlier test shifts them. Reset to fresh-process numbering,
+    # which is what xception_backbone emits.
+    tf.keras.backend.clear_session()
     km = Xception(include_top=False, weights=None, input_shape=(96, 96, 3))
     g = xception_backbone()
     ours = g.layer_names
