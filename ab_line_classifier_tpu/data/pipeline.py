@@ -531,7 +531,3 @@ def maybe_device_cache(ds: FrameDataset, mode="auto", mesh=None,
         return ds
 
 
-def class_distribution(frames_df: pd.DataFrame) -> np.ndarray:
-    """Class histogram (reference ``np.bincount(train_df['Class'])``,
-    train.py:49)."""
-    return np.bincount(frames_df[CLASS].to_numpy().astype(int))

@@ -151,9 +151,6 @@ class LayerGraph:
                     )
         return LayerGraph(layers=keep, output=keep[-1].name)
 
-    def subgraph_until(self, at) -> "LayerGraph":
-        return self.cut(at)
-
     def append(self, specs: Sequence[LayerSpec], output: Optional[str] = None) -> "LayerGraph":
         """New graph with ``specs`` appended (a classification head, say)."""
         return LayerGraph(layers=self.layers + tuple(specs),

@@ -15,7 +15,7 @@ reference's pretrained file's layer names are not knowable from its repo.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import flax.linen as nn
 import jax
@@ -71,13 +71,6 @@ class UNet(nn.Module):
             x = nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=dtype, name="head")(x)
         return nn.sigmoid(x.astype(jnp.float32))
-
-
-def init_unet(rng: jax.Array, input_hw: Tuple[int, int] = (128, 128),
-              base_filters: int = 16):
-    model = UNet(base_filters=base_filters)
-    variables = model.init(rng, jnp.zeros((1,) + tuple(input_hw) + (1,)))
-    return model, variables
 
 
 def unet_layer_order(levels: int = 4) -> List[str]:

@@ -63,12 +63,6 @@ def full_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P((TRIAL_AXIS, DATA_AXIS)))
 
 
-def trial_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """[trial, batch, ...] arrays: trial axis over 'trial', batch over
-    'data'."""
-    return NamedSharding(mesh, P(TRIAL_AXIS, DATA_AXIS))
-
-
 def trial_replicated(mesh: Mesh) -> NamedSharding:
     """Per-trial params: leading trial axis sharded, rest replicated."""
     return NamedSharding(mesh, P(TRIAL_AXIS))

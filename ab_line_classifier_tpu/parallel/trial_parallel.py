@@ -34,7 +34,6 @@ from ab_line_classifier_tpu.models.common import ModelSpec, TrainPhase
 from ab_line_classifier_tpu.models.preprocess import get_preprocess_fn
 from ab_line_classifier_tpu.ops import metrics as M
 from ab_line_classifier_tpu.parallel import mesh as mesh_lib
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def pad_index_table(index_lists: List[np.ndarray],
@@ -154,7 +153,7 @@ class ParallelFoldTrainer:
                       f"{self.n_folds} folds/trials; replicating fold state "
                       f"across the mesh")
             return mesh_lib.replicated(self.mesh)
-        return NamedSharding(self.mesh, P(mesh_lib.TRIAL_AXIS))
+        return mesh_lib.trial_replicated(self.mesh)
 
     def _train_step_core(self, tx):
         """Un-jitted vmapped step over the fold axis (jitted directly, or
