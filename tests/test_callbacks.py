@@ -79,9 +79,11 @@ def test_heatmap_branch_writes_pngs(setup):
     assert len(glob.glob(os.path.join(heat_dir, "*.png"))) == 4
 
 
-def test_max_rows_zero_heatmaps_default(setup):
+def test_max_rows_zero_heatmaps_default(setup, tmp_path, monkeypatch):
     _, ds, spec, variables = setup
+    monkeypatch.chdir(tmp_path)  # any stray default-path write lands here
     logger = PredictionTableLogger(spec, ds, max_rows=5)
     table = logger.on_epoch_end(0, variables)
     assert len(table) == 5
     # No tracker, no heatmap dir: nothing written anywhere, table returned.
+    assert os.listdir(tmp_path) == []

@@ -152,7 +152,6 @@ def test_mobilenetv2_forward_parity():
 
 
 def test_xception_layer_names_and_forward_parity():
-    import tensorflow as tf
     from tensorflow.keras.applications import Xception
 
     from ab_line_classifier_tpu.models.xception import xception_backbone

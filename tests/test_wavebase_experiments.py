@@ -9,6 +9,8 @@ import os
 import pandas as pd
 import pytest
 
+from conftest import REPO_ROOT
+
 from ab_line_classifier_tpu.config import Config, load_config
 from ab_line_classifier_tpu.predict.experiments import (
     compute_clip_predictions_wb, predict_clipwise_with_contiguity_threshold_wb)
@@ -59,7 +61,7 @@ def wb_workspace(tmp_path):
     _preds([["B-Lines", "0.99"]] * 5).to_csv(
         rec2 / "clip_c_probs.csv", index=False, header=False)
 
-    d = load_config().to_dict()
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
     d["PATHS"]["RT_ROOT_DIR"] = str(root)
     d["PATHS"]["BATCH_PREDS"] = str(tmp_path / "preds")
     d["CLIP_PREDICTION"].update({"CONTIGUITY_THRESHOLD": 3,
