@@ -33,14 +33,32 @@ def main():
     p.add_argument("--sweep-id", default=None,
                    help="name of the serial sweep / k-fold run to create or "
                         "resume (default on --resume: the most recent one)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the whole "
+                        "experiment to <PATHS.LOGS>/profiles (TensorBoard-"
+                        "viewable XLA op timeline)")
     args = p.parse_args()
 
     cfg = load_config(args.config)
-    train_experiment(cfg, experiment=args.experiment,
-                     save_weights=not args.no_save_weights,
-                     trial_parallel=args.trial_parallel,
-                     checkpoint_dir=args.checkpoint_dir,
-                     resume=args.resume, sweep_id=args.sweep_id)
+
+    def run():
+        train_experiment(cfg, experiment=args.experiment,
+                         save_weights=not args.no_save_weights,
+                         trial_parallel=args.trial_parallel,
+                         checkpoint_dir=args.checkpoint_dir,
+                         resume=args.resume, sweep_id=args.sweep_id)
+
+    if args.profile:
+        import os
+
+        from ab_line_classifier_tpu.utils.profiling import trace
+
+        log_dir = os.path.join(cfg["PATHS"]["LOGS"], "profiles")
+        with trace(log_dir):
+            run()
+        print(f"profiler trace written to {log_dir}")
+    else:
+        run()
 
 
 if __name__ == "__main__":

@@ -84,3 +84,14 @@ def test_cli_lifecycle(workspace):
     onnx_path = os.path.join(ws, "model.onnx")
     _run_cli("export", cfg_path, "--out", onnx_path, "--batch-size", "2")
     assert os.path.getsize(onnx_path) > 0
+
+
+def test_train_profile_flag(workspace):
+    """``train --profile`` wraps the experiment in a jax.profiler trace and
+    leaves TensorBoard-viewable artifacts under <PATHS.LOGS>/profiles."""
+    ws, cfg_path = workspace
+    out = _run_cli("train", cfg_path, "--profile", "--no-save-weights")
+    prof_dir = os.path.join(ws, "results", "logs", "profiles")
+    assert f"profiler trace written to {prof_dir}" in out
+    assert glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                     recursive=True)
