@@ -17,27 +17,45 @@ def main():
     p.add_argument("--config", default=None, help="path to config.yml")
     p.add_argument("--no-metrics", action="store_true",
                    help="skip metrics (no ground-truth column)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of both "
+                        "inference passes to <PATHS.LOGS>/profiles")
     args = p.parse_args()
 
     cfg = load_config(args.config)
     frames_path = cfg["PATHS"]["FRAME_TABLE"]
     clips_path = cfg["PATHS"]["CLIPS_TABLE"]
-    # One restore + one jit compile shared by both passes (each would
-    # otherwise reload the checkpoint and recompile — minutes on a first
-    # TPU compile — and re-decode the full frame table).
-    from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
-    from ab_line_classifier_tpu.predict.predict import Predictor
-    predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                  batch_size=cfg.batch_size, cfg=cfg,
-                                  mesh=mesh_from_config(cfg))
-    compute_clip_predictions(
-        cfg, frames_path, clips_path,
-        class_thresh=float(cfg["CLIP_PREDICTION"]["CLASSIFICATION_THRESHOLD"]),
-        clip_algorithm=cfg["CLIP_PREDICTION"]["ALGORITHM"],
-        calculate_metrics=not args.no_metrics, predictor=predictor)
-    compute_frame_predictions(cfg, frames_path, class_thresh=0.5,
-                              calculate_metrics=not args.no_metrics,
-                              predictor=predictor)
+
+    def run():
+        # One restore + one jit compile shared by both passes (each would
+        # otherwise reload the checkpoint and recompile — minutes on a first
+        # TPU compile — and re-decode the full frame table).
+        from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+        from ab_line_classifier_tpu.predict.predict import Predictor
+        predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
+                                      batch_size=cfg.batch_size, cfg=cfg,
+                                      mesh=mesh_from_config(cfg))
+        compute_clip_predictions(
+            cfg, frames_path, clips_path,
+            class_thresh=float(
+                cfg["CLIP_PREDICTION"]["CLASSIFICATION_THRESHOLD"]),
+            clip_algorithm=cfg["CLIP_PREDICTION"]["ALGORITHM"],
+            calculate_metrics=not args.no_metrics, predictor=predictor)
+        compute_frame_predictions(cfg, frames_path, class_thresh=0.5,
+                                  calculate_metrics=not args.no_metrics,
+                                  predictor=predictor)
+
+    if args.profile:
+        import os
+
+        from ab_line_classifier_tpu.utils.profiling import trace
+
+        log_dir = os.path.join(cfg["PATHS"]["LOGS"], "profiles")
+        with trace(log_dir):
+            run()
+        print(f"profiler trace written to {log_dir}")
+    else:
+        run()
 
 
 if __name__ == "__main__":

@@ -86,12 +86,21 @@ def test_cli_lifecycle(workspace):
     assert os.path.getsize(onnx_path) > 0
 
 
-def test_train_profile_flag(workspace):
-    """``train --profile`` wraps the experiment in a jax.profiler trace and
-    leaves TensorBoard-viewable artifacts under <PATHS.LOGS>/profiles."""
+def test_profile_flags(workspace):
+    """``train --profile`` / ``predict --profile`` wrap the run in a
+    jax.profiler trace and leave TensorBoard-viewable artifacts under
+    <PATHS.LOGS>/profiles."""
     ws, cfg_path = workspace
-    out = _run_cli("train", cfg_path, "--profile", "--no-save-weights")
     prof_dir = os.path.join(ws, "results", "logs", "profiles")
+
+    out = _run_cli("train", cfg_path, "--profile", "--no-save-weights")
     assert f"profiler trace written to {prof_dir}" in out
-    assert glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
-                     recursive=True)
+    n_train = len(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                            recursive=True))
+    assert n_train > 0
+
+    # predict needs the lifecycle test's checkpoint (MODEL_TO_LOAD: latest).
+    out = _run_cli("predict", cfg_path, "--profile")
+    assert f"profiler trace written to {prof_dir}" in out
+    assert len(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                         recursive=True)) > n_train
