@@ -242,6 +242,29 @@ class FrameDataset:
         return images, self.labels
 
 
+def replicated_scan_gather(batch_sharding):
+    """Traceable batch gather against a REPLICATED device frame store: a
+    plain ``take`` per batch, re-constrained to the data-parallel batch
+    sharding. The single source of the replicated-cache gather semantics —
+    used by :meth:`DeviceCachedDataset.make_scan_gather` and as
+    ``train/loop.py make_epoch_fns``'s fallback when the dataset is unknown
+    at build time (the two must stay bit-identical: the scan-epoch ==
+    ``batches()`` parity contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    def gather(frames, labels_d, idx, mask):
+        del mask
+        images = jnp.take(frames, idx, axis=0)
+        lbs = jnp.take(labels_d, idx, axis=0)
+        if batch_sharding is not None:  # keep batches data-parallel
+            images = jax.lax.with_sharding_constraint(images, batch_sharding)
+            lbs = jax.lax.with_sharding_constraint(lbs, batch_sharding)
+        return images, lbs
+
+    return gather
+
+
 class DeviceCachedDataset:
     """A FrameDataset decoded ONCE and kept resident in HBM: per-epoch
     batches are device-side gathers, so after the first epoch the host does
@@ -286,20 +309,7 @@ class DeviceCachedDataset:
         Padded index positions hold wraparound duplicates of the epoch's own
         frames (``epoch_index_table``), matching the host pipeline: masked
         out of loss/metrics, real images in trainable-BN batch statistics."""
-        import jax
-        import jax.numpy as jnp
-
-        def gather(frames, labels_d, idx, mask):
-            del mask
-            images = jnp.take(frames, idx, axis=0)
-            lbs = jnp.take(labels_d, idx, axis=0)
-            if batch_sharding is not None:  # keep batches data-parallel
-                images = jax.lax.with_sharding_constraint(images,
-                                                          batch_sharding)
-                lbs = jax.lax.with_sharding_constraint(lbs, batch_sharding)
-            return images, lbs
-
-        return gather
+        return replicated_scan_gather(batch_sharding)
 
     def __len__(self) -> int:
         return self._n

@@ -222,28 +222,38 @@ def _apply_entry(entry: Dict[str, Any], name: str, p: Optional[Dict],
     w = entry["weights"]
     kind = entry["kind"]
     if kind == "bn":
-        if "scale" in p:
-            p["scale"] = w["scale"]
-        if "bias" in p:
-            p["bias"] = w["bias"]
+        # Read every leaf before mutating (all-or-nothing, as below): a
+        # KeyError on e.g. a missing running stat must not leave a
+        # half-imported scale/bias pair behind.
+        staged = [(p, k, w[k]) for k in ("scale", "bias") if k in p]
         if name in batch_stats:
-            batch_stats[name]["mean"] = w["mean"]
-            batch_stats[name]["var"] = w["var"]
+            staged += [(batch_stats[name], "mean", w["mean"]),
+                       (batch_stats[name], "var", w["var"])]
+        for target, key, value in staged:
+            target[key] = value
         return
     if pointwise is not None:  # separable: entry=depthwise, pointwise=conv
-        p["depthwise"] = dict(p["depthwise"])
-        p["depthwise"]["kernel"] = _fit_conv_kernel(
-            w["kernel"], np.shape(p["depthwise"]["kernel"]))
-        p["pointwise"] = dict(p["pointwise"])
+        # Fit EVERY leaf before mutating anything: a failure mid-way (a
+        # missing pointwise bias, an unmappable kernel shape) must leave the
+        # whole layer on its fresh-init values — the partial-import warning
+        # promises exactly that, and a half-imported separable (real kernels
+        # + zero bias) would serve silently-wrong predictions.
         pw = pointwise["weights"]
-        p["pointwise"]["kernel"] = _fit_conv_kernel(
-            pw["kernel"], np.shape(p["pointwise"]["kernel"]))
+        dw_kernel = _fit_conv_kernel(w["kernel"],
+                                     np.shape(p["depthwise"]["kernel"]))
+        pw_kernel = _fit_conv_kernel(pw["kernel"],
+                                     np.shape(p["pointwise"]["kernel"]))
+        pw_bias = None
         if "bias" in p["pointwise"]:
             if "bias" not in pw:
                 raise ValueError(
                     "pointwise conv expects a bias but the onnx entry "
                     "carries none")
-            p["pointwise"]["bias"] = pw["bias"]
+            pw_bias = pw["bias"].reshape(np.shape(p["pointwise"]["bias"]))
+        p["depthwise"] = dict(p["depthwise"], kernel=dw_kernel)
+        p["pointwise"] = dict(p["pointwise"], kernel=pw_kernel)
+        if pw_bias is not None:
+            p["pointwise"]["bias"] = pw_bias
         return
     # A biased layer whose entry carries no bias must NOT count as
     # restored: leaving the zero init silently serves wrong predictions
@@ -255,12 +265,16 @@ def _apply_entry(entry: Dict[str, Any], name: str, p: Optional[Dict],
         raise ValueError(
             "layer expects a bias but the onnx entry carries none")
     if kind == "dense":
-        p["kernel"] = _fit_dense_kernel(w["kernel"],
-                                        np.shape(p["kernel"]))
+        kernel = _fit_dense_kernel(w["kernel"], np.shape(p["kernel"]))
     else:  # conv / depthwise
-        p["kernel"] = _fit_conv_kernel(w["kernel"], np.shape(p["kernel"]))
-    if "bias" in p:
-        p["bias"] = w["bias"].reshape(np.shape(p["bias"]))
+        kernel = _fit_conv_kernel(w["kernel"], np.shape(p["kernel"]))
+    # Reshape the bias BEFORE assigning the kernel for the same
+    # all-or-nothing reason as the separable branch above.
+    bias = (w["bias"].reshape(np.shape(p["bias"]))
+            if "bias" in p else None)
+    p["kernel"] = kernel
+    if bias is not None:
+        p["bias"] = bias
 
 
 def _layer_kind_class(layer_params: Optional[Dict], spec_kind: str) -> str:

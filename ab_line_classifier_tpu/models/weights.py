@@ -248,9 +248,12 @@ def export_h5_weights(h5_path: str, variables: Dict[str, Any],
     ``tests/test_keras_parity.py``. Pass ``graph`` (the LayerGraph) to
     distinguish DepthwiseConv2D nodes exactly — Keras names their kernel
     ``depthwise_kernel:0`` with layout ``(h, w, C, 1)``, not ``kernel:0``
-    ``(h, w, 1, C)``; without a graph the ``(h, w, 1, C>1)`` kernel shape is
-    used as the heuristic (no model in this zoo has a 1-channel input
-    conv)."""
+    ``(h, w, 1, C)``. Without a graph, the ``(h, w, 1, C)`` kernel shape
+    alone is AMBIGUOUS — a plain conv on a 1-channel (grayscale) input has
+    the identical shape (this repo's own U-Net does, models/unet.py) — so
+    the graphless heuristic additionally requires the zoo's depthwise
+    naming convention (``*_depthwise`` / ``*_dwconv``); ambiguous layers
+    matching neither export as plain ``kernel:0`` convs."""
     import h5py
 
     kinds = ({spec.name: spec.kind for spec in graph.layers}
@@ -260,7 +263,8 @@ def export_h5_weights(h5_path: str, variables: Dict[str, Any],
         if layer_name in kinds:
             return kinds[layer_name] == KIND_DEPTHWISE
         k = np.asarray(p["kernel"])
-        return k.ndim == 4 and k.shape[2] == 1 and k.shape[3] > 1
+        return (k.ndim == 4 and k.shape[2] == 1 and k.shape[3] > 1
+                and ("depthwise" in layer_name or "dwconv" in layer_name))
 
     with h5py.File(h5_path, "w") as f:
         root = f.create_group("model_weights")

@@ -82,6 +82,28 @@ def clock_avg_runtime(n_warmup_runs: int = 10, n_experiment_runs: int = 50,
     return t_avg_ms, t_std_ms
 
 
+def dispatch_guarded_seconds(run_many, fallback, n_iters: int) -> float:
+    """Steady-state seconds for ``n_iters`` executions, defended against
+    async-dispatch under-reporting: timing must SCALE with iteration count
+    (doubling the iterations must ~double the elapsed time). When it does,
+    the double-count run divided by two is the steady-state time; when it
+    does not, the backend lied about completion (observed on this backend:
+    ``block_until_ready`` returning early) and ``fallback`` — which pays a
+    synchronization per iteration or equivalent — is trusted instead. One
+    implementation for every benchmark in this module; see the CLAUDE.md
+    phantom-regression note (a warmed single-count loop once measured an
+    11x regression that this n-vs-2n check exposed as cache pollution).
+
+    :param run_many: ``iters -> seconds``, synchronizing ONCE at the end.
+    :param fallback: ``iters -> seconds`` with per-iteration sync.
+    """
+    dt = run_many(n_iters)
+    dt2 = run_many(2 * n_iters)
+    if 1.5 * dt <= dt2:
+        return dt2 / 2.0
+    return fallback(n_iters)
+
+
 def single_frame_latency_benchmark(model_name: str = "cutoffvgg16",
                                    img_dim: Tuple[int, int] = (128, 128),
                                    chain_len: int = 64,
@@ -149,26 +171,23 @@ def single_frame_latency_benchmark(model_name: str = "cutoffvgg16",
         np.asarray(out)
         return time.perf_counter() - t0
 
-    dt = timed(n_iters)
-    dt2 = timed(2 * n_iters)   # async-dispatch guard (see clip benchmark)
-    if 1.5 * dt <= dt2:
-        dt = dt2 / 2.0
-        ms = dt / n_iters / chain_len * 1000
-    else:
+    def fallback(iters: int) -> float:
         # Per-call sync fallback: each np.asarray pays the host<->device
         # round-trip (~10 ms on this tunneled backend), which at 64 frames
         # per chain would EXCEED the ~0.13 ms/frame being measured. Compile
         # the chain 8x longer so the per-sync overhead amortizes to a few
         # percent instead of reporting a phantom 2x latency regression.
-        long_len = 8 * chain_len
-        long_jit = jax.jit(make_chained(long_len))
+        nonlocal chain_len
+        chain_len = 8 * chain_len
+        long_jit = jax.jit(make_chained(chain_len))
         np.asarray(long_jit(bf16_vars, frame))  # warm
         t0 = time.perf_counter()
-        for _ in range(n_iters):
+        for _ in range(iters):
             np.asarray(long_jit(bf16_vars, frame))
-        dt = time.perf_counter() - t0
-        chain_len = long_len
-        ms = dt / n_iters / chain_len * 1000
+        return time.perf_counter() - t0
+
+    dt = dispatch_guarded_seconds(timed, fallback, n_iters)
+    ms = dt / n_iters / chain_len * 1000
     result = {"ms_per_frame": float(ms), "chain_len": chain_len,
               "model": model_name}
     if verbose:
@@ -228,18 +247,13 @@ def clip_inference_benchmark(model_name: str = "cutoffvgg16",
         np.asarray(out)
         return time.perf_counter() - t0
 
-    dt = timed(n_iters)
-    # Async-dispatch guard: timing must scale with iteration count. If
-    # doubling the iterations doesn't roughly double the time, the backend
-    # lied about completion — fall back to per-iteration materialization.
-    dt2 = timed(2 * n_iters)
-    if not (1.5 * dt <= dt2):
+    def fallback(iters: int) -> float:
         t0 = time.perf_counter()
-        for _ in range(n_iters):
+        for _ in range(iters):
             np.asarray(serve_jit(bf16_vars, frames))
-        dt = time.perf_counter() - t0
-    else:
-        dt = dt2 / 2.0
+        return time.perf_counter() - t0
+
+    dt = dispatch_guarded_seconds(timed, fallback, n_iters)
     fps = batch_size * n_iters / dt
     serve_flops = flops_per_call(serve_jit, bf16_vars, frames)
     result = {
@@ -292,15 +306,13 @@ def gradcam_benchmark(model_name: str = "cutoffvgg16",
         sync(out)
         return time.perf_counter() - t0
 
-    dt = timed(n_iters)
-    dt2 = timed(2 * n_iters)   # async-dispatch guard (see clip benchmark)
-    if 1.5 * dt <= dt2:
-        dt = dt2 / 2.0
-    else:
+    def fallback(iters: int) -> float:
         t0 = time.perf_counter()
-        for _ in range(n_iters):
+        for _ in range(iters):
             sync(fused(variables, frames))
-        dt = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    dt = dispatch_guarded_seconds(timed, fallback, n_iters)
     fps = batch_size * n_iters / dt
     result = {"gradcam_frames_per_sec": float(fps),
               "batch_size": batch_size, "mode": mode,
@@ -394,16 +406,15 @@ def training_throughput_benchmark(model_name: str = "cutoffvgg16",
             chain_sync(state)
             return time.perf_counter() - t0
 
-        dt = timed(n_iters)
-        dt2 = timed(2 * n_iters)   # timing must scale with iteration count
-        if 1.5 * dt <= dt2:
-            dt = dt2 / 2.0
-        else:  # backend lied about completion: sync every iteration
+        def fallback(iters: int) -> float:
+            nonlocal state, metrics
             t0 = time.perf_counter()
-            for _ in range(n_iters):
+            for _ in range(iters):
                 state, metrics = step(state, metrics, images, labels, mask)
                 chain_sync(state)
-            dt = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        dt = dispatch_guarded_seconds(timed, fallback, n_iters)
         fps = batch_size * n_iters / dt
         r = {"phase": ph.name,
              "train_frames_per_sec": float(fps),

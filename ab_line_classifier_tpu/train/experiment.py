@@ -158,8 +158,13 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
             # run dir has an open events.jsonl and no summary.json, so
             # failed runs are indistinguishable from in-progress ones to
             # sweep resume/indexing, and fds leak across failed trials.
-            tracker.finish({"status": "failed",
-                            "error": f"{type(e).__name__}: {e}"})
+            # Best-effort only — a finish() that itself fails (disk full,
+            # run dir unwritable) must not mask the root-cause exception.
+            try:
+                tracker.finish({"status": "failed",
+                                "error": f"{type(e).__name__}: {e}"})
+            except Exception as fin_err:
+                print(f"(tracker.finish failed on crashed run: {fin_err})")
             raise
     return _perform_single_run_body(
         cfg, tracker, hparam_overrides=hparam_overrides, fold_id=fold_id,
@@ -284,13 +289,24 @@ def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
                      model_dir=model_dir, best_val=best_val)
 
 
-def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
-    """Extract the sweep objective (METRIC_NAME, e.g. 'epoch/val_auc')."""
+def _extract_raw_metric(result: RunResult,
+                        metric_name: str) -> Optional[float]:
+    """The run's RAW value for a sweep metric ('epoch/val_auc' ->
+    best-epoch val_auc; test-metric names -> test_metrics), or None if the
+    run produced no such metric. Shared by the native sweep objective and
+    the W&B sweep backend (which must report the unsigned raw value to the
+    service)."""
     key = metric_name.split("/")[-1]
     if key.startswith("val_"):
         value = result.best_val.get(key)
     else:
         value = result.test_metrics.get(key)
+    return None if value is None else float(value)
+
+
+def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
+    """Extract the sweep objective (METRIC_NAME, e.g. 'epoch/val_auc')."""
+    value = _extract_raw_metric(result, metric_name)
     if value is None:
         # Configured metric absent from the run's results: fall back to
         # val AUC — a maximize quantity REGARDLESS of the configured goal
@@ -345,8 +361,14 @@ def hparam_search(cfg: Config, save_weights: bool = False,
             print(f"wandb sweep backend unavailable ({e}); "
                   f"using the native controller")
         else:
+            if resume and sweep_id is None:
+                # The W&B service owns a sweep's trial history — there is
+                # no local trials file to glob for "the most recent one".
+                print("hparam_search --resume with the wandb backend needs "
+                      "an explicit --sweep-id (the service owns the trial "
+                      "history); starting a NEW service sweep")
             return run_wandb_sweep(cfg, save_weights=save_weights,
-                                   verbose=verbose)
+                                   verbose=verbose, sweep_id=sweep_id)
     space = space_from_config(cfg.hparam_search_space())
     controller = make_controller(search["METHOD"], space,
                                  seed=int(cfg["TRAIN"]["SEED"]))

@@ -243,7 +243,8 @@ class Trainer:
         plain take; :class:`ShardedDeviceCachedDataset` reconstructs batches
         from its HBM shards with one all-reduce) so the scan body adapts to
         the cache's memory layout without touching the step code."""
-        from ab_line_classifier_tpu.data.pipeline import DeviceCachedDataset
+        from ab_line_classifier_tpu.data.pipeline import (
+            DeviceCachedDataset, replicated_scan_gather)
 
         train_core = self._train_step_core(phase_idx, tx)
         eval_core = self._eval_step_core()
@@ -256,18 +257,7 @@ class Trainer:
             # Fallback (dataset unknown at build time): replicated-cache
             # semantics — padded index positions hold wraparound duplicates
             # of real frames (DeviceCachedDataset.epoch_index_table).
-            def gather(frames, labels_all, idx, mask):
-                del mask
-                images = jnp.take(frames, idx, axis=0)
-                labels = jnp.take(labels_all, idx, axis=0)
-                if batch_sh is not None:  # keep batches data-parallel
-                    images = jax.lax.with_sharding_constraint(images,
-                                                              batch_sh)
-                    labels = jax.lax.with_sharding_constraint(labels,
-                                                              batch_sh)
-                return images, labels
-
-            return gather
+            return replicated_scan_gather(batch_sh)
 
         train_gather = gather_for(train_ds)
         eval_gather = gather_for(val_ds)

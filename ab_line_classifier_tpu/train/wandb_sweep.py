@@ -65,7 +65,8 @@ def _default_wandb():
 
 def run_wandb_sweep(cfg, *, save_weights: bool = False, verbose: bool = True,
                     count: Optional[int] = None, wandb_module=None,
-                    run_fn: Optional[Callable] = None) -> Dict[str, Any]:
+                    run_fn: Optional[Callable] = None,
+                    sweep_id: Optional[str] = None) -> Dict[str, Any]:
     """Register a sweep with the W&B service and let its agent schedule
     trials (the reference's exact control flow, train.py:355-364); each
     trial runs :func:`perform_single_run` with the service-chosen
@@ -75,23 +76,35 @@ def run_wandb_sweep(cfg, *, save_weights: bool = False, verbose: bool = True,
     :param wandb_module: a ``wandb``-like module (``sweep``/``agent``/
         ``init``/``log`` surface); injected by the tests' mock.
     :param run_fn: trial runner override (defaults to perform_single_run).
-    :returns: ``{"sweep_id": ..., "trials": [...], "best": {...}}``.
+    :param sweep_id: attach the agent to an EXISTING service sweep instead
+        of registering a new one — the W&B resume contract (the service
+        owns the trial history; the reference reads the analogous
+        ``WANDB_SWEEP_ID``, reference train.py:192).
+    :returns: ``{"sweep_id", "trials", "best", "best_params",
+        "best_objective"}`` — the last two mirror the native
+        :func:`~ab_line_classifier_tpu.train.experiment.hparam_search`
+        result shape so callers read one contract regardless of BACKEND.
     """
-    from ab_line_classifier_tpu.train.experiment import (_sweep_objective,
+    from ab_line_classifier_tpu.train.experiment import (_extract_raw_metric,
+                                                         _sweep_objective,
                                                          perform_single_run)
 
     wandb = wandb_module if wandb_module is not None else _default_wandb()
     run_fn = run_fn or perform_single_run
     search = cfg["TRAIN"]["HPARAM_SEARCH"]
-    sweep_cfg = wandb_sweep_config(search["METHOD"], search["METRIC_GOAL"],
-                                   search["METRIC_NAME"],
-                                   cfg.hparam_search_space())
-    sweep_id = wandb.sweep(sweep=sweep_cfg,
-                           project=cfg["WANDB"]["PROJECT_NAME"],
-                           # .get: an absent ENTITY means the account's
-                           # default entity (same treatment as the tracker,
-                           # tracker.py WandbTracker).
-                           entity=cfg["WANDB"].get("ENTITY") or None)
+    if sweep_id is None:
+        sweep_cfg = wandb_sweep_config(search["METHOD"],
+                                       search["METRIC_GOAL"],
+                                       search["METRIC_NAME"],
+                                       cfg.hparam_search_space())
+        sweep_id = wandb.sweep(sweep=sweep_cfg,
+                               project=cfg["WANDB"]["PROJECT_NAME"],
+                               # .get: an absent ENTITY means the account's
+                               # default entity (same treatment as the
+                               # tracker, tracker.py WandbTracker).
+                               entity=cfg["WANDB"].get("ENTITY") or None)
+    elif verbose:
+        print(f"attaching agent to existing wandb sweep {sweep_id}")
     trials: List[Dict[str, Any]] = []
 
     def trial():
@@ -104,14 +117,24 @@ def run_wandb_sweep(cfg, *, save_weights: bool = False, verbose: bool = True,
                         verbose=verbose)
         obj = _sweep_objective(result, search["METRIC_NAME"],
                                search["METRIC_GOAL"])
-        raw = obj if search["METRIC_GOAL"] == "maximize" else -obj
         # The sweep service optimizes the RAW metric it was configured
-        # with; the signed objective stays local.
-        wandb.log({search["METRIC_NAME"]: raw})
+        # with; the signed objective stays local. When the run produced no
+        # such metric, log the fallback under ITS OWN name — logging the
+        # val_auc substitute under METRIC_NAME would hand a minimize-goal
+        # bayes sweep a flipped-sign foreign quantity to steer on.
+        raw = _extract_raw_metric(result, search["METRIC_NAME"])
+        if raw is not None:
+            wandb.log({search["METRIC_NAME"]: raw})
+        else:
+            wandb.log({"val_auc": float(result.best_val.get("val_auc",
+                                                            0.0))})
         run.finish()
         trials.append({**params, "objective": obj})
 
     wandb.agent(sweep_id, function=trial,
                 count=count if count is not None else int(search["N_EVALS"]))
     best = max(trials, key=lambda t: t["objective"]) if trials else None
-    return {"sweep_id": sweep_id, "trials": trials, "best": best}
+    return {"sweep_id": sweep_id, "trials": trials, "best": best,
+            "best_params": ({k: v for k, v in best.items()
+                             if k != "objective"} if best else None),
+            "best_objective": best["objective"] if best else None}

@@ -247,6 +247,42 @@ def test_separable_depthwise_pairing(tmp_path):
     np.testing.assert_array_equal(p["pointwise"]["bias"], pb)
 
 
+def test_separable_missing_pointwise_bias_leaves_layer_untouched(tmp_path):
+    """All-or-nothing separable import: when the pointwise Conv carries no
+    bias but the target layer expects one, the import must fail the WHOLE
+    layer (warn + fresh-init values preserved) — not leave imported kernels
+    next to a zero bias, a silently mixed state the partial-import warning
+    would then misdescribe."""
+    rng = np.random.RandomState(1)
+    dw = rng.randn(4, 1, 3, 3).astype(np.float32)   # OIHW, group=4
+    pw = rng.randn(8, 4, 1, 1).astype(np.float32)
+
+    m = _new_model()
+    g = m.graph
+    w1 = _add_init(g, "model/sepconv1/depthwise_kernel:0", dw)
+    x = _add_node(g, "Conv", "model/sepconv1/separable_conv2d",
+                  ["input", w1], ["dw_out"], group=4)
+    w2 = _add_init(g, "model/sepconv1/pointwise_kernel:0", pw)
+    _add_node(g, "Conv", "model/sepconv1/separable_conv2d_pw",
+              [x, w2], ["pw_out"], group=1)  # NO bias input
+    path = str(tmp_path / "sep_nobias.onnx")
+    OP.save_model(m, path)
+
+    variables = {"params": {"sepconv1": {
+        "depthwise": {"kernel": np.zeros((3, 3, 1, 4), np.float32)},
+        "pointwise": {"kernel": np.zeros((1, 1, 4, 8), np.float32),
+                      "bias": np.zeros((8,), np.float32)}}}}
+    with pytest.warns(UserWarning, match="partial ONNX import"):
+        v_imp, copied = import_onnx_weights(path, variables, verbose=False)
+    assert copied == 0
+    p = v_imp["params"]["sepconv1"]
+    np.testing.assert_array_equal(p["depthwise"]["kernel"],
+                                  np.zeros((3, 3, 1, 4)))
+    np.testing.assert_array_equal(p["pointwise"]["kernel"],
+                                  np.zeros((1, 1, 4, 8)))
+    np.testing.assert_array_equal(p["pointwise"]["bias"], np.zeros((8,)))
+
+
 def test_tensor_dtype_decoding():
     """TensorProto decode paths: raw_data, typed repeated fields, fp16,
     bfloat16 bit-pattern widening."""

@@ -69,10 +69,13 @@ class FakeWandb:
         self.logged.append(payload)
 
     def agent(self, sweep_id, function, count=None):
-        assert sweep_id == "sweep-xyz"
+        self.agent_sweep_id = sweep_id
         rng = np.random.RandomState(0)
-        lo = self.sweep_cfg["parameters"]["LR"]["min"]
-        hi = self.sweep_cfg["parameters"]["LR"]["max"]
+        if self.sweep_cfg is not None:
+            lo = self.sweep_cfg["parameters"]["LR"]["min"]
+            hi = self.sweep_cfg["parameters"]["LR"]["max"]
+        else:  # attached to an existing sweep: the service owns the space
+            lo, hi = 1e-5, 1e-3
         for _ in range(count):
             self._next_config = {
                 "LR": float(np.exp(rng.uniform(np.log(lo), np.log(hi))))}
@@ -121,6 +124,117 @@ def test_run_wandb_sweep_drives_trials(tmp_path):
         assert trial["objective"] == pytest.approx(0.5 + params["LR"] * 100)
     assert out["best"]["objective"] == max(t["objective"]
                                            for t in out["trials"])
+    assert fw.agent_sweep_id == "sweep-xyz"
+    # Unified result shape: the native hparam_search keys are present too,
+    # so callers read one contract regardless of BACKEND.
+    assert out["best_objective"] == out["best"]["objective"]
+    assert out["best_params"] == {"LR": out["best"]["LR"]}
+
+
+def test_run_wandb_sweep_attaches_to_existing_sweep():
+    """sweep_id= attaches the agent to an existing service sweep (the W&B
+    resume contract) instead of registering a new one."""
+    from ab_line_classifier_tpu.config import Config, load_config
+    import os
+
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
+    d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
+    d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 2, "METHOD": "bayes",
+                                        "METRIC_GOAL": "maximize",
+                                        "METRIC_NAME": "epoch/val_auc",
+                                        "BACKEND": "wandb"})
+
+    class R:
+        best_val = {"val_auc": 0.7}
+        test_metrics = {}
+
+    fw = FakeWandb()
+    out = run_wandb_sweep(Config(d), wandb_module=fw,
+                          run_fn=lambda *a, **k: R(), verbose=False,
+                          sweep_id="pre-existing-sweep")
+    assert fw.sweep_cfg is None            # no new sweep registered
+    assert fw.agent_sweep_id == "pre-existing-sweep"
+    assert out["sweep_id"] == "pre-existing-sweep"
+    assert len(out["trials"]) == 2
+
+
+def test_run_wandb_sweep_missing_metric_logs_fallback_under_own_name():
+    """A minimize-goal sweep whose run produced no configured metric must
+    NOT log the val_auc fallback (a maximize quantity) under METRIC_NAME
+    with a flipped sign — the service would steer its bayes optimizer on a
+    foreign quantity. The fallback is logged under its own name."""
+    from ab_line_classifier_tpu.config import Config, load_config
+    import os
+
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
+    d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
+    d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 1, "METHOD": "bayes",
+                                        "METRIC_GOAL": "minimize",
+                                        "METRIC_NAME": "epoch/val_loss",
+                                        "BACKEND": "wandb"})
+
+    class R:  # run that produced NO val_loss history
+        best_val = {"val_auc": 0.8}
+        test_metrics = {}
+
+    fw = FakeWandb()
+    out = run_wandb_sweep(Config(d), wandb_module=fw,
+                          run_fn=lambda *a, **k: R(), verbose=False)
+    assert fw.logged == [{"val_auc": 0.8}]
+    # Local best-selection still uses the (maximize) fallback objective.
+    assert out["best_objective"] == pytest.approx(0.8)
+
+    # And with the metric PRESENT, the raw (unsigned) value goes to the
+    # service under METRIC_NAME while the local objective is sign-flipped.
+    class R2:
+        best_val = {"val_loss": 0.31, "val_auc": 0.8}
+        test_metrics = {}
+
+    fw2 = FakeWandb()
+    out2 = run_wandb_sweep(Config(d), wandb_module=fw2,
+                           run_fn=lambda *a, **k: R2(), verbose=False)
+    assert fw2.logged == [{"epoch/val_loss": pytest.approx(0.31)}]
+    assert out2["best_objective"] == pytest.approx(-0.31)
+
+
+def test_hparam_search_passes_sweep_id_to_wandb_backend(monkeypatch):
+    """The dispatch in experiment.hparam_search must forward --sweep-id to
+    the wandb backend (the service-side resume contract) instead of
+    silently registering a fresh sweep."""
+    import sys
+    import types
+
+    from ab_line_classifier_tpu.config import Config, load_config
+    from ab_line_classifier_tpu.train.experiment import hparam_search
+    import os
+
+    fake = types.ModuleType("wandb")
+    calls = {}
+
+    def sweep(sweep, project=None, entity=None):
+        calls["registered"] = True
+        return "fresh-sweep"
+
+    def agent(sweep_id, function, count=None):
+        calls["agent_id"] = sweep_id  # run no trials: plumbing-only test
+
+    fake.sweep, fake.agent = sweep, agent
+    fake.init = lambda *a, **k: FakeRun({})
+    fake.log = lambda payload: None
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
+    d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
+    d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 0, "METHOD": "bayes",
+                                        "BACKEND": "wandb"})
+    out = hparam_search(Config(d), verbose=False, sweep_id="resume-me",
+                        resume=True)
+    assert calls == {"agent_id": "resume-me"}  # attached, nothing registered
+    assert out["sweep_id"] == "resume-me"
+    assert out["best_params"] is None  # unified shape even with no trials
 
 
 def test_hparam_search_falls_back_without_wandb(tmp_path):

@@ -119,3 +119,50 @@ def test_head_dense_alias_output(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(v1["params"]["logits"]["kernel"]),
         np.asarray(v2_imported["params"]["logits"]["kernel"]))
+
+
+def test_graphless_export_grayscale_conv_not_depthwise(tmp_path):
+    """A (h, w, 1, C) kernel is AMBIGUOUS without a graph — a plain conv on
+    a 1-channel (grayscale) input has the same shape as a depthwise kernel
+    (this repo's own U-Net, models/unet.py, takes (128,128,1) input). The
+    graphless heuristic must only call it depthwise when the layer name
+    follows the zoo's depthwise convention; otherwise it exports a plain
+    ``kernel:0`` Keras can bind by name."""
+    import h5py
+
+    rng = np.random.RandomState(0)
+    variables = {"params": {
+        # grayscale first conv — shape-ambiguous, name says plain conv
+        "enc0_conv1": {"kernel": rng.randn(3, 3, 1, 16).astype(np.float32),
+                       "bias": rng.randn(16).astype(np.float32)},
+        # genuine depthwise (mobilenet naming) — same ambiguous shape class
+        "block_1_depthwise": {
+            "kernel": rng.randn(3, 3, 1, 32).astype(np.float32)},
+    }}
+    h5_path = str(tmp_path / "gray.h5")
+    export_h5_weights(h5_path, variables)
+    def _names(attr):
+        return [n.decode() if isinstance(n, bytes) else str(n) for n in attr]
+
+    with h5py.File(h5_path, "r") as f:
+        conv_names = _names(
+            f["model_weights"]["enc0_conv1"].attrs["weight_names"])
+        dw_names = _names(
+            f["model_weights"]["block_1_depthwise"].attrs["weight_names"])
+    assert conv_names == ["enc0_conv1/kernel:0", "enc0_conv1/bias:0"]
+    assert dw_names == ["block_1_depthwise/depthwise_kernel:0"]
+
+    # And the round trip restores the grayscale conv bit-exactly.
+    v2 = {"params": {
+        "enc0_conv1": {"kernel": np.zeros((3, 3, 1, 16), np.float32),
+                       "bias": np.zeros(16, np.float32)},
+        "block_1_depthwise": {"kernel": np.zeros((3, 3, 1, 32), np.float32)},
+    }}
+    v2_imported, copied = import_h5_weights(h5_path, v2, verbose=False)
+    assert copied == 2
+    np.testing.assert_array_equal(
+        np.asarray(v2_imported["params"]["enc0_conv1"]["kernel"]),
+        variables["params"]["enc0_conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(v2_imported["params"]["block_1_depthwise"]["kernel"]),
+        variables["params"]["block_1_depthwise"]["kernel"])
