@@ -14,7 +14,7 @@ import pytest
 
 from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.predict.benchmark import (
-    clip_inference_benchmark, clock_avg_runtime,
+    clip_inference_benchmark, clock_avg_runtime, dispatch_guarded_seconds,
     training_throughput_benchmark)
 from ab_line_classifier_tpu.utils.profiling import StepTimer, annotate, trace
 
@@ -27,6 +27,39 @@ TINY_CNN0 = {"LR": 1e-3, "DROPOUT": 0.35, "L2_LAMBDA": 1e-4,
 def _tiny_spec(img=(32, 32)):
     return build_model("cnn0", TINY_CNN0, img + (3,), 2,
                        mixed_precision=False)
+
+
+def test_dispatch_guarded_seconds_trusts_scaling_timer():
+    """When elapsed time scales with iteration count (an honest backend),
+    the double-count run halved is the steady-state estimate and the
+    per-iteration-sync fallback is never invoked."""
+    calls = []
+
+    def run_many(iters):
+        calls.append(iters)
+        return 0.01 * iters  # perfectly linear
+
+    def fallback(iters):
+        raise AssertionError("fallback must not run on a scaling timer")
+
+    dt = dispatch_guarded_seconds(run_many, fallback, n_iters=4)
+    assert calls == [4, 8]
+    assert dt == pytest.approx(0.04)
+
+
+def test_dispatch_guarded_seconds_falls_back_on_async_underreport():
+    """When doubling the iterations does NOT roughly double the elapsed
+    time (the backend signalled completion early), the per-iteration-sync
+    fallback's measurement is trusted instead."""
+    def run_many(iters):
+        return 0.01  # constant: async dispatch returned before finishing
+
+    def fallback(iters):
+        assert iters == 4
+        return 0.5
+
+    dt = dispatch_guarded_seconds(run_many, fallback, n_iters=4)
+    assert dt == pytest.approx(0.5)
 
 
 def test_clock_avg_runtime_smoke():
