@@ -160,6 +160,45 @@ def test_threshold_experiment(trained):
     assert "accuracy" in m.columns
 
 
+def test_sliding_window_variation_experiment(trained):
+    """Reference ``sliding_window_variation_experiment`` (predict.py:379-423)
+    successor: one metrics row per window length, and at window=1 the clip
+    B prob must equal the clip's max frame B prob (a window of one frame
+    makes the highest windowed mean the frame max)."""
+    ws, cfg, _ = trained
+    from ab_line_classifier_tpu.predict.experiments import (
+        sliding_window_variation_experiment)
+    from ab_line_classifier_tpu.predict.predict import (
+        compute_frame_predictions)
+
+    compute_frame_predictions(cfg, cfg["PATHS"]["FRAME_TABLE"],
+                              class_thresh=0.5)
+    preds_csv = sorted(
+        glob.glob(ws + "/results/predictions/_predictions*.csv"))[-1]
+    m = sliding_window_variation_experiment(cfg, preds_csv, 1, 4,
+                                            class_thresh=0.5, document=True)
+    assert list(m["Sliding Window Length"]) == [1, 2, 3, 4]
+    assert "accuracy" in m.columns
+
+    # document=True writes the experiment CSV contract.
+    assert glob.glob(ws + "/results/experiments/sliding_window_exp_*.csv")
+    assert glob.glob(
+        ws + "/results/experiments/clip_sliding_window_preds_*.csv")
+
+    # Oracle at window=1: the clip B prob is the clip's max frame B prob.
+    # Re-run for window 1 only so the written clip CSV holds window 1.
+    sliding_window_variation_experiment(cfg, preds_csv, 1, 1,
+                                        class_thresh=0.5, document=True)
+    preds_df = pd.read_csv(preds_csv)
+    clips = preds_df["Frame Path"].astype(str).str.rpartition("_")[0]
+    frame_max = preds_df.groupby(clips)["b_lines"].max()
+    sw1 = pd.read_csv(sorted(glob.glob(
+        ws + "/results/experiments/clip_sliding_window_preds_*.csv"))[-1])
+    got = sw1.set_index("Clip")["b_lines"]
+    for clip_name, expect in frame_max.items():
+        np.testing.assert_allclose(got[clip_name], expect, atol=1e-6)
+
+
 def test_restore_and_predict_consistency(trained):
     ws, cfg, _ = trained
     from ab_line_classifier_tpu.predict.predict import Predictor

@@ -40,6 +40,39 @@ def test_local_tracker_log_image(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_tensorboard_tracker_writes_event_files(tmp_path):
+    """TensorBoard backend (reference train_legacy.py:239-279 logs under
+    results/logs/{timestamp}): the full tracker surface — config, epochs,
+    metrics, an image, finish — lands in a tfevents file under the run dir,
+    and make_tracker selects it from TRACKER.BACKEND."""
+    from ab_line_classifier_tpu.train.loop import EpochLog
+    from ab_line_classifier_tpu.train.tracker import (TensorBoardTracker,
+                                                      make_tracker)
+
+    t = TensorBoardTracker(str(tmp_path), run_name="tbrun")
+    t.log_config({"LR": 1e-3, "MODEL_DEF": "cnn0"})
+    t.log_epoch(EpochLog(epoch=0, phase="extract",
+                         train={"loss": 0.9, "accuracy": 0.5},
+                         val={"loss": 1.0, "auc": 0.6}, lr=1e-3,
+                         seconds=0.1))
+    t.log_metrics("test", {"accuracy": 0.75, "note": "non-scalar skipped"})
+    t.log_image("cm", np.zeros((8, 8, 3), np.uint8), step=1)
+    t.finish({"status": "ok", "best_val_loss": 1.0})
+    assert t.run_dir == str(tmp_path / "tbrun")
+    events = glob.glob(os.path.join(t.run_dir, "events.out.tfevents.*"))
+    assert events and os.path.getsize(events[0]) > 0
+
+    # make_tracker dispatch: TRACKER.BACKEND tensorboard -> this backend,
+    # rooted at PATHS.LOGS (the reference's results/logs contract).
+    cfg = {"TRACKER": {"BACKEND": "tensorboard"},
+           "PATHS": {"LOGS": str(tmp_path / "logs")}}
+    t2 = make_tracker(cfg, run_name="dispatched")
+    assert isinstance(t2, TensorBoardTracker)
+    t2.finish()
+    assert glob.glob(str(tmp_path / "logs" / "dispatched" /
+                         "events.out.tfevents.*"))
+
+
 def test_plot_bayesian_hparam_opt(tmp_path):
     from ab_line_classifier_tpu.train.sweep import BayesController, SweepVar
 
