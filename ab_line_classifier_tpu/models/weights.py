@@ -20,6 +20,7 @@ reference's try/except copy loop.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -263,8 +264,17 @@ def export_h5_weights(h5_path: str, variables: Dict[str, Any],
         if layer_name in kinds:
             return kinds[layer_name] == KIND_DEPTHWISE
         k = np.asarray(p["kernel"])
-        return (k.ndim == 4 and k.shape[2] == 1 and k.shape[3] > 1
-                and ("depthwise" in layer_name or "dwconv" in layer_name))
+        ambiguous = k.ndim == 4 and k.shape[2] == 1 and k.shape[3] > 1
+        named = "depthwise" in layer_name or "dwconv" in layer_name
+        if ambiguous and not named:
+            # Resolved, but make the silent half visible: an out-of-zoo
+            # DepthwiseConv2D named e.g. 'conv_dw_1' would land here and
+            # export in the plain-conv layout Keras cannot bind by name.
+            warnings.warn(
+                f"layer {layer_name!r} has the shape-ambiguous (h, w, 1, "
+                f"C) kernel but no depthwise naming; exporting as a plain "
+                f"conv kernel:0 — pass graph= if it is a DepthwiseConv2D")
+        return ambiguous and named
 
     with h5py.File(h5_path, "w") as f:
         root = f.create_group("model_weights")

@@ -45,17 +45,9 @@ def main():
                                   calculate_metrics=not args.no_metrics,
                                   predictor=predictor)
 
-    if args.profile:
-        import os
+    from ab_line_classifier_tpu.utils.profiling import run_maybe_traced
 
-        from ab_line_classifier_tpu.utils.profiling import trace
-
-        log_dir = os.path.join(cfg["PATHS"]["LOGS"], "profiles")
-        with trace(log_dir):
-            run()
-        print(f"profiler trace written to {log_dir}")
-    else:
-        run()
+    run_maybe_traced(run, args.profile, cfg)
 
 
 if __name__ == "__main__":

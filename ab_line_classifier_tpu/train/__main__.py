@@ -48,17 +48,9 @@ def main():
                          checkpoint_dir=args.checkpoint_dir,
                          resume=args.resume, sweep_id=args.sweep_id)
 
-    if args.profile:
-        import os
+    from ab_line_classifier_tpu.utils.profiling import run_maybe_traced
 
-        from ab_line_classifier_tpu.utils.profiling import trace
-
-        log_dir = os.path.join(cfg["PATHS"]["LOGS"], "profiles")
-        with trace(log_dir):
-            run()
-        print(f"profiler trace written to {log_dir}")
-    else:
-        run()
+    run_maybe_traced(run, args.profile, cfg)
 
 
 if __name__ == "__main__":

@@ -363,10 +363,14 @@ def hparam_search(cfg: Config, save_weights: bool = False,
         else:
             if resume and sweep_id is None:
                 # The W&B service owns a sweep's trial history — there is
-                # no local trials file to glob for "the most recent one".
-                print("hparam_search --resume with the wandb backend needs "
-                      "an explicit --sweep-id (the service owns the trial "
-                      "history); starting a NEW service sweep")
+                # no local trials file to glob for "the most recent one",
+                # and silently registering a NEW sweep would re-run every
+                # trial from scratch against the user's resume request.
+                raise ValueError(
+                    "hparam_search --resume with the wandb backend needs "
+                    "an explicit --sweep-id (the service owns the trial "
+                    "history); pass the sweep id printed when the sweep "
+                    "was registered, or drop --resume to start a new one")
             return run_wandb_sweep(cfg, save_weights=save_weights,
                                    verbose=verbose, sweep_id=sweep_id)
     space = space_from_config(cfg.hparam_search_space())

@@ -19,6 +19,7 @@ this has only run against a mocked wandb module in this environment
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable, Dict, List, Optional
 
 
@@ -103,8 +104,32 @@ def run_wandb_sweep(cfg, *, save_weights: bool = False, verbose: bool = True,
                                # default entity (same treatment as the
                                # tracker, tracker.py WandbTracker).
                                entity=cfg["WANDB"].get("ENTITY") or None)
-    elif verbose:
-        print(f"attaching agent to existing wandb sweep {sweep_id}")
+    else:
+        if verbose:
+            print(f"attaching agent to existing wandb sweep {sweep_id}")
+        # Best-effort cross-check: a local config.yml edited since the
+        # sweep was registered (different METRIC_NAME / METHOD) would make
+        # every trial log a metric the service's optimizer is not steering
+        # on — a silent degeneration to random search. The Api surface is
+        # optional (absent from minimal mocks and offline installs).
+        try:
+            svc = wandb.Api().sweep(sweep_id).config
+        except Exception:
+            svc = None
+        if isinstance(svc, dict):
+            svc_metric = (svc.get("metric") or {}).get("name")
+            if svc_metric and svc_metric != search["METRIC_NAME"]:
+                warnings.warn(
+                    f"local METRIC_NAME {search['METRIC_NAME']!r} differs "
+                    f"from the service sweep's registered metric "
+                    f"{svc_metric!r}; its optimizer will not see the "
+                    f"values these trials log")
+            svc_method = svc.get("method")
+            if svc_method and svc_method != search["METHOD"]:
+                warnings.warn(
+                    f"local METHOD {search['METHOD']!r} differs from the "
+                    f"service sweep's registered method {svc_method!r}; "
+                    f"the service's method wins")
     trials: List[Dict[str, Any]] = []
 
     def trial():

@@ -36,6 +36,20 @@ def trace(log_dir: str = "results/logs/profiles",
         jax.profiler.stop_trace()
 
 
+def run_maybe_traced(run, profile: bool, cfg) -> None:
+    """Shared ``--profile`` wrapper for the CLI entry points: when enabled,
+    capture a device trace of ``run()`` under ``<PATHS.LOGS>/profiles`` and
+    print where it landed; otherwise just run. One implementation so the
+    train/predict CLIs cannot drift."""
+    if not profile:
+        run()
+        return
+    log_dir = os.path.join(cfg["PATHS"]["LOGS"], "profiles")
+    with trace(log_dir):
+        run()
+    print(f"profiler trace written to {log_dir}")
+
+
 def annotate(name: str):
     """Named trace region (shows up in the profiler timeline)."""
     import jax

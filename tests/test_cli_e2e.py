@@ -93,13 +93,14 @@ def test_profile_flags(workspace):
     ws, cfg_path = workspace
     prof_dir = os.path.join(ws, "results", "logs", "profiles")
 
-    out = _run_cli("train", cfg_path, "--profile", "--no-save-weights")
+    # Save weights so the predict step below has a checkpoint regardless
+    # of whether any sibling test ran first (no inter-test ordering).
+    out = _run_cli("train", cfg_path, "--profile")
     assert f"profiler trace written to {prof_dir}" in out
     n_train = len(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
                             recursive=True))
     assert n_train > 0
 
-    # predict needs the lifecycle test's checkpoint (MODEL_TO_LOAD: latest).
     out = _run_cli("predict", cfg_path, "--profile")
     assert f"profiler trace written to {prof_dir}" in out
     assert len(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),

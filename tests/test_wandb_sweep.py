@@ -159,6 +159,46 @@ def test_run_wandb_sweep_attaches_to_existing_sweep():
     assert len(out["trials"]) == 2
 
 
+def test_attach_warns_when_local_config_disagrees_with_service():
+    """Attaching to an existing sweep cross-checks the LOCAL METRIC_NAME /
+    METHOD against the service sweep's registered config (via wandb.Api
+    when available): a drifted local config.yml would otherwise log a
+    metric the service optimizer is not steering on — silently."""
+    from ab_line_classifier_tpu.config import Config, load_config
+    import os
+
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
+    d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
+    d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 1, "METHOD": "bayes",
+                                        "METRIC_GOAL": "maximize",
+                                        "METRIC_NAME": "epoch/val_auc",
+                                        "BACKEND": "wandb"})
+
+    class R:
+        best_val = {"val_auc": 0.7}
+        test_metrics = {}
+
+    class FakeApiSweep:
+        config = {"metric": {"name": "epoch/val_loss", "goal": "minimize"},
+                  "method": "grid"}
+
+    class FakeApi:
+        def sweep(self, sweep_id):
+            assert sweep_id == "svc-sweep"
+            return FakeApiSweep()
+
+    fw = FakeWandb()
+    fw.Api = FakeApi
+    with pytest.warns(UserWarning) as rec:
+        run_wandb_sweep(Config(d), wandb_module=fw,
+                        run_fn=lambda *a, **k: R(), verbose=False,
+                        sweep_id="svc-sweep")
+    msgs = " | ".join(str(w.message) for w in rec)
+    assert "epoch/val_loss" in msgs       # metric mismatch surfaced
+    assert "grid" in msgs                 # method mismatch surfaced
+
+
 def test_run_wandb_sweep_missing_metric_logs_fallback_under_own_name():
     """A minimize-goal sweep whose run produced no configured metric must
     NOT log the val_auc fallback (a maximize quantity) under METRIC_NAME
@@ -235,6 +275,13 @@ def test_hparam_search_passes_sweep_id_to_wandb_backend(monkeypatch):
     assert calls == {"agent_id": "resume-me"}  # attached, nothing registered
     assert out["sweep_id"] == "resume-me"
     assert out["best_params"] is None  # unified shape even with no trials
+
+    # --resume WITHOUT --sweep-id must fail fast: the service owns the
+    # trial history, and silently registering a fresh sweep would re-run
+    # every trial against the user's resume request.
+    with pytest.raises(ValueError, match="sweep-id"):
+        hparam_search(Config(d), verbose=False, resume=True)
+    assert "registered" not in calls
 
 
 def test_hparam_search_falls_back_without_wandb(tmp_path):

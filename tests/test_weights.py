@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.models.weights import (export_h5_weights,
@@ -140,7 +141,10 @@ def test_graphless_export_grayscale_conv_not_depthwise(tmp_path):
             "kernel": rng.randn(3, 3, 1, 32).astype(np.float32)},
     }}
     h5_path = str(tmp_path / "gray.h5")
-    export_h5_weights(h5_path, variables)
+    # The ambiguous-but-unnamed layer is exported as a plain conv AND
+    # announced (an out-of-zoo DepthwiseConv2D would land here silently).
+    with pytest.warns(UserWarning, match="shape-ambiguous"):
+        export_h5_weights(h5_path, variables)
     def _names(attr):
         return [n.decode() if isinstance(n, bytes) else str(n) for n in attr]
 
