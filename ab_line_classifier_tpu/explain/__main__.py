@@ -22,6 +22,9 @@ def main():
                         "the frame table)")
     p.add_argument("--mode", choices=["normal", "plusplus"], default=None)
     p.add_argument("--limit", type=int, default=8)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the "
+                        "explain pass to <PATHS.LOGS>/profiles")
     args = p.parse_args()
 
     cfg = load_config(args.config)
@@ -42,8 +45,14 @@ def main():
     else:
         frame_df = frame_df.head(args.limit)
     frame_df = frame_df.reset_index(drop=True)
-    explainer = GradCAMExplainer(cfg, mode=args.mode)
-    explainer.apply_gradcam(frame_df)
+
+    def run():
+        explainer = GradCAMExplainer(cfg, mode=args.mode)
+        explainer.apply_gradcam(frame_df)
+
+    from ab_line_classifier_tpu.utils.profiling import run_maybe_traced
+
+    run_maybe_traced(run, args.profile, cfg)
     print(f"wrote {len(frame_df)} heatmaps to {cfg['PATHS']['HEATMAPS']}")
 
 

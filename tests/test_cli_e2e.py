@@ -103,5 +103,11 @@ def test_profile_flags(workspace):
 
     out = _run_cli("predict", cfg_path, "--profile")
     assert f"profiler trace written to {prof_dir}" in out
+    n_predict = len(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                              recursive=True))
+    assert n_predict > n_train
+
+    out = _run_cli("explain", cfg_path, "--profile", "--limit", "1")
+    assert f"profiler trace written to {prof_dir}" in out
     assert len(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
-                         recursive=True)) > n_train
+                         recursive=True)) > n_predict
