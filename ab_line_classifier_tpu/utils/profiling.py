@@ -40,7 +40,7 @@ def run_maybe_traced(run, profile: bool, cfg) -> None:
     """Shared ``--profile`` wrapper for the CLI entry points: when enabled,
     capture a device trace of ``run()`` under ``<PATHS.LOGS>/profiles`` and
     print where it landed; otherwise just run. One implementation so the
-    train/predict CLIs cannot drift."""
+    train/predict/explain CLIs cannot drift."""
     if not profile:
         run()
         return
