@@ -86,6 +86,33 @@ def test_cli_lifecycle(workspace):
     assert os.path.getsize(onnx_path) > 0
 
 
+def test_explain_frames_selection(workspace):
+    """``explain --frames`` selects table rows by basename (full paths
+    accepted) and exits with an error when nothing matches."""
+    ws, cfg_path = workspace
+    _run_cli("train", cfg_path)  # ensure a checkpoint exists (no ordering)
+
+    import pandas as pd
+
+    with open(cfg_path) as f:
+        frame_table = yaml.safe_load(f)["PATHS"]["FRAME_TABLE"]
+    name = pd.read_csv(frame_table)["Frame Path"].iloc[3]
+    out = _run_cli("explain", cfg_path, "--frames",
+                   os.path.join("/some/prefix", name))
+    assert "wrote 1 heatmaps" in out
+
+    env = dict(os.environ)
+    env.update({"ABLC_PLATFORM": "cpu", "ABLC_CONFIG": cfg_path,
+                "PYTHONPATH": REPO_ROOT + os.pathsep
+                + env.get("PYTHONPATH", "")})
+    proc = subprocess.run(
+        [sys.executable, "-m", "ab_line_classifier_tpu.explain",
+         "--frames", "no_such_frame.jpg"],
+        env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=900)
+    assert proc.returncode != 0
+    assert "no_such_frame.jpg" in proc.stderr
+
+
 def test_profile_flags(workspace):
     """``train --profile`` / ``predict --profile`` wrap the run in a
     jax.profiler trace and leave TensorBoard-viewable artifacts under
