@@ -85,6 +85,20 @@ def test_cli_lifecycle(workspace):
     _run_cli("export", cfg_path, "--out", onnx_path, "--batch-size", "2")
     assert os.path.getsize(onnx_path) > 0
 
+    # predict FROM the exported .onnx (the reference's alternate inference
+    # format, reference predict.py:47-48): same CLI, MODEL_TO_LOAD swapped.
+    with open(cfg_path) as f:
+        d = yaml.safe_load(f)
+    d["PATHS"]["MODEL_TO_LOAD"] = onnx_path
+    d["PATHS"]["BATCH_PREDS"] = os.path.join(ws, "onnx_predictions") + os.sep
+    onnx_cfg = os.path.join(ws, "config_onnx.yml")
+    with open(onnx_cfg, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=False)
+    _run_cli("predict", onnx_cfg)
+    onnx_preds = glob.glob(os.path.join(ws, "onnx_predictions", "*.csv"))
+    assert any("clip" in os.path.basename(p) for p in onnx_preds)
+    assert any("frame" in os.path.basename(p) for p in onnx_preds)
+
 
 def test_explain_frames_selection(workspace):
     """``explain --frames`` selects table rows by basename (full paths
