@@ -17,6 +17,7 @@ additionally writes the legacy-style mean/std summary CSV (reference
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -330,6 +331,44 @@ def _latest_trials_file(cfg: Config, prefix: str) -> Optional[str]:
     return os.path.splitext(os.path.basename(latest))[0]
 
 
+def _read_trial_records(path: str, verbose: bool) -> list:
+    """Load a ``{group}.jsonl`` trial/fold log, tolerating a torn tail.
+
+    Records are appended as trials complete, so a hard kill (or disk-full)
+    can tear the FINAL line mid-write; that tail is dropped AND truncated
+    off the file — the trial reruns and its record appends at a clean
+    line boundary (otherwise the rerun's append would glue onto the torn
+    fragment, corrupting the file mid-line for the next resume). A
+    malformed line anywhere earlier is real corruption — the file is not
+    trustworthy as a skip-list — so that still raises.
+    """
+    if not os.path.isfile(path):
+        return []
+    records = []
+    with open(path, "rb") as f:
+        lines = f.readlines()
+    good_bytes = 0
+    for i, line in enumerate(lines):
+        try:
+            records.append(json.loads(line))
+            good_bytes += len(line)
+        except json.JSONDecodeError:
+            if i != len(lines) - 1:
+                raise
+            if verbose:
+                print(f"dropping torn trailing record in {path} "
+                      f"(interrupted mid-write); rerunning that trial")
+            with open(path, "rb+") as f:
+                f.truncate(good_bytes)
+    if (lines and len(records) == len(lines)
+            and not lines[-1].endswith(b"\n")):
+        # Tear dropped only the newline: the record is intact but the next
+        # append would glue onto it — restore the line boundary.
+        with open(path, "ab") as f:
+            f.write(b"\n")
+    return records
+
+
 def hparam_search(cfg: Config, save_weights: bool = False,
                   verbose: bool = True,
                   sweep_id: Optional[str] = None,
@@ -341,7 +380,6 @@ def hparam_search(cfg: Config, save_weights: bool = False,
     completed trials feed the controller as observations and are skipped.
     ``resume=True`` without an id resumes the most recent sweep, if any.
     """
-    import json
 
     search = cfg["TRAIN"]["HPARAM_SEARCH"]
     # Optional W&B sweep-service backend (the reference's scheduler,
@@ -386,17 +424,13 @@ def hparam_search(cfg: Config, save_weights: bool = False,
     os.makedirs(cfg["PATHS"]["EXPERIMENTS"], exist_ok=True)
     trials_path = os.path.join(cfg["PATHS"]["EXPERIMENTS"],
                                f"{group}.jsonl")
-    results = []
-    if os.path.isfile(trials_path):
-        with open(trials_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                results.append(rec)
-                controller.observe(
-                    {k: v for k, v in rec.items()
-                     if k not in ("trial", "objective")}, rec["objective"])
-        if verbose and results:
-            print(f"resuming sweep {group}: {len(results)} trials done")
+    results = _read_trial_records(trials_path, verbose)
+    for rec in results:
+        controller.observe(
+            {k: v for k, v in rec.items()
+             if k not in ("trial", "objective")}, rec["objective"])
+    if verbose and results:
+        print(f"resuming sweep {group}: {len(results)} trials done")
 
     for trial in range(len(results), n_evals):
         try:
@@ -706,8 +740,6 @@ def cross_validation(cfg: Config, save_weights: bool = False,
     Fold results persist to ``EXPERIMENTS/{group}.jsonl`` as they complete;
     ``resume=True`` picks up the most recent interrupted run (or the named
     ``group``) and skips the folds already done."""
-    import json
-
     n_folds = int(cfg["TRAIN"]["N_FOLDS"])
     if group is None and resume:
         group = _latest_trials_file(cfg, "kfold")
@@ -717,12 +749,9 @@ def cross_validation(cfg: Config, save_weights: bool = False,
     group = group or f"kfold-{time.strftime('%Y%m%d-%H%M%S')}"
     os.makedirs(cfg["PATHS"]["EXPERIMENTS"], exist_ok=True)
     folds_path = os.path.join(cfg["PATHS"]["EXPERIMENTS"], f"{group}.jsonl")
-    rows = []
-    if os.path.isfile(folds_path):
-        with open(folds_path) as f:
-            rows = [json.loads(line) for line in f]
-        if verbose and rows:
-            print(f"resuming k-fold run {group}: {len(rows)} folds done")
+    rows = _read_trial_records(folds_path, verbose)
+    if verbose and rows:
+        print(f"resuming k-fold run {group}: {len(rows)} folds done")
     for fold_id in range(len(rows), n_folds):
         if verbose:
             print(f"=== fold {fold_id}/{n_folds}")

@@ -75,6 +75,61 @@ def _final_params(ws):
     return variables["params"]
 
 
+def test_sigkill_mid_sweep_resumes_at_trial_granularity(tmp_path):
+    """SIGKILL a serial hparam_search after its first trial lands, then
+    ``--resume --sweep-id``: completed trials are never retrained (their
+    persisted records stay byte-identical) and the sweep finishes with the
+    full trial budget."""
+    ws, cfg_path = _make_workspace(tmp_path, "sweep")
+    with open(cfg_path) as f:
+        d = yaml.safe_load(f)
+    d["TRAIN"].update({"EXPERIMENT_TYPE": "hparam_search", "EPOCHS": 2})
+    d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 3, "METHOD": "bayes"})
+    d["HPARAM_SEARCH"]["CNN0"] = {
+        "LR": {"TYPE": "float_log", "RANGE": [1e-4, 1e-2]},
+        "DROPOUT": {"TYPE": "float_uniform", "RANGE": [0.0, 0.5]}}
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=False)
+    trials_path = os.path.join(ws, "results", "experiments",
+                               "crash-sweep.jsonl")
+
+    victim = subprocess.Popen(
+        [sys.executable, "-m", "ab_line_classifier_tpu.train",
+         "--sweep-id", "crash-sweep"],
+        env=_env(cfg_path), cwd=REPO_ROOT,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if os.path.exists(trials_path) and os.path.getsize(trials_path):
+                break
+            if victim.poll() is not None:
+                pytest.fail("sweep finished before its first trial landed")
+            time.sleep(0.02)
+        else:
+            pytest.fail("no trial record appeared within 600s")
+        victim.send_signal(signal.SIGKILL)
+        victim.wait(timeout=60)
+    finally:
+        if victim.poll() is None:
+            victim.kill()
+            victim.wait(timeout=60)
+
+    with open(trials_path, "rb") as f:
+        first_record = f.readline()
+    n_before = sum(1 for _ in open(trials_path))
+    assert 1 <= n_before < 3
+
+    _train(cfg_path, "--resume", "--sweep-id", "crash-sweep")
+
+    with open(trials_path, "rb") as f:
+        lines = f.readlines()
+    assert len(lines) == 3
+    assert lines[0] == first_record, "completed trial was retrained"
+    assert glob.glob(os.path.join(ws, "results", "experiments",
+                                  "hparam_search_*.csv"))
+
+
 def test_sigkill_mid_training_resumes_to_identical_model(tmp_path):
     ws_a, cfg_a = _make_workspace(tmp_path, "uninterrupted")
     ws_b, cfg_b = _make_workspace(tmp_path, "killed")

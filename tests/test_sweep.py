@@ -168,3 +168,38 @@ def test_sweep_objective_fallback_ignores_minimize_sign():
     # Absent metric: the AUC fallback keeps maximize semantics either way.
     assert _sweep_objective(r, "test/loss", "minimize") == 0.9
     assert _sweep_objective(r, "test/loss", "maximize") == 0.9
+
+
+def test_read_trial_records_tolerates_torn_tail(tmp_path, capsys):
+    """A hard kill can tear the FINAL appended record mid-write; resume
+    must drop it (rerunning that trial) rather than crash. Corruption
+    anywhere earlier means the skip-list is untrustworthy and still
+    raises."""
+    import json
+
+    from ab_line_classifier_tpu.train.experiment import _read_trial_records
+
+    assert _read_trial_records(str(tmp_path / "absent.jsonl"), False) == []
+
+    good = [{"trial": 0, "objective": 0.7}, {"trial": 1, "objective": 0.8}]
+    clean = "".join(json.dumps(r) + "\n" for r in good)
+    torn = tmp_path / "torn.jsonl"
+    torn.write_text(clean + '{"trial": 2, "obj')
+    assert _read_trial_records(str(torn), True) == good
+    assert "torn trailing record" in capsys.readouterr().out
+    # ...and the torn fragment is truncated off, so the rerun trial's
+    # append lands on a clean line boundary (not glued onto the fragment).
+    assert torn.read_text() == clean
+
+    # Tear that dropped only the final newline: record kept, boundary
+    # restored so the next append cannot glue onto it.
+    noeol = tmp_path / "noeol.jsonl"
+    noeol.write_text(clean.rstrip("\n"))
+    assert _read_trial_records(str(noeol), False) == good
+    assert noeol.read_text() == clean
+
+    corrupt = tmp_path / "corrupt.jsonl"
+    corrupt.write_text('{"trial": 0, "obj\n'
+                       + json.dumps(good[1]) + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        _read_trial_records(str(corrupt), False)
