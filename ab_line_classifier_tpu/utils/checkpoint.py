@@ -31,15 +31,26 @@ STATE_NAME = "state"
 
 def save_model(model_dir: str, variables: Dict[str, Any],
                meta: Dict[str, Any]) -> str:
+    """Write order is the commit protocol: Orbax state first (itself
+    atomic — tmp dir renamed into place), ``meta.json`` LAST via
+    tmp+rename. ``meta.json`` is the marker ``is_model_dir`` keys on, so a
+    crash mid-save can never leave a directory that ``resolve_model_dir``
+    would pick as the newest checkpoint but ``load_model`` cannot restore
+    (which would also shadow older good checkpoints behind a broken
+    'latest')."""
     model_dir = os.path.abspath(model_dir)
     os.makedirs(model_dir, exist_ok=True)
-    with open(os.path.join(model_dir, META_NAME), "w") as f:
-        json.dump(meta, f, indent=2, default=_json_default)
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(model_dir, STATE_NAME)
     variables = jax.tree.map(np.asarray, variables)
     ckptr.save(state_path, variables, force=True)
     ckptr.wait_until_finished()
+    meta_tmp = os.path.join(model_dir, META_NAME + ".tmp")
+    with open(meta_tmp, "w") as f:
+        json.dump(meta, f, indent=2, default=_json_default)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(meta_tmp, os.path.join(model_dir, META_NAME))
     return model_dir
 
 
@@ -54,7 +65,11 @@ def _json_default(o):
 
 
 def is_model_dir(path: str) -> bool:
-    return os.path.isfile(os.path.join(path, META_NAME))
+    # Both halves must exist: meta.json alone can be left by a save that
+    # crashed before save_model's meta-last ordering existed (or by hand);
+    # state alone is a save that crashed before its meta commit marker.
+    return (os.path.isfile(os.path.join(path, META_NAME))
+            and os.path.exists(os.path.join(path, STATE_NAME)))
 
 
 def resolve_model_dir(path: str) -> str:
