@@ -54,8 +54,12 @@ class ArtifactStore:
         root = self._artifact_root(name)
         if not os.path.isdir(root):
             return []
+        # metadata.json is the commit marker (every logger writes it LAST,
+        # atomically): a version dir without one is a log that crashed
+        # mid-write and must not resolve as "latest".
         vs = [d for d in os.listdir(root) if d.startswith("v")
-              and d[1:].isdigit()]
+              and d[1:].isdigit()
+              and os.path.isfile(os.path.join(root, d, "metadata.json"))]
         return sorted(vs, key=lambda v: int(v[1:]))
 
     def resolve(self, name: str, version: str = "latest") -> str:
@@ -73,6 +77,11 @@ class ArtifactStore:
         vs = self.versions(name)
         nxt = f"v{int(vs[-1][1:]) + 1 if vs else 0}"
         path = os.path.join(self._artifact_root(name), nxt)
+        if os.path.isdir(path):
+            # By construction an uncommitted partial (committed versions are
+            # listed above and skipped): clear its leftovers so the new log
+            # can't inherit stale files (e.g. extra fold dirs).
+            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         return path
 
@@ -84,8 +93,12 @@ class ArtifactStore:
     def _write_meta(self, path: str, meta: Dict) -> None:
         meta = dict(meta)
         meta["artifact_version"] = os.path.basename(path)
-        with open(os.path.join(path, "metadata.json"), "w") as f:
+        tmp = os.path.join(path, "metadata.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, "metadata.json"))
 
     # -- lineage stages ----------------------------------------------------
     def log_images(self, frames_csv: str, clips_csv: str,

@@ -81,3 +81,33 @@ def test_missing_artifact_raises(tmp_path):
     store = ArtifactStore(str(tmp_path))
     with pytest.raises(FileNotFoundError):
         store.resolve("TrainValTest")
+
+
+def test_crashed_log_never_resolves_as_latest(tmp_path):
+    """A version dir without metadata.json is a log that crashed mid-write
+    (every logger commits metadata LAST): it must be invisible to
+    resolution, and the next log must reclaim the slot WITHOUT inheriting
+    the crashed attempt's leftover files."""
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=6,
+                                        clips_per_patient=1,
+                                        frames_per_clip=2, hw=(16, 16))
+    store = ArtifactStore(os.path.join(ws, "artifacts"))
+    good = store.log_images(fcsv, ccsv, frames_dir=fdir)
+    assert good.endswith("v0")
+
+    # Simulate a crash: v1 exists with data but no metadata commit marker.
+    partial = os.path.join(store.root, "Images", "v1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "stale_leftover.csv"), "w") as f:
+        f.write("junk")
+
+    assert store.versions("Images") == ["v0"]
+    assert store.resolve("Images") == good
+
+    relog = store.log_images(fcsv, ccsv, frames_dir=fdir)
+    assert relog.endswith("v1")
+    assert not os.path.exists(os.path.join(relog, "stale_leftover.csv"))
+    assert store.resolve("Images") == relog
+    assert store.metadata("Images")["artifact_version"] == "v1"
+    assert not os.path.exists(os.path.join(relog, "metadata.json.tmp"))
