@@ -147,17 +147,8 @@ def fused_preprocess(frames: jax.Array, *, out_hw: Tuple[int, int] = (128, 128),
         x = x * mask.astype(x.dtype)[None, :, :, None]
 
     perm, scale, bias = preprocess_affine_params(preprocess_mode)
-    h, w = x.shape[1], x.shape[2]
-    oh, ow = out_hw
-    needs_perm = not np.array_equal(perm, np.arange(3))
-    if (h, w) != (oh, ow):
-        ridx = jnp.asarray(nearest_indices(h, oh, resize_mode))
-        cidx = jnp.asarray(nearest_indices(w, ow, resize_mode))
-        x = x[:, ridx][:, :, cidx]
-        if needs_perm:
-            x = x[..., jnp.asarray(perm)]
-            needs_perm = False
-    if needs_perm:
+    x = nearest_resize(x, out_hw, resize_mode)
+    if not np.array_equal(perm, np.arange(3)):
         x = x[..., jnp.asarray(perm)]
 
     x = x.astype(jnp.float32)

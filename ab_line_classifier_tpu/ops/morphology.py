@@ -125,11 +125,17 @@ def clean_masks(prob_masks: jax.Array, *, erode_size: int, dilate_size: int,
 @jax.jit
 def majority_average_mask(binary_masks: jax.Array) -> jax.Array:
     """Average sampled-frame masks, 5x5 smooth, majority vote
-    (auto_masking.py:84-90). [B, H, W] in, [H, W] binary out."""
+    (auto_masking.py:84-90). [B, H, W] in, [H, W] binary out.
+
+    Exact ties (smoothed == n/2, reachable only for even n) map to 1: the
+    reference zeroes ``< n/2`` and sets ``> n/2`` to 1, leaving ties at
+    the nonzero value n/2 — which downstream behaves as pass-through in
+    both ``cv2.bitwise_and`` (any nonzero passes) and the bounding box
+    (nonzero counts), i.e. as a 1."""
     total = jnp.sum(binary_masks, axis=0, keepdims=True)
     smoothed = box_filter(total)[0]
     n = binary_masks.shape[0]
-    return (smoothed > n / 2.0).astype(jnp.float32)
+    return (smoothed >= n / 2.0).astype(jnp.float32)
 
 
 def bounding_box(mask: np.ndarray) -> Tuple[int, int, int, int]:

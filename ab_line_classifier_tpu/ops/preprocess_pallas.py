@@ -163,12 +163,40 @@ def pallas_preprocess(frames: jax.Array, *,
     return out[0] if squeeze else out
 
 
+# Empirically calibrated on TPU v5e (2026-08, this jaxlib/Mosaic): one grid
+# step holds the whole source frame in VMEM, and Mosaic compilation fails
+# past ~5M source elements. Measured: 1080x1440x3 = 4.67M compiles and runs,
+# 1200x1600x3 = 5.76M fails remote compile. 4.7M admits every verified size.
+_MAX_SRC_ELEMENTS = 4_700_000
+
+
+def pallas_fits_vmem(src_hw: Tuple[int, int],
+                     out_hw: Tuple[int, int] = (128, 128)) -> bool:
+    """Whether one grid step of :func:`pallas_preprocess` fits VMEM.
+
+    The kernel holds the whole source frame as ONE VMEM block, so large
+    frames (e.g. raw 1080p/1200p mp4 through the WaveBase deploy path)
+    exceed the ~16 MB VMEM and fail Mosaic compilation; the auto path must
+    fall back to the fused-XLA program, which tiles freely. The budget is
+    empirical (see ``_MAX_SRC_ELEMENTS``), calibrated at 128x128 output;
+    larger outputs also grow the column-selection matrix and the row-pass
+    intermediate, so they proportionally shrink the admitted source size.
+    """
+    hs, ws = src_hw
+    hd, wd = out_hw
+    scale = max(1.0, (hd * wd) / (128 * 128))
+    return hs * ws * 3 * scale <= _MAX_SRC_ELEMENTS
+
+
 def preprocess_frames(frames: jax.Array, *, use_pallas: Optional[bool] = None,
                       **kwargs) -> jax.Array:
-    """Auto-selecting entry point: the Pallas kernel on TPU, the fused-XLA
-    path elsewhere (CPU tests run the same math through XLA)."""
+    """Auto-selecting entry point: the Pallas kernel on TPU (when the
+    source size fits VMEM), the fused-XLA path elsewhere (CPU tests run
+    the same math through XLA)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and pallas_fits_vmem(frames.shape[-3:-1],
+                                           kwargs.get("out_hw", (128, 128))))
     if use_pallas:
         return pallas_preprocess(frames, **kwargs)
     # Pallas-only debug knob: meaningless for the XLA path, dropped so the

@@ -27,23 +27,31 @@ def main():
     clips_path = cfg["PATHS"]["CLIPS_TABLE"]
 
     def run():
-        # One restore + one jit compile shared by both passes (each would
-        # otherwise reload the checkpoint and recompile — minutes on a first
-        # TPU compile — and re-decode the full frame table).
-        from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
-        from ab_line_classifier_tpu.predict.predict import Predictor
-        predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size, cfg=cfg,
-                                      mesh=mesh_from_config(cfg))
+        # One restore + one jit compile + ONE frame sweep shared by both
+        # passes (each would otherwise reload the checkpoint, recompile —
+        # minutes on a first TPU compile — and re-decode + re-predict the
+        # full frame table; thresholds apply downstream of the probs, so
+        # the sweep is pass-independent).
+        import pandas as pd
+
+        from ab_line_classifier_tpu.data.pipeline import FrameDataset
+        from ab_line_classifier_tpu.predict.predict import default_predictor
+        predictor = default_predictor(cfg)
+        frames_df = pd.read_csv(frames_path)
+        ds = FrameDataset(frames_df, cfg["PATHS"]["FRAMES"],
+                          img_dim=cfg.img_dim)
+        frame_probs = predictor.predict_dataset(ds)
         compute_clip_predictions(
             cfg, frames_path, clips_path,
             class_thresh=float(
                 cfg["CLIP_PREDICTION"]["CLASSIFICATION_THRESHOLD"]),
             clip_algorithm=cfg["CLIP_PREDICTION"]["ALGORITHM"],
-            calculate_metrics=not args.no_metrics, predictor=predictor)
+            calculate_metrics=not args.no_metrics, predictor=predictor,
+            frame_probs=frame_probs)
         compute_frame_predictions(cfg, frames_path, class_thresh=0.5,
                                   calculate_metrics=not args.no_metrics,
-                                  predictor=predictor)
+                                  predictor=predictor,
+                                  frame_probs=frame_probs)
 
     from ab_line_classifier_tpu.utils.profiling import run_maybe_traced
 

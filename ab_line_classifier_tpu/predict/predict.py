@@ -227,6 +227,28 @@ class Predictor:
         return out
 
 
+def default_predictor(cfg: Config) -> Predictor:
+    """The restore every predict surface shares (``PATHS.MODEL_TO_LOAD``
+    checkpoint dir or ``.onnx``, config batch size, mesh from PARALLEL) —
+    one definition so the CLI and both compute_* functions cannot drift."""
+    from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+
+    return Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
+                             batch_size=cfg.batch_size, cfg=cfg,
+                             mesh=mesh_from_config(cfg))
+
+
+def classify_probs(probs: np.ndarray, cfg: Config,
+                   threshold: float = 0.5) -> List[int]:
+    """Threshold b_lines probability -> predicted class ids in DATA.CLASSES
+    order via the serialized class-index map (reference predict.py:73-76)."""
+    idx_map = load_class_idx_map(cfg)
+    preds = (probs[:, idx_map["b_lines"]] >= threshold).astype(int)
+    idx_class = {v: k for k, v in idx_map.items()}
+    classes = cfg.classes
+    return [classes.index(idx_class[int(p)]) for p in preds]
+
+
 def predict_set(predictor: Predictor, frames_df: pd.DataFrame,
                 frames_dir: str, cfg: Config,
                 threshold: float = 0.5) -> Tuple[List[int], np.ndarray]:
@@ -234,12 +256,7 @@ def predict_set(predictor: Predictor, frames_df: pd.DataFrame,
     ids in DATA.CLASSES order, probability array)."""
     ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
     probs = predictor.predict_dataset(ds)
-    idx_map = load_class_idx_map(cfg)
-    preds = (probs[:, idx_map["b_lines"]] >= threshold).astype(int)
-    idx_class = {v: k for k, v in idx_map.items()}
-    classes = cfg.classes
-    pred_ids = [classes.index(idx_class[int(p)]) for p in preds]
-    return pred_ids, probs
+    return classify_probs(probs, cfg, threshold), probs
 
 
 # ----------------------------------------------------------------------
@@ -253,6 +270,18 @@ def group_clip_probs(frames_df: pd.DataFrame, probs: np.ndarray,
     for clip_name in clip_names:
         idx = np.nonzero(paths.str.contains(clip_name, regex=False).to_numpy())[0]
         groups.append(idx)
+    # A clip with zero matching frames is a frames/clips table mismatch
+    # (typo, extension mismatch, wrong FRAME_TABLE): aggregating its
+    # all-padding row would silently score it as a confident negative
+    # (average -> [0,0]; contiguous/sliding_window -> a_lines) and the
+    # corruption would be invisible in the metrics. Fail loudly instead.
+    empty = [n for n, g in zip(clip_names, groups) if len(g) == 0]
+    if empty:
+        shown = ", ".join(map(repr, empty[:5]))
+        raise ValueError(
+            f"{len(empty)} clip(s) in the clips table match no rows of the "
+            f"frames table (first: {shown}) — check that FRAME_TABLE and "
+            f"CLIPS_TABLE describe the same dataset")
     max_frames = max((len(g) for g in groups), default=1) or 1
     n_clips = len(clip_names)
     c = probs.shape[1]
@@ -269,15 +298,17 @@ def compute_clip_predictions(cfg: Config, frames_table_path: str,
                              clip_algorithm: str = "contiguous",
                              calculate_metrics: bool = True,
                              predictor: Optional[Predictor] = None,
-                             frames_dir: Optional[str] = None) -> pd.DataFrame:
+                             frames_dir: Optional[str] = None,
+                             frame_probs: Optional[np.ndarray] = None
+                             ) -> pd.DataFrame:
     """Reference ``compute_clip_predictions`` (predict.py:125-188), as one
-    batched device sweep + one compiled aggregation call."""
-    if predictor is None:
-        from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+    batched device sweep + one compiled aggregation call.
 
-        predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size, cfg=cfg,
-                                      mesh=mesh_from_config(cfg))
+    ``frame_probs`` (rows aligned with the frames table) skips the sweep —
+    the CLI computes one sweep and feeds both the clip and frame passes.
+    """
+    if predictor is None:
+        predictor = default_predictor(cfg)
     frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
     set_name = os.path.basename(frames_table_path).split(".")[0] + "_clips"
 
@@ -288,8 +319,9 @@ def compute_clip_predictions(cfg: Config, frames_table_path: str,
           f"with {clip_algorithm} algorithm.")
 
     # ONE sweep over every frame, then one compiled aggregation.
-    ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
-    frame_probs = predictor.predict_dataset(ds)
+    if frame_probs is None:
+        ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
+        frame_probs = predictor.predict_dataset(ds)
     padded, mask = group_clip_probs(frames_df, frame_probs, clip_names)
     clip_probs = np.asarray(agg.aggregate_clips(
         jnp.asarray(padded), jnp.asarray(mask), algorithm=clip_algorithm,
@@ -329,20 +361,26 @@ def compute_frame_predictions(cfg: Config, dataset_files_path: str,
                               class_thresh: float = 0.5,
                               calculate_metrics: bool = True,
                               predictor: Optional[Predictor] = None,
-                              frames_dir: Optional[str] = None) -> pd.DataFrame:
-    """Reference ``compute_frame_predictions`` (predict.py:191-222)."""
-    if predictor is None:
-        from ab_line_classifier_tpu.parallel.mesh import mesh_from_config
+                              frames_dir: Optional[str] = None,
+                              frame_probs: Optional[np.ndarray] = None
+                              ) -> pd.DataFrame:
+    """Reference ``compute_frame_predictions`` (predict.py:191-222).
 
-        predictor = Predictor.restore(cfg["PATHS"]["MODEL_TO_LOAD"],
-                                      batch_size=cfg.batch_size, cfg=cfg,
-                                      mesh=mesh_from_config(cfg))
+    ``frame_probs`` (rows aligned with the frames table) skips the sweep —
+    see :func:`compute_clip_predictions`.
+    """
+    if predictor is None:
+        predictor = default_predictor(cfg)
     frames_dir = frames_dir or cfg["PATHS"]["FRAMES"]
     set_name = os.path.basename(dataset_files_path).split(".")[0] + "_frames"
 
     files_df = pd.read_csv(dataset_files_path)
-    pred_classes, pred_probs = predict_set(
-        predictor, files_df, frames_dir, cfg, threshold=class_thresh)
+    if frame_probs is None:
+        pred_classes, pred_probs = predict_set(
+            predictor, files_df, frames_dir, cfg, threshold=class_thresh)
+    else:
+        pred_probs = frame_probs
+        pred_classes = classify_probs(pred_probs, cfg, class_thresh)
 
     if calculate_metrics:
         frame_labels = files_df["Class"].to_numpy()

@@ -116,6 +116,16 @@ def test_majority_average_mask():
     assert avg[1, 1] == 0.0
 
 
+def test_majority_average_mask_tie_passes():
+    """Exact ties (== n/2, even n) count as mask support: the reference
+    leaves them at the nonzero value n/2, which passes bitwise_and and
+    joins the bounding box (auto_masking.py:89-91)."""
+    masks = np.zeros((2, 32, 32), np.float32)
+    masks[0, 4:28, 4:28] = 1.0  # 1/2 frames -> smoothed interior == n/2
+    avg = np.asarray(M.majority_average_mask(jnp.asarray(masks)))
+    assert avg[16, 16] == 1.0
+
+
 def test_bounding_box():
     m = np.zeros((20, 30))
     m[5:10, 12:18] = 1

@@ -188,3 +188,17 @@ def test_device_cache_budget_arithmetic(monkeypatch):
 
     monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev({})])
     assert P.device_cache_budget() == P.DEVICE_CACHE_BYTES
+
+
+def test_pallas_vmem_guard():
+    """The auto path must reject source frames whose single-block kernel
+    would blow ~16 MB VMEM (raw 1080p through the WaveBase deploy path)
+    and keep accepting the LUS-typical sizes the kernel is built for."""
+    from ab_line_classifier_tpu.ops.preprocess_pallas import pallas_fits_vmem
+
+    assert pallas_fits_vmem((480, 640))
+    assert pallas_fits_vmem((1080, 1440))   # measured-OK boundary size
+    assert not pallas_fits_vmem((1200, 1600))  # measured Mosaic failure
+    assert not pallas_fits_vmem((1080, 1920))
+    # Larger outputs shrink the admitted source size.
+    assert not pallas_fits_vmem((1080, 1440), out_hw=(256, 256))
