@@ -69,8 +69,13 @@ class ArtifactStore:
                                     f"{self.root!r}")
         v = vs[-1] if version in ("", "latest", None) else version
         path = os.path.join(self._artifact_root(name), v)
-        if not os.path.isdir(path):
-            raise FileNotFoundError(f"artifact {name}:{version} not found")
+        # Explicitly pinned versions honor the same metadata.json commit
+        # marker as "latest": a version dir whose log crashed mid-write
+        # must not resolve just because the caller named it.
+        if (not os.path.isdir(path)
+                or not os.path.isfile(os.path.join(path, "metadata.json"))):
+            raise FileNotFoundError(
+                f"artifact {name}:{version} not found (or not committed)")
         return path
 
     def new_version_dir(self, name: str) -> str:
@@ -128,16 +133,26 @@ class ArtifactStore:
 
         images_meta = self.metadata(IMAGES)
         out = []
+        # Stage BOTH version dirs' data first, then commit the two metadata
+        # markers back-to-back: ModelDev and Holdout only make sense as a
+        # pair from ONE split run — a crash between a committed ModelDev
+        # and its Holdout would pair the new ModelDev with a stale Holdout
+        # from an older Images version, and patients could appear in both
+        # (the leakage this lineage exists to prevent). Adjacent commits
+        # shrink that window from seconds of CSV writing to microseconds;
+        # the shared images_artifact_version field makes any residual
+        # mismatch detectable.
         for name, fdf, cdf in ((MODEL_DEV, dev_frames, dev_clips),
                                (HOLDOUT, holdout_frames, holdout_clips)):
             path = self.new_version_dir(name)
             fdf.to_csv(os.path.join(path, "frames.csv"), index=False)
             cdf.to_csv(os.path.join(path, "clips_table.csv"), index=False)
+            out.append(path)
+        for path in out:
             self._write_meta(path, {
                 "images_artifact_version": images_meta["artifact_version"],
                 "random_seed": seed, "holdout_split": holdout_split,
                 "frames_dir": images_meta.get("frames_dir")})
-            out.append(path)
         return tuple(out)
 
     def log_train_val_test(self, cfg: Config) -> str:

@@ -305,6 +305,22 @@ class ParallelFoldTrainer:
     # ------------------------------------------------------------------
     RESUME_FILE = "trial_state.msgpack"
 
+    @staticmethod
+    def _history_to_host(history):
+        """Per-epoch history records as JSON-able host state. Checkpointing
+        the history matters beyond bookkeeping: lr_search_parallel selects
+        the best trial from the per-epoch metric matrix, so a resumed sweep
+        scored only on post-resume epochs would pick a different winner
+        than the uninterrupted run (a trial peaking before the crash would
+        lose its peak)."""
+        return [{k: (np.asarray(v).tolist() if isinstance(v, np.ndarray)
+                     else v) for k, v in h.items()} for h in history]
+
+    @staticmethod
+    def _history_from_host(records):
+        return [{k: (np.asarray(v) if isinstance(v, list) else v)
+                 for k, v in h.items()} for h in records]
+
     def _save_resume(self, path: str, payload_arrays: Dict, *,
                      host_state: Dict) -> None:
         """Mid-training checkpoint of the stacked F-fold state (params,
@@ -335,7 +351,9 @@ class ParallelFoldTrainer:
             checkpoint_dir: Optional[str] = None, resume: bool = False,
             shard_dataset="auto"):
         """Train all folds. Returns (best stacked variables, history: list of
-        per-epoch dicts of per-fold arrays).
+        per-epoch dicts of per-fold arrays). On resume the history includes
+        the checkpointed pre-interruption epochs, so it always describes
+        the run from epoch 0.
 
         :param lr_factors: optional per-fold learning-rate multipliers —
             either one ``[F]`` array applied in every phase, or a dict
@@ -414,6 +432,10 @@ class ParallelFoldTrainer:
                 # from different checkpoints (utils/resume.py).
                 resume_payload, resume_progress = loaded
                 epoch = resume_progress["epoch"] + 1
+                # Pre-crash epochs re-enter the returned history so metric
+                # selection over it (lr_search_parallel) sees the full run.
+                history = self._history_from_host(
+                    resume_progress.get("history", []))
 
         for phase_idx, phase in enumerate(self.spec.phases):
             if resume_progress and phase_idx < resume_progress["phase_idx"]:
@@ -584,6 +606,7 @@ class ParallelFoldTrainer:
                         host_state={
                             "epoch": epoch, "phase_idx": phase_idx,
                             "epoch_in_phase": int(epoch_in_phase),
+                            "history": self._history_to_host(history),
                             "best_val": [float(v) for v in best_val],
                             "best_plateau": [float(v)
                                              for v in best_plateau],

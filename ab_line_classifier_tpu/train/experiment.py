@@ -39,6 +39,7 @@ from ab_line_classifier_tpu.train.class_balance import (
 from ab_line_classifier_tpu.train.loop import Trainer
 from ab_line_classifier_tpu.train.sweep import (SweepExhausted,
                                                 make_controller,
+                                                replay_trials,
                                                 space_from_config)
 from ab_line_classifier_tpu.train.tracker import make_tracker
 from ab_line_classifier_tpu.utils import checkpoint as ckpt
@@ -69,8 +70,24 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
     if fold_id is not None:
         folds_root = paths.get("K_FOLDS_SPLIT_PATH", "")
         fold_csv = os.path.join(folds_root, f"fold_{fold_id}", "frames.csv")
+        val_split = float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"])
         if os.path.isfile(fold_csv):
+            # Pre-materialized fold artifact: its OWN metadata (n_folds,
+            # val_split, random_seed — written by log_k_fold_cross_val,
+            # same as the reference's artifact metadata at
+            # artifact_logging.py:312-318) wins over the current config.
+            # Trusting config TRAIN.N_FOLDS here would silently drop folds
+            # when the artifact was logged with a different count, and a
+            # changed config seed would re-derive a val split the artifact
+            # lineage never recorded.
             n_folds = int(cfg["TRAIN"]["N_FOLDS"])
+            meta_path = os.path.join(folds_root, "metadata.json")
+            if os.path.isfile(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                n_folds = int(meta.get("n_folds", n_folds))
+                val_split = float(meta.get("val_split", val_split))
+                seed = int(meta.get("random_seed", seed))
             folds = []
             for i in range(n_folds):
                 p = os.path.join(folds_root, f"fold_{i}", "frames.csv")
@@ -80,8 +97,7 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
             folds = S.k_fold_splits(frames_df, int(cfg["TRAIN"]["N_FOLDS"]),
                                     random_seed=seed)
         train_df, val_df, test_df = S.fold_train_val_test(
-            folds, fold_id, float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"]),
-            random_seed=seed)
+            folds, fold_id, val_split, random_seed=seed)
         return train_df, val_df, test_df, frames_dir
 
     part_frames = os.path.join(paths.get("PARTITIONS", ""), "frames")
@@ -425,10 +441,7 @@ def hparam_search(cfg: Config, save_weights: bool = False,
     trials_path = os.path.join(cfg["PATHS"]["EXPERIMENTS"],
                                f"{group}.jsonl")
     results = _read_trial_records(trials_path, verbose)
-    for rec in results:
-        controller.observe(
-            {k: v for k, v in rec.items()
-             if k not in ("trial", "objective")}, rec["objective"])
+    replay_trials(controller, results)
     if verbose and results:
         print(f"resuming sweep {group}: {len(results)} trials done")
 
@@ -538,6 +551,11 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
               f" trial-parallel; ignoring search variables {ignored} "
               f"(they stay at their HPARAMS defaults — use the serial "
               f"hparam_search to sweep them)")
+    if "LR" in space and ({"LR_EXTRACT", "LR_FINETUNE"} & set(space)):
+        raise ValueError(
+            "HPARAM_SEARCH defines both LR and LR_EXTRACT/LR_FINETUNE — "
+            "ambiguous for the trial-parallel sweep (the phase LRs would "
+            "silently stay at their HPARAMS defaults); keep one style")
     if "LR" in space:
         # 1-D LR space: a deterministic log grid dominates sequential search.
         trial_lrs = {"LR": grid(space["LR"], T)}
@@ -604,12 +622,16 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
 
     if not history:
         raise RuntimeError(
-            "lr_search_parallel: no epochs ran (EPOCHS=0 or the checkpoint "
-            "already covers the full budget) — no per-trial objective to "
-            "select from")
+            "lr_search_parallel: no epoch history (EPOCHS=0, or a resume "
+            "from a pre-history checkpoint format) — no per-trial objective "
+            "to select from")
 
-    # Per-trial best objective over epochs (METRIC_NAME semantics as in
-    # _sweep_objective; epoch/val_* keys come from the history arrays).
+    # Per-trial objective = the metric at that trial's best-val-loss epoch,
+    # the SAME semantics as the serial sweep (_sweep_objective reads the
+    # metric out of best_val, the min-val-loss epoch's metrics) — scoring
+    # max-over-epochs here instead would make the two backends crown
+    # different winners on identical trajectories, and would score a trial
+    # by an epoch whose weights EarlyStopping never restores.
     key = search["METRIC_NAME"].split("/")[-1]
     goal = search["METRIC_GOAL"]
     if key in history[0]:
@@ -623,7 +645,9 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
               f"selecting by val_auc (maximize) instead")
         col, goal = "val_auc", "maximize"
     stacked = np.stack([h[col] for h in history])          # [epochs, T]
-    per_trial = (stacked.max(0) if goal == "maximize" else stacked.min(0))
+    val_loss_mat = np.stack([h["val_loss"] for h in history])
+    best_epoch = val_loss_mat.argmin(axis=0)               # [T]
+    per_trial = stacked[best_epoch, np.arange(stacked.shape[1])]
     best_t = int(np.argmax(per_trial) if goal == "maximize"
                  else np.argmin(per_trial))
 

@@ -269,6 +269,28 @@ class BayesController(Controller):
         return cand_params[int(np.argmax(ei))]
 
 
+def replay_trials(controller: Controller, records: Sequence[Dict]) -> None:
+    """Feed completed-trial records into a fresh controller so a resumed
+    sweep continues the uninterrupted run's trajectory.
+
+    Each record replays as one ``suggest()`` (discarded) + ``observe()`` —
+    the exact call pattern of the original run. The discarded suggest is
+    the point: it advances the controller's rng/cursor state, so the next
+    live ``suggest()`` proposes what the uninterrupted run would have
+    proposed. Observing alone would leave random/bayes controllers on a
+    fresh seed, re-proposing the original run's first params — a resumed
+    sweep silently re-training duplicate configurations.
+    """
+    for rec in records:
+        params = {k: v for k, v in rec.items()
+                  if k not in ("trial", "objective")}
+        try:
+            controller.suggest()
+        except SweepExhausted:
+            pass
+        controller.observe(params, rec["objective"])
+
+
 def make_controller(method: str, space: Sequence[SweepVar],
                     seed: int = 0) -> Controller:
     method = method.lower()

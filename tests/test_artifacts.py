@@ -111,3 +111,52 @@ def test_crashed_log_never_resolves_as_latest(tmp_path):
     assert store.resolve("Images") == relog
     assert store.metadata("Images")["artifact_version"] == "v1"
     assert not os.path.exists(os.path.join(relog, "metadata.json.tmp"))
+
+
+def test_pinned_version_requires_commit_marker(tmp_path):
+    """resolve(name, 'vN') honors the metadata.json commit marker exactly
+    like 'latest' — naming a torn version explicitly must not admit it."""
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=6,
+                                        clips_per_patient=1,
+                                        frames_per_clip=2, hw=(16, 16))
+    store = ArtifactStore(os.path.join(ws, "artifacts"))
+    store.log_images(fcsv, ccsv, frames_dir=fdir)
+    partial = os.path.join(store.root, "Images", "v1")
+    os.makedirs(partial)
+    assert store.resolve("Images", "v0")  # committed: pinned fetch works
+    with pytest.raises(FileNotFoundError):
+        store.resolve("Images", "v1")
+
+
+def test_fold_artifact_metadata_beats_config(tmp_path):
+    """A pre-materialized fold artifact is read with ITS OWN n_folds /
+    val_split / seed (log_k_fold_cross_val metadata), not the current
+    config's — a config later edited to fewer folds must not silently drop
+    the artifact's remaining folds from every split."""
+    import yaml
+
+    from ab_line_classifier_tpu.config import Config
+    from ab_line_classifier_tpu.train.experiment import resolve_datasets
+    from tests.conftest import derive_workspace_config
+
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=16,
+                                        clips_per_patient=1,
+                                        frames_per_clip=2, hw=(16, 16))
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
+    d["TRAIN"]["N_FOLDS"] = 4
+    store = ArtifactStore(os.path.join(ws, "artifacts"))
+    store.log_images(fcsv, ccsv, frames_dir=fdir)
+    store.log_model_dev_holdout(Config(d))
+    kfold_path = store.log_k_fold_cross_val(Config(d))
+
+    # Config drifts to 2 folds; the artifact says 4.
+    d["TRAIN"]["N_FOLDS"] = 2
+    d["PATHS"]["K_FOLDS_SPLIT_PATH"] = kfold_path
+    tr, va, te, _ = resolve_datasets(Config(d), fold_id=0)
+
+    total = sum(len(pd.read_csv(os.path.join(kfold_path, f"fold_{i}",
+                                             "frames.csv")))
+                for i in range(4))
+    assert len(tr) + len(va) + len(te) == total  # all 4 folds partitioned

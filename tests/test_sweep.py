@@ -203,3 +203,39 @@ def test_read_trial_records_tolerates_torn_tail(tmp_path, capsys):
                        + json.dumps(good[1]) + "\n")
     with pytest.raises(json.JSONDecodeError):
         _read_trial_records(str(corrupt), False)
+
+
+def test_replay_trials_continues_the_original_trajectory():
+    """A resumed sweep must propose what the uninterrupted run would have
+    proposed next — NOT re-propose the original run's first params (the
+    failure mode of observing records without replaying the suggests)."""
+    from ab_line_classifier_tpu.train.sweep import replay_trials
+
+    space = SPACE[:2]  # LR (float_log), DROPOUT (float_uniform)
+    full = RandomController(space, seed=7)
+    full_params = [full.suggest() for _ in range(5)]
+
+    # Interrupted after 2 trials; records as hparam_search persists them.
+    records = [dict(p, trial=i, objective=0.5 + 0.1 * i)
+               for i, p in enumerate(full_params[:2])]
+    resumed = RandomController(space, seed=7)
+    replay_trials(resumed, records)
+    continuation = [resumed.suggest() for _ in range(3)]
+    assert continuation == full_params[2:]
+
+    # Bayes in its random-initial phase has the same failure mode.
+    full_b = BayesController(space, seed=7)
+    first = full_b.suggest()
+    full_b.observe(first, 0.9)
+    second_full = full_b.suggest()
+    resumed_b = BayesController(space, seed=7)
+    replay_trials(resumed_b, [dict(first, trial=0, objective=0.9)])
+    assert resumed_b.suggest() == second_full
+
+    # Grid resume still works through its cursor + the replayed suggests.
+    full_g = GridController(space, seed=0, grid_points=3)
+    g_params = [full_g.suggest() for _ in range(4)]
+    resumed_g = GridController(space, seed=0, grid_points=3)
+    replay_trials(resumed_g, [dict(p, trial=i, objective=0.0)
+                              for i, p in enumerate(g_params[:2])])
+    assert [resumed_g.suggest() for _ in range(2)] == g_params[2:]

@@ -390,9 +390,12 @@ def test_parallel_fit_resume_bitexact(fold_setup, tmp_path):
         frames, labels, train_idx, val_idx, batch_size=16, epochs=4,
         patience=10, verbose=False, checkpoint_dir=ck, resume=True)
 
-    assert len(hist_res) == 2 and hist_res[0]["epoch"] == 2
-    np.testing.assert_array_equal(hist_full[-1]["val_loss"],
-                                  hist_res[-1]["val_loss"])
+    # Resume returns the FULL history — restored pre-crash epochs included —
+    # so metric selection over it (lr_search_parallel) sees the whole run.
+    assert [h["epoch"] for h in hist_res] == [0, 1, 2, 3]
+    for a, b in zip(hist_full, hist_res):
+        np.testing.assert_array_equal(a["val_loss"],
+                                      np.asarray(b["val_loss"]))
     for a, b in zip(jax.tree.leaves(best_full["params"]),
                     jax.tree.leaves(best_res["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -416,10 +419,11 @@ def test_parallel_resume_on_mesh_restores_sharding(fold_setup, tmp_path):
     make().fit(frames, labels, train_idx, val_idx, batch_size=16, epochs=2,
                patience=10, verbose=False, checkpoint_dir=ck)
     # nothing left to train: fit returns the restored (re-placed) checkpoint
+    # plus the checkpointed epochs' history
     best, hist = make().fit(frames, labels, train_idx, val_idx,
                             batch_size=16, epochs=2, patience=10,
                             verbose=False, checkpoint_dir=ck, resume=True)
-    assert hist == []
+    assert [h["epoch"] for h in hist] == [0, 1]
     want = make()._stacked_sharding()
     for leaf in jax.tree.leaves(best["params"]):
         assert leaf.sharding.is_equivalent_to(want, leaf.ndim)
