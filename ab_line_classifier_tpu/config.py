@@ -175,7 +175,11 @@ def validate_config(data: Dict[str, Any]) -> None:
         raise ConfigError(
             f"TRAIN.EXPERIMENT_TYPE {exp!r} not one of {EXPERIMENT_TYPES}"
         )
-    if int(train.get("BATCH_SIZE", 0)) <= 0:
+    try:
+        batch_ok = int(train.get("BATCH_SIZE", 0)) > 0
+    except (TypeError, ValueError):
+        batch_ok = False
+    if not batch_ok:
         raise ConfigError("TRAIN.BATCH_SIZE must be a positive integer")
     classes = data["DATA"].get("CLASSES")
     if not classes:

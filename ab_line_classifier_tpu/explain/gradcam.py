@@ -139,9 +139,16 @@ class GradCAMExplainer:
             if variables is None:
                 variables = loaded_vars
             if spec is None:
+                # mixed_precision comes from the checkpoint meta exactly
+                # like Predictor.restore — otherwise a bf16-serving
+                # checkpoint would be explained through an f32 graph and
+                # borderline frames' annotated class could disagree with
+                # what the served model predicts.
                 spec = build_model(meta["model_name"], meta["hparams"],
                                    tuple(meta["input_shape"]),
-                                   int(meta["n_classes"]))
+                                   int(meta["n_classes"]),
+                                   mixed_precision=bool(
+                                       meta.get("mixed_precision", False)))
         self.cfg = cfg
         self.spec = spec
         self.variables = variables

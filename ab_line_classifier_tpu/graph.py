@@ -157,20 +157,30 @@ class LayerGraph:
                          output=output or specs[-1].name)
 
     def trainable_mask(self, freeze_idx: int,
-                       freeze_bn_always: bool = True) -> Dict[str, bool]:
+                       freeze_bn_always: bool = True,
+                       backbone_len: Optional[int] = None) -> Dict[str, bool]:
         """Keras ``freeze_layers`` semantics (reference model_utils.py:26-41):
         layers with index <= freeze_idx are frozen; BatchNorm layers are frozen
         at any index. ``freeze_idx < 0`` freezes nothing by index (the
-        reference passes -1 to mean 'train everything')."""
+        reference passes -1 to mean 'train everything').
+
+        ``backbone_len`` scopes freezing to the first N layers: the
+        reference applies ``freeze_layers`` to the BACKBONE model before
+        the head is attached (e.g. models.py:82), so a FREEZE_IDX at or
+        past the cutoff must never freeze head layers — without the scope,
+        this graph (backbone + head in one index space) would zero head
+        updates Keras trains."""
         mask: Dict[str, bool] = {}
+        limit = len(self.layers) if backbone_len is None else backbone_len
         for i, spec in enumerate(self.layers):
             if not spec.has_params:
                 continue
             trainable = True
-            if freeze_idx >= 0 and i <= freeze_idx:
-                trainable = False
-            if freeze_bn_always and spec.kind == KIND_BN:
-                trainable = False
+            if i < limit:
+                if freeze_idx >= 0 and i <= freeze_idx:
+                    trainable = False
+                if freeze_bn_always and spec.kind == KIND_BN:
+                    trainable = False
             mask[spec.name] = trainable
         return mask
 

@@ -276,14 +276,19 @@ def classifier_head(
 
 def single_phase(graph: G.LayerGraph, freeze_idx: int, lr: float,
                  optimizer: str = "adam",
-                 freeze_bn: bool = True) -> Tuple[TrainPhase, ...]:
+                 freeze_bn: bool = True,
+                 backbone_len: Optional[int] = None) -> Tuple[TrainPhase, ...]:
     """The one-phase Adam plan used by every model except CutoffVGG16
     (reference models.py compiles each with ``Adam(learning_rate=lr)``).
 
     ``freeze_bn=True`` mirrors ``freeze_layers``'s always-freeze-BN behavior
     and applies only to models whose reference builder calls it (mobilenetv2
     models.py:82, vgg16 :135, efficientnetb7 :229); xception/cnn0/
-    custom_resnetv2 never freeze, so their BN trains (pass False)."""
+    custom_resnetv2 never freeze, so their BN trains (pass False).
+    ``backbone_len`` scopes the freeze to the backbone, matching the
+    reference's ``freeze_layers(base_model, ...)`` — see
+    ``LayerGraph.trainable_mask``."""
     return (TrainPhase(name="train", optimizer=optimizer, lr=lr,
                        trainable=graph.trainable_mask(
-                           freeze_idx, freeze_bn_always=freeze_bn)),)
+                           freeze_idx, freeze_bn_always=freeze_bn,
+                           backbone_len=backbone_len)),)

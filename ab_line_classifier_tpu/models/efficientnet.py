@@ -235,7 +235,8 @@ def build_efficientnetb7(hparams: Dict[str, Any],
         backbone, n_classes=n_classes, dropout=float(hparams["DROPOUT"]),
         output_bias=output_bias, dtype=dtype)
     phases = C.single_phase(graph, int(hparams.get("FREEZE_IDX", -1)),
-                            float(hparams["LR"]))
+                            float(hparams["LR"]),
+                            backbone_len=len(backbone.layers))
     return C.ModelSpec(name="efficientnetb7", graph=graph,
                        preprocess_mode="identity", phases=phases,
                        input_shape=tuple(input_shape), n_classes=n_classes,

@@ -50,7 +50,7 @@ def mobilenetv2_backbone(input_size: Tuple[int, int] = (128, 128),
 
     specs.append(G.conv2d("Conv1", G.INPUT, 32, (3, 3), strides=(2, 2),
                           padding="SAME", use_bias=False, dtype=dtype))
-    size = ((size[0] + 1) // 2, (size[1] + 1) // 2)
+    size = C.stride2_out(size)
     specs.append(G.batch_norm("bn_Conv1", "Conv1", dtype=dtype, **_BN))
     specs.append(G.activation("Conv1_relu", "bn_Conv1", relu6))
     prev = "Conv1_relu"
@@ -130,7 +130,8 @@ def build_mobilenetv2(hparams: Dict[str, Any],
         fc0_l2=float(hparams.get("L2_LAMBDA", 0.0)), double_dropout=True,
         dtype=dtype)
 
-    phases = C.single_phase(graph, freeze_idx, float(hparams["LR"]))
+    phases = C.single_phase(graph, freeze_idx, float(hparams["LR"]),
+                            backbone_len=len(backbone.layers))
     return C.ModelSpec(name="mobilenetv2", graph=graph, preprocess_mode="tf",
                        phases=phases, input_shape=tuple(input_shape),
                        n_classes=n_classes, activity_regularizers=regs)

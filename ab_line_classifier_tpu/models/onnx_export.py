@@ -302,17 +302,22 @@ class _Exporter:
 
     def _p_convert_element_type(self, eqn):
         dt = np.dtype(eqn.params["new_dtype"])
-        onnx_dt = {np.dtype(np.float32): 1, np.dtype(np.float16): 10,
-                   np.dtype(np.int32): 6, np.dtype(np.int64): 7,
-                   np.dtype(np.bool_): 9,
-                   np.dtype(np.float64): 1}.get(dt)  # f64 demoted to f32
+        # f64 AND bf16 demote to f32: the export contract is an f32
+        # graph (weights enter pre-cast to f32), so a mixed-precision
+        # checkpoint's bf16 compute casts become f32 identities rather
+        # than failing the whole export (opset-13 consumers commonly
+        # lack bfloat16 kernels anyway).
+        demoted = dt in (np.dtype(np.float64), np.dtype(jnp.bfloat16))
+        onnx_dt = 1 if demoted else {
+            np.dtype(np.float32): 1, np.dtype(np.float16): 10,
+            np.dtype(np.int32): 6, np.dtype(np.int64): 7,
+            np.dtype(np.bool_): 9}.get(dt)
         if onnx_dt is None:
             raise ExportError(f"cast to {dt}")
         src = self.name_of(eqn.invars[0])
         # fold casts of initializers (bf16 params pre-cast to f32 on entry)
         if self.is_initializer(src):
-            arr = self.get_init(src).astype(dt if dt != np.float64
-                                            else np.float32)
+            arr = self.get_init(src).astype(np.float32 if demoted else dt)
             self._bind_broadcasting(eqn, self.add_init(arr), eqn.invars)
             return
         out = self.node("Cast", [src], to=onnx_dt)[0]

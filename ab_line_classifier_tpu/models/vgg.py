@@ -63,7 +63,8 @@ def build_vgg16(hparams: Dict[str, Any], input_shape: Tuple[int, int, int],
         backbone, n_classes=n_classes, dropout=float(hparams["DROPOUT"]),
         output_bias=output_bias, dtype=dtype)
     phases = C.single_phase(graph, int(hparams.get("FREEZE_IDX", -1)),
-                            float(hparams["LR"]))
+                            float(hparams["LR"]),
+                            backbone_len=len(backbone.layers))
     return C.ModelSpec(name="vgg16", graph=graph, preprocess_mode="caffe",
                        phases=phases, input_shape=tuple(input_shape),
                        n_classes=n_classes, activity_regularizers=regs)

@@ -93,36 +93,55 @@ def _import_keras3_h5(f, params, batch_stats, graph, verbose) -> int:
         g = f["layers"][gname]["vars"]
         ws = [np.asarray(g[str(i)]) for i in range(len(g))]
         p = params.get(name)
+
+        def put(d, key, arr):
+            # EVERY assignment is shape-checked: class+order addressing
+            # means a misaligned cursor binds the wrong group, and for
+            # classes whose shapes often coincide across layers (BN in
+            # Xception's 728-wide middle flow) a silent positional copy
+            # would commit wrong weights with no error. All assignments
+            # stage into copies and commit per layer only if every check
+            # passes — a mid-branch failure must not leave the layer
+            # half-imported.
+            if tuple(np.shape(d[key])) != tuple(arr.shape):
+                raise ValueError(
+                    f"{key} shape mismatch {tuple(np.shape(d[key]))} vs "
+                    f"{tuple(arr.shape)} (h5 group {gname})")
+            d[key] = arr
+
         try:
+            new_p = dict(p) if p is not None else None
+            new_bs = dict(batch_stats[name]) if has_bs else None
             if cls == "separable_conv2d":
-                p["depthwise"] = dict(p["depthwise"])
-                p["depthwise"]["kernel"] = ws[0].transpose(0, 1, 3, 2)
-                p["pointwise"] = dict(p["pointwise"])
-                p["pointwise"]["kernel"] = ws[1]
-                if len(ws) > 2 and "bias" in p["pointwise"]:
-                    p["pointwise"]["bias"] = ws[2]
+                new_p["depthwise"] = dict(new_p["depthwise"])
+                put(new_p["depthwise"], "kernel", ws[0].transpose(0, 1, 3, 2))
+                new_p["pointwise"] = dict(new_p["pointwise"])
+                put(new_p["pointwise"], "kernel", ws[1])
+                if len(ws) > 2 and "bias" in new_p["pointwise"]:
+                    put(new_p["pointwise"], "bias", ws[2])
             elif cls == "depthwise_conv2d":
-                p["kernel"] = ws[0].transpose(0, 1, 3, 2)
-                if len(ws) > 1 and "bias" in p:
-                    p["bias"] = ws[1]
+                put(new_p, "kernel", ws[0].transpose(0, 1, 3, 2))
+                if len(ws) > 1 and "bias" in new_p:
+                    put(new_p, "bias", ws[1])
             elif cls == "batch_normalization":
                 i = 0
-                if "scale" in p:  # keras var order: [gamma] beta mean var
-                    p["scale"] = ws[i]
+                if "scale" in new_p:  # keras var order: [gamma] beta mean var
+                    put(new_p, "scale", ws[i])
                     i += 1
-                p["bias"] = ws[i]
-                batch_stats[name]["mean"] = ws[-2]
-                batch_stats[name]["var"] = ws[-1]
+                put(new_p, "bias", ws[i])
+                put(new_bs, "mean", ws[-2])
+                put(new_bs, "var", ws[-1])
             elif cls == "normalization":
-                batch_stats[name]["mean"] = ws[0].reshape(-1)
-                batch_stats[name]["variance"] = ws[1].reshape(-1)
+                put(new_bs, "mean", ws[0].reshape(-1))
+                put(new_bs, "variance", ws[1].reshape(-1))
             else:  # conv2d / dense
-                if p["kernel"].shape != ws[0].shape:
-                    raise ValueError(f"shape mismatch {p['kernel'].shape} "
-                                     f"vs {ws[0].shape}")
-                p["kernel"] = ws[0]
-                if len(ws) > 1 and "bias" in p:
-                    p["bias"] = ws[1]
+                put(new_p, "kernel", ws[0])
+                if len(ws) > 1 and "bias" in new_p:
+                    put(new_p, "bias", ws[1])
+            if new_p is not None:
+                params[name] = new_p
+            if new_bs is not None:
+                batch_stats[name] = new_bs
             copied += 1
         except Exception as e:
             if verbose:

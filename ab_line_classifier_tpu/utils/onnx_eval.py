@@ -48,7 +48,9 @@ def _pool(x, attrs, kind):
     from jax import lax
 
     k = [int(v) for v in attrs["kernel_shape"]]
-    strides = [int(v) for v in attrs.get("strides", k)]
+    # ONNX spec: strides default to 1 along each spatial axis when the
+    # attribute is omitted (NOT to the kernel shape).
+    strides = [int(v) for v in attrs.get("strides", [1] * len(k))]
     pads = attrs.get("pads", [0] * (2 * len(k)))
     n_sp = len(k)
     padding = ([(0, 0), (0, 0)]

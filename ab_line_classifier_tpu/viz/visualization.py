@@ -210,7 +210,9 @@ def plot_b_line_threshold_roc_curve(tprs: Sequence[float],
     order = np.argsort(fprs)
     f = np.asarray(fprs)[order]
     t = np.asarray(tprs)[order]
-    area = float(np.trapezoid(t, f)) if len(f) > 1 else 0.0
+    # np.trapezoid is numpy >= 2.0; fall back to the 1.x name.
+    _trap = getattr(np, "trapezoid", None) or np.trapz
+    area = float(_trap(t, f)) if len(f) > 1 else 0.0
     fig, ax = plt.subplots(figsize=(6, 5.5))
     ax.plot(f, t, "o-", label=f"AUC = {area:.3f}")
     ax.plot([0, 1], [0, 1], "k--", lw=0.8)

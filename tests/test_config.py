@@ -109,3 +109,16 @@ def test_n_classes_mismatch_rejected():
     bad = cfg.replace_path("TRAIN.N_CLASSES", 5)
     with pytest.raises(ConfigError):
         validate_config(bad.to_dict())
+
+
+def test_model_names_match_registry():
+    """config.MODEL_NAMES (used by validate_config) is a hand-kept copy of
+    the model registry's names (config.py stays import-light, so it cannot
+    import the registry): this pin keeps the two from drifting — a name in
+    only one list either rejects a valid MODEL_DEF or lets an invalid one
+    silently fall back to cnn0 (registry.py:41)."""
+    from ab_line_classifier_tpu.config import MODEL_NAMES as CONFIG_NAMES
+    from ab_line_classifier_tpu.models.registry import (
+        MODEL_NAMES as REGISTRY_NAMES)
+
+    assert set(CONFIG_NAMES) == set(REGISTRY_NAMES)

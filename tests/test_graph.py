@@ -61,6 +61,35 @@ def test_trainable_mask():
     assert mask_nobn["bn1"] is True
 
 
+def test_trainable_mask_backbone_scope():
+    """The reference applies freeze_layers to the BACKBONE model before the
+    head attaches (models.py:82), so a FREEZE_IDX at/past the cutoff must
+    never freeze head layers (model_utils.py:26-41 iterates base layers
+    only). Here the tiny graph's first 3 layers (input, c1, bn1) play the
+    backbone."""
+    g = _tiny_graph()
+    mask = g.trainable_mask(99, backbone_len=3)
+    # everything in the 'backbone' (c1, bn1) frozen; 'head' (c2, logits)
+    # trains even though 99 covers its indices
+    assert mask == {"c1": False, "bn1": False, "c2": True, "logits": True}
+    # BN freeze is backbone-scoped too
+    assert g.trainable_mask(-1, backbone_len=2)["bn1"] is True
+
+
+def test_freeze_idx_past_cutoff_trains_head():
+    """mobilenetv2 with FREEZE_IDX raised past the cutoff: the head (fc0 /
+    logits) must stay trainable, like Keras training the head of a fully
+    frozen backbone."""
+    from ab_line_classifier_tpu.models import build_model
+
+    hp = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
+          "CUTOFF_IDX": 115, "FREEZE_IDX": 118}
+    spec = build_model("mobilenetv2", hp, (32, 32, 3), 2)
+    mask = spec.phases[0].trainable
+    assert mask["fc0"] is True and mask["logits"] is True
+    assert not any(v for k, v in mask.items() if k not in ("fc0", "logits"))
+
+
 def test_forward_and_capture():
     g = _tiny_graph()
     mod = G.GraphModule(graph=g, capture=("c2",))

@@ -387,3 +387,17 @@ def test_deferred_expand_crosses_inlined_output_boundary(tmp_path):
     x = np.zeros((1, 4), np.float32)
     got = evaluate(OP.load_model(path), {"input_1": x})[0]
     np.testing.assert_allclose(got, np.tile(u, 3), atol=1e-6)
+
+
+def test_mixed_precision_checkpoint_exports(tmp_path):
+    """A TRAIN.MIXED_PRECISION checkpoint exports: bf16 compute casts
+    demote to f32 (like f64) instead of failing the export, and the f32
+    graph evaluates close to the bf16 jax forward."""
+    spec = build_model("cnn0", HP["cnn0"], (32, 32, 3), 2,
+                       mixed_precision=True)
+    v = spec.init_variables(jax.random.PRNGKey(5))
+    model = export_onnx(spec, v, str(tmp_path / "mp.onnx"), batch_size=2)
+    x = np.random.RandomState(5).rand(2, 32, 32, 3).astype(np.float32)
+    got = evaluate(model, {model.graph.input[0].name: x})[0]
+    ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
+    assert np.abs(got - ref).max() < 5e-3  # bf16-vs-f32 compute drift only
