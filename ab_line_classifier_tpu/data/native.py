@@ -45,7 +45,14 @@ def load_library() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.isfile(_LIB_PATH) and not _build():
+        src = os.path.join(_CSRC_DIR, "loader.cc")
+        stale = (os.path.isfile(_LIB_PATH) and os.path.isfile(src)
+                 and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+        # A .so older than loader.cc must rebuild: loading it would run
+        # stale code that the ABI version check cannot catch (same
+        # version, different behavior) — parity tests would then pass
+        # against the wrong binary.
+        if (not os.path.isfile(_LIB_PATH) or stale) and not _build():
             _build_failed = True
             return None
         try:

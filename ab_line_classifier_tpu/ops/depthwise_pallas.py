@@ -83,7 +83,12 @@ def _frames_per_block(h: int, w: int, itemsize: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_forward(x: jax.Array, k: jax.Array,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    acc_dtype=jnp.float32) -> jax.Array:
+    # acc_dtype is f32 in production (measured faster than bf16
+    # accumulation — docs/PERFORMANCE.md); the parameter exists so
+    # measurement scripts can bench the alternative through the EXACT
+    # production wrapper instead of a drift-prone copy.
     b, h, w, c = x.shape
     K = k.shape[0]
     nb = _frames_per_block(h, w, x.dtype.itemsize)
@@ -94,7 +99,7 @@ def _pallas_forward(x: jax.Array, k: jax.Array,
     n_ct = pl.cdiv(c, LANES)
     grid = (x.shape[0] // nb, n_ct)
     out = pl.pallas_call(
-        functools.partial(_kernel, K=K, acc_dtype=jnp.float32),
+        functools.partial(_kernel, K=K, acc_dtype=acc_dtype),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=[

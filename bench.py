@@ -17,34 +17,46 @@ import shutil
 import sys
 
 
-def _backend_responds(timeout_s: float) -> bool:
-    """True once ``jax.devices()`` answers within ``timeout_s``.
+def _backend_error(timeout_s: float):
+    """None once ``jax.devices()`` answers within ``timeout_s``; otherwise
+    an error string distinguishing a hung tunnel from a fast init failure.
 
     The axon tunnel has been observed to go fully unresponsive (backend
     initialization blocks forever, not just slow remote compiles). Probing
     in a daemon thread bounds that failure to a clear JSON error line
     instead of an indefinite hang the driver can only time out on. A
     healthy backend answers in seconds even when its compiles take
-    minutes, so the timeout only ever fires on a dead tunnel.
+    minutes, so the timeout only ever fires on a dead tunnel — while an
+    init exception (libtpu/plugin/cache errors) returns in seconds and
+    must not be mislabeled as a 900s unresponsiveness.
     """
     import threading
 
     ok = []
+    err = []
 
     def probe():
         # Init through the package so platform selection (ABLC_PLATFORM)
         # and the persistent compile cache are configured before the
         # backend comes up — same order as the benchmark imports below.
-        import ab_line_classifier_tpu  # noqa: F401
-        import jax
+        try:
+            import ab_line_classifier_tpu  # noqa: F401
+            import jax
 
-        jax.devices()
-        ok.append(True)
+            jax.devices()
+            ok.append(True)
+        except Exception as e:  # a FAST failure is not a dead tunnel —
+            err.append(f"{type(e).__name__}: {e}")  # label it distinctly
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(ok)
+    if ok:
+        return None
+    if err:
+        return f"backend init raised: {err[0]}"
+    return (f"backend unresponsive: jax.devices() did not answer "
+            f"within {timeout_s:.0f}s")
 
 
 def _purge_compile_cache() -> None:
@@ -83,12 +95,11 @@ def _run(fn, **kw):
 
 def main() -> int:
     probe_s = float(os.environ.get("ABLC_BENCH_PROBE_TIMEOUT", "900"))
-    if not _backend_responds(probe_s):
+    probe_err = _backend_error(probe_s)
+    if probe_err:
         print(json.dumps({"metric": "cutoffvgg16_clip_inference",
                           "value": 0, "unit": "frames/sec",
-                          "vs_baseline": 0.0,
-                          "error": f"backend unresponsive: jax.devices() "
-                                   f"did not answer within {probe_s:.0f}s"}))
+                          "vs_baseline": 0.0, "error": probe_err}))
         return 1
 
     from ab_line_classifier_tpu.predict.benchmark import (

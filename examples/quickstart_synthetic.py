@@ -70,7 +70,12 @@ def main() -> None:
                          "the chip would contend with any training/bench "
                          "job; pass 'tpu' to run on the chip)")
     args = ap.parse_args()
-    os.environ.setdefault("ABLC_PLATFORM", args.platform)
+    # An explicitly passed --platform wins over an exported ABLC_PLATFORM;
+    # the env var only fills in when the flag is left at its default.
+    if args.platform != ap.get_default("platform"):
+        os.environ["ABLC_PLATFORM"] = args.platform
+    else:
+        os.environ.setdefault("ABLC_PLATFORM", args.platform)
     ws = os.path.abspath(args.workspace)
     os.makedirs(ws, exist_ok=True)
 
@@ -100,12 +105,26 @@ def main() -> None:
     print(f"      test metrics: {scalars}")
 
     print("[3/4] frame + clip predictions")
-    from ab_line_classifier_tpu.predict.predict import (
-        compute_clip_predictions, compute_frame_predictions)
+    import pandas as pd
 
+    from ab_line_classifier_tpu.data.pipeline import FrameDataset
+    from ab_line_classifier_tpu.predict.predict import (
+        compute_clip_predictions, compute_frame_predictions,
+        default_predictor)
+
+    # One restore + ONE frame sweep feeds both passes — the same pattern
+    # as the predict CLI (each call would otherwise reload the checkpoint,
+    # recompile, and re-predict the whole frame table).
+    predictor = default_predictor(cfg)
+    frame_probs = predictor.predict_dataset(
+        FrameDataset(pd.read_csv(fcsv), fdir, img_dim=cfg.img_dim))
     clip_df = compute_clip_predictions(cfg, fcsv, ccsv, class_thresh=0.5,
-                                       clip_algorithm="average")
-    frame_df = compute_frame_predictions(cfg, fcsv, class_thresh=0.5)
+                                       clip_algorithm="average",
+                                       predictor=predictor,
+                                       frame_probs=frame_probs)
+    frame_df = compute_frame_predictions(cfg, fcsv, class_thresh=0.5,
+                                         predictor=predictor,
+                                         frame_probs=frame_probs)
     print(f"      {len(frame_df)} frame predictions, "
           f"{len(clip_df)} clip predictions -> "
           f"{cfg['PATHS']['BATCH_PREDS']}")
@@ -114,8 +133,6 @@ def main() -> None:
     from ab_line_classifier_tpu.explain.gradcam import GradCAMExplainer
 
     explainer = GradCAMExplainer(cfg)
-    import pandas as pd
-
     explainer.apply_gradcam(pd.read_csv(fcsv).head(3))
     print(f"      heatmap PNGs -> {cfg['PATHS']['HEATMAPS']}")
 

@@ -76,12 +76,12 @@ def bench_one(name, h, w, c):
     gbs = bytes_moved / t / 1e9
     print(f"{name:>11} [{B},{h},{w},{c}]: {t*1e3:7.3f} ms/op  "
           f"{gbs:7.1f} GB/s ({100*gbs/HBM_PEAK_GBS:5.1f}% roofline)  "
-          f"{flops/t/1e12:6.2f} TFLOP/s")
+          f"{flops/t/1e12:6.2f} TFLOP/s", flush=True)
     return t, gbs
 
 
 def main():
-    print(f"devices: {jax.devices()}")
+    print(f"devices: {jax.devices()}", flush=True)
     for s in SHAPES:
         bench_one(*s)
 

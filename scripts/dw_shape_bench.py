@@ -10,38 +10,19 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ab_line_classifier_tpu.ops.depthwise_pallas import (
-    LANES, _frames_per_block, _kernel, _lax_reference)
+    _lax_reference, _pallas_forward)
 
 B, N = 256, 30
 
 
 def pallas_op(K, acc_dtype):
+    # The production wrapper itself (cost_estimate, block specs and all) —
+    # a local copy would silently de-sync from ops/depthwise_pallas.
+    del K  # shape comes from the kernel array
     def call(x, k):
-        b, h, w, c = x.shape
-        nb = _frames_per_block(h, w, x.dtype.itemsize)
-        pad_b = (-b) % nb
-        if pad_b:
-            x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
-        grid = (x.shape[0] // nb, pl.cdiv(c, LANES))
-        out = pl.pallas_call(
-            functools.partial(_kernel, K=K, acc_dtype=acc_dtype),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            grid=grid,
-            in_specs=[pl.BlockSpec((nb, h, w, LANES),
-                                   lambda i, j: (i, 0, 0, j),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((K, K, 1, LANES),
-                                   lambda i, j: (0, 0, 0, j),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((nb, h, w, LANES),
-                                   lambda i, j: (i, 0, 0, j),
-                                   memory_space=pltpu.VMEM),
-        )(x, k)
-        return out[:b] if pad_b else out
+        return _pallas_forward(x, k, acc_dtype=acc_dtype)
     return call
 
 
