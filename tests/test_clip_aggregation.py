@@ -135,3 +135,20 @@ def test_class_idx_map_mismatch_warns(tmp_path):
     d["PATHS"]["CLASS_NAME_MAP"] = bad
     with pytest.warns(UserWarning, match="disagrees with DATA.CLASSES"):
         load_class_idx_map(Config(d))
+
+
+def test_unmatched_clip_raises():
+    """A clip with zero matching frame rows is a frames/clips table
+    mismatch: it must fail loudly (an all-padding row would silently score
+    as a confident negative — average [0,0], contiguous a_lines)."""
+    import pandas as pd
+
+    from ab_line_classifier_tpu.predict.predict import group_clip_probs
+
+    frames_df = pd.DataFrame({"Frame Path": ["vidA_0.jpg", "vidA_1.jpg",
+                                             "vidB_0.jpg"]})
+    probs = np.full((3, 2), 0.5, np.float32)
+    padded, mask = group_clip_probs(frames_df, probs, ["vidA", "vidB"])
+    assert mask.sum() == 3
+    with pytest.raises(ValueError, match="vidC"):
+        group_clip_probs(frames_df, probs, ["vidA", "vidC"])
