@@ -78,7 +78,13 @@ def _toolchain_fingerprint():  # pragma: no cover - environment dependent
 # to the real TPU, the exact failure the switch exists to prevent).
 try:  # pragma: no cover - environment dependent
     _plat = _os.environ.get("ABLC_PLATFORM")
-    if _plat:
+    # "tpu"/"auto" mean "the accelerator, whatever it registers as":
+    # under the axon tunnel the TPU platform is literally named "axon",
+    # so forcing jax_platforms="tpu" would fail init ("No jellyfish
+    # device found") on the very host that HAS a chip. Auto-pick selects
+    # the highest-priority registered backend (the accelerator when one
+    # exists) on both real-TPU and tunneled hosts.
+    if _plat and _plat.lower() not in ("tpu", "auto", "default"):
         import jax as _jax
 
         _jax.config.update("jax_platforms", _plat)

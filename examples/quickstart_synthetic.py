@@ -81,6 +81,12 @@ def main() -> None:
 
     from ab_line_classifier_tpu.data.synthetic import generate_dataset
 
+    import jax
+
+    # Say which backend actually won ('tpu' resolves to the registered
+    # accelerator — e.g. 'axon' on tunneled hosts — or falls back to cpu
+    # when none exists; the user should see which).
+    print(f"backend: {jax.default_backend()} ({jax.devices()[0]})")
     print(f"[1/4] generating synthetic dataset under {ws}")
     fcsv, ccsv, fdir = generate_dataset(ws, n_patients=24,
                                         clips_per_patient=2,
