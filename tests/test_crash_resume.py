@@ -181,3 +181,83 @@ def test_sigkill_mid_training_resumes_to_identical_model(tmp_path):
             np.asarray(leaf_a), np.asarray(flat_b[jax.tree_util.keystr(key)]),
             atol=1e-6, err_msg=f"leaf {jax.tree_util.keystr(key)} diverged "
                                f"after crash-resume")
+
+
+def test_sigkill_mid_trial_parallel_sweep_resumes_identically(tmp_path):
+    """SIGKILL an SPMD trial-parallel LR sweep mid-run on a virtual
+    8-device mesh, ``--resume``, and require the SAME per-trial objectives
+    as an uninterrupted run: this exercises the whole stacked-state
+    checkpoint machinery (atomic msgpack blob, sharding re-establishment,
+    per-epoch history restore) across a real process boundary."""
+    def sweep_ws(name):
+        ws, cfg_path = _make_workspace(tmp_path, name)
+        with open(cfg_path) as f:
+            d = yaml.safe_load(f)
+        d["TRAIN"].update({"EXPERIMENT_TYPE": "hparam_search", "EPOCHS": 8})
+        d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 2})
+        d["HPARAM_SEARCH"]["CNN0"] = {
+            "LR": {"TYPE": "float_log", "RANGE": [1e-4, 1e-2]}}
+        d["PARALLEL"]["MESH"] = {"DATA": 4, "TRIAL": 2}
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)
+        return ws, cfg_path
+
+    def env8(cfg_path):
+        env = _env(cfg_path)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        return env
+
+    def objectives(ws):
+        import pandas as pd
+
+        csvs = glob.glob(os.path.join(ws, "results", "experiments",
+                                      "lr_sweep_parallel_*.csv"))
+        assert csvs, "sweep wrote no results CSV"
+        df = pd.read_csv(max(csvs, key=os.path.getmtime))
+        return df.sort_values("trial")[["LR", "objective"]].to_numpy()
+
+    # Reference run: uninterrupted.
+    ws_a, cfg_a = sweep_ws("tp_uninterrupted")
+    proc = subprocess.run(
+        [sys.executable, "-m", "ab_line_classifier_tpu.train",
+         "--trial-parallel", "--checkpoint-dir", os.path.join(ws_a, "ck")],
+        env=env8(cfg_a), cwd=REPO_ROOT, capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # Victim: kill the moment the first stacked checkpoint lands.
+    ws_b, cfg_b = sweep_ws("tp_killed")
+    ck_b = os.path.join(ws_b, "ck")
+    victim = subprocess.Popen(
+        [sys.executable, "-m", "ab_line_classifier_tpu.train",
+         "--trial-parallel", "--checkpoint-dir", ck_b],
+        env=env8(cfg_b), cwd=REPO_ROOT,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if glob.glob(os.path.join(ck_b, "*")):
+                break
+            if victim.poll() is not None:
+                pytest.fail("sweep finished before a checkpoint appeared")
+            time.sleep(0.02)
+        else:
+            pytest.fail("no checkpoint appeared within 600s")
+        victim.send_signal(signal.SIGKILL)
+        victim.wait(timeout=60)
+    finally:
+        if victim.poll() is None:
+            victim.kill()
+            victim.wait(timeout=60)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "ab_line_classifier_tpu.train",
+         "--trial-parallel", "--checkpoint-dir", ck_b, "--resume"],
+        env=env8(cfg_b), cwd=REPO_ROOT, capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    a, b = objectives(ws_a), objectives(ws_b)
+    np.testing.assert_allclose(b, a, atol=1e-4,
+                               err_msg="resumed sweep diverged from the "
+                                       "uninterrupted run")
