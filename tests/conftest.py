@@ -75,3 +75,43 @@ def derive_workspace_config(ws, fcsv, ccsv, fdir):
     d["TRACKER"]["DIR"] = ws + "/results/runs/"
     d["DATA"]["IMG_DIM"] = [32, 32]
     return d
+
+
+def randomize_leaves(variables, seed=0):
+    """EVERY leaf randomized before an export/import round trip.
+
+    Fresh inits carry zero biases and constant BN stats on BOTH sides of a
+    round trip, so an importer that silently skips those leaves compares
+    0 == 0 and passes bit-exactly — the bug class of commit 2f1c997
+    (ONNX-restored models served with zero biases). Variance-like leaves
+    stay positive so forward passes through the randomized tree remain
+    finite (see CLAUDE.md conventions)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+
+    def rand(path, a):
+        arr = rng.normal(0.1, 0.5, np.shape(a))
+        if any("var" in str(getattr(p, "key", "")).lower() for p in path):
+            arr = np.abs(arr) + 0.05
+        return np.asarray(arr, np.asarray(a).dtype)
+
+    return jax.tree_util.tree_map_with_path(rand, variables)
+
+
+def cli_env(cfg_path=None, extra=None):
+    """Subprocess env for driving the CLIs: CPU backend, optional workspace
+    config, and the repo PREPENDED to PYTHONPATH. One definition —
+    overwriting PYTHONPATH instead of prepending drops the TPU-plugin path
+    (/root/.axon_site) per CLAUDE.md, and the recipe must not fork per
+    test module."""
+    env = dict(os.environ)
+    env.update({
+        "ABLC_PLATFORM": "cpu",
+        "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    if cfg_path is not None:
+        env["ABLC_CONFIG"] = cfg_path
+    if extra:
+        env.update(extra)
+    return env

@@ -8,7 +8,7 @@ from ab_line_classifier_tpu.data.artifacts import ArtifactStore
 from ab_line_classifier_tpu.data.splits import leakage_check
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import REPO_ROOT
 
 
 @pytest.fixture(scope="module")
@@ -68,11 +68,16 @@ def test_fold_fetch(lineage):
     pd.testing.assert_frame_equal(test, test2)
 
 
-def test_version_increment(lineage):
-    store, _, _ = lineage
-    src = store.resolve("Images")
-    store.log_images(os.path.join(src, "frames.csv"),
-                     os.path.join(src, "clips_table.csv"))
+def test_version_increment(lineage, tmp_path):
+    # Own store: mutating the shared `lineage` fixture would couple
+    # sibling tests to execution order (test_lineage_versions asserts the
+    # shared store's exact version list).
+    shared, _, _ = lineage
+    src = shared.resolve("Images")
+    store = ArtifactStore(str(tmp_path / "artifacts"))
+    for _ in range(2):
+        store.log_images(os.path.join(src, "frames.csv"),
+                         os.path.join(src, "clips_table.csv"))
     assert store.versions("Images") == ["v0", "v1"]
     assert store.resolve("Images").endswith("v1")
 
@@ -138,7 +143,7 @@ def test_fold_artifact_metadata_beats_config(tmp_path):
 
     from ab_line_classifier_tpu.config import Config
     from ab_line_classifier_tpu.train.experiment import resolve_datasets
-    from tests.conftest import derive_workspace_config
+    from tests.conftest import REPO_ROOT, derive_workspace_config
 
     ws = str(tmp_path)
     fcsv, ccsv, fdir = generate_dataset(ws, n_patients=16,

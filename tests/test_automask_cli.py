@@ -16,7 +16,7 @@ import sys
 import numpy as np
 import pytest
 
-from tests.conftest import REPO_ROOT
+from tests.conftest import REPO_ROOT, cli_env
 
 pytestmark = pytest.mark.slow
 
@@ -75,11 +75,7 @@ def test_automask_cli_masks_a_clip(tmp_path):
     _write_keras_unet_h5(h5)
     _write_mp4(str(clips / "clip0.mp4"))
 
-    env = dict(os.environ)
-    env.update({
-        "ABLC_PLATFORM": "cpu",
-        "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
-    })
+    env = cli_env()
     proc = subprocess.run(
         [sys.executable, "-m", "ab_line_classifier_tpu.data.auto_masking",
          "-i", str(clips), "-o", str(out), "-m", h5, "-f", "mp4"],

@@ -19,7 +19,7 @@ import pytest
 import yaml
 
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
-from tests.conftest import REPO_ROOT, derive_workspace_config
+from tests.conftest import REPO_ROOT, cli_env, derive_workspace_config
 
 pytestmark = pytest.mark.slow
 
@@ -44,12 +44,7 @@ def workspace(tmp_path_factory):
 
 
 def _run_cli(module, cfg_path, *args):
-    env = dict(os.environ)
-    env.update({
-        "ABLC_PLATFORM": "cpu",
-        "ABLC_CONFIG": cfg_path,
-        "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
-    })
+    env = cli_env(cfg_path)
     proc = subprocess.run(
         [sys.executable, "-m", f"ab_line_classifier_tpu.{module}", *args],
         env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=900)
@@ -115,14 +110,11 @@ def test_explain_frames_selection(workspace):
                    os.path.join("/some/prefix", name))
     assert "wrote 1 heatmaps" in out
 
-    env = dict(os.environ)
-    env.update({"ABLC_PLATFORM": "cpu", "ABLC_CONFIG": cfg_path,
-                "PYTHONPATH": REPO_ROOT + os.pathsep
-                + env.get("PYTHONPATH", "")})
     proc = subprocess.run(
         [sys.executable, "-m", "ab_line_classifier_tpu.explain",
          "--frames", "no_such_frame.jpg"],
-        env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=900)
+        env=cli_env(cfg_path), cwd=REPO_ROOT, capture_output=True,
+        text=True, timeout=900)
     assert proc.returncode != 0
     assert "no_such_frame.jpg" in proc.stderr
 

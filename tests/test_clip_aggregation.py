@@ -8,6 +8,8 @@ import pytest
 
 from ab_line_classifier_tpu.ops import clip_aggregation as agg
 
+from tests.conftest import REPO_ROOT
+
 
 def ref_max_run(preds):
     mx = cur = 0
@@ -114,8 +116,7 @@ def test_class_idx_map_mismatch_warns(tmp_path):
     from ab_line_classifier_tpu.config import load_config
     from ab_line_classifier_tpu.predict.predict import load_class_idx_map
 
-    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(os.path.join(REPO, "config.yml"))
+    cfg = load_config(os.path.join(REPO_ROOT, "config.yml"))
     d = cfg.to_dict()
 
     good = str(tmp_path / "map.json")

@@ -5,7 +5,8 @@ import pytest
 from ab_line_classifier_tpu.config import (
     Config, ConfigError, load_config, validate_config)
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import REPO_ROOT
+
 CONFIG_PATH = os.path.join(REPO_ROOT, "config.yml")
 
 

@@ -27,7 +27,8 @@ import jax
 
 from ab_line_classifier_tpu.data.synthetic import generate_dataset
 from ab_line_classifier_tpu.utils.checkpoint import load_model
-from tests.conftest import REPO_ROOT, derive_workspace_config
+from tests.conftest import (REPO_ROOT, cli_env,
+                            derive_workspace_config)
 
 pytestmark = pytest.mark.slow
 
@@ -53,13 +54,7 @@ def _make_workspace(root, name):
 
 
 def _env(cfg_path):
-    env = dict(os.environ)
-    env.update({
-        "ABLC_PLATFORM": "cpu",
-        "ABLC_CONFIG": cfg_path,
-        "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
-    })
-    return env
+    return cli_env(cfg_path)
 
 
 def _train(cfg_path, *args):

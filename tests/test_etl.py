@@ -12,8 +12,7 @@ from ab_line_classifier_tpu.data.ab_line_dataset_creator import (
     ABLineDatasetCreator, LABEL_TO_CLASS_MAP)
 from ab_line_classifier_tpu.data.real_time import (
     _rt_label_to_class, create_rt_ABline_dataframe)
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.conftest import REPO_ROOT
 
 
 def _cfg(**paths):

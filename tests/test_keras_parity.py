@@ -635,6 +635,22 @@ def test_callback_decision_parity_with_keras():
                 break
 
 
+def _randomize_keras_weights(km, seed):
+    """Randomize EVERY Keras weight before exporting it as an import
+    fixture: Keras zero-inits biases and BN betas exactly like flax, so a
+    fresh-init source hides an importer that skips those leaves (the
+    commit 2f1c997 bug class; CLAUDE.md conventions). Variance-like
+    weights stay positive."""
+    rng = np.random.RandomState(seed)
+    new = []
+    for w in km.weights:
+        a = rng.normal(0.1, 0.5, tuple(w.shape))
+        if "variance" in w.name:
+            a = np.abs(a) + 0.05
+        new.append(a.astype(np.float32))
+    km.set_weights(new)
+
+
 def test_keras_h5_import():
     """Import weights from an h5 file written by Keras itself (Keras 3
     .weights.h5 layout: class+order addressed groups, so the importer maps
@@ -646,6 +662,7 @@ def test_keras_h5_import():
     from ab_line_classifier_tpu.models.weights import import_h5_weights
 
     kvgg = VGG16(include_top=False, weights=None, input_shape=(64, 64, 3))
+    _randomize_keras_weights(kvgg, seed=21)  # biases too — see helper
     with tempfile.NamedTemporaryFile(suffix=".weights.h5") as f:
         kvgg.save_weights(f.name)
         g = vgg16_backbone()
@@ -680,6 +697,7 @@ def test_keras3_h5_import_with_bn_and_separable(tmp_path):
     x = SeparableConv2D(8, 3, padding="same", use_bias=False, name="s1")(x)
     x = BatchNormalization(name="b2")(x)
     km = Model(inp, x)
+    _randomize_keras_weights(km, seed=22)  # BN scale/beta/stats too
 
     g = G.graph_of(
         G.conv2d("c1", G.INPUT, 8, (3, 3), use_bias=False),
@@ -938,11 +956,13 @@ def test_export_h5_loads_into_real_keras(tmp_path):
         G.global_avg_pool("gap", "relu_a"),
         G.dense("dense_a", "gap", 4))
     mod = G.GraphModule(graph=g)
-    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
-    # Distinctive BN stats so moving_mean/variance transfer is visible.
-    v = jax.tree.map(np.asarray, v)
-    v["batch_stats"]["bn_a"]["mean"] = np.linspace(-1, 1, 8).astype(np.float32)
-    v["batch_stats"]["bn_a"]["var"] = np.linspace(0.5, 2, 8).astype(np.float32)
+    # EVERY leaf randomized (biases, BN scale/bias, moving stats): flax
+    # AND Keras both zero-init biases, so an export that drops bias:0
+    # entries would still pass the forward-parity oracle (CLAUDE.md;
+    # commit 2f1c997 bug class).
+    from tests.conftest import randomize_leaves
+    v = randomize_leaves(
+        mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))), seed=8)
 
     h5 = str(tmp_path / "export.h5")
     export_h5_weights(h5, v, graph=g)

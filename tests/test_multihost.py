@@ -18,10 +18,9 @@ import pytest
 from ab_line_classifier_tpu.parallel import mesh as mesh_lib
 from ab_line_classifier_tpu.parallel.multihost import (
     one_epoch_trial_parallel, one_step_params)
+from tests.conftest import REPO_ROOT, cli_env
 
 pytestmark = pytest.mark.slow
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _free_port() -> int:
@@ -35,15 +34,9 @@ def test_two_process_step_matches_single_process(tmp_path):
     out = str(tmp_path / "mh_params.npz")
     procs = []
     for pid in range(2):
-        env = dict(os.environ)
-        env.update({
-            "ABLC_PLATFORM": "cpu",
-            "JAX_PLATFORMS": "cpu",
-            # Fresh flag set: the parent test env forces 8 devices, each
-            # simulated host gets 4 (multihost.py rewrites the count).
-            "XLA_FLAGS": "",
-            "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
-        })
+        # Fresh flag set: the parent test env forces 8 devices, each
+        # simulated host gets 4 (multihost.py rewrites the count).
+        env = cli_env(extra={"JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""})
         procs.append(subprocess.Popen(
             [sys.executable, "-m",
              "ab_line_classifier_tpu.parallel.multihost",

@@ -18,8 +18,8 @@ from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.models.onnx_weights import import_onnx_weights
 from ab_line_classifier_tpu.utils import onnx_minimal_pb2 as P
 from ab_line_classifier_tpu.utils import onnx_proto as OP
+from tests.conftest import REPO_ROOT
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 HP = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
       "KERNEL_SIZE": 3, "STRIDES": 2, "MAXPOOL_SIZE": 2, "BLOCKS": 2,
@@ -28,8 +28,15 @@ HP = {"LR": 1e-3, "DROPOUT": 0.1, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
 
 @pytest.fixture(scope="module")
 def cnn0_pair():
+    from tests.conftest import randomize_leaves
+
     spec = build_model("cnn0", HP, (32, 32, 3), 2)
-    v_src = spec.init_variables(jax.random.PRNGKey(0))
+    # EVERY leaf randomized: a fresh init's zero biases / constant BN
+    # leaves match the import target's fresh init bit-exactly, so an
+    # importer that silently skips them would still pass (CLAUDE.md;
+    # commit 2f1c997 shipped exactly that bug).
+    v_src = randomize_leaves(spec.init_variables(jax.random.PRNGKey(0)),
+                             seed=17)
     return spec, v_src
 
 

@@ -16,17 +16,13 @@ import sys
 
 import pytest
 
-from tests.conftest import REPO_ROOT
+from tests.conftest import REPO_ROOT, cli_env
 
 
 @pytest.mark.slow
 def test_quickstart_runs_end_to_end(tmp_path):
     ws = str(tmp_path / "qs_ws")
-    env = dict(os.environ)
-    env.update({
-        "ABLC_PLATFORM": "cpu",
-        "PYTHONPATH": REPO_ROOT + os.pathsep + env.get("PYTHONPATH", ""),
-    })
+    env = cli_env()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "examples",
                                       "quickstart_synthetic.py"),

@@ -8,6 +8,7 @@ import pytest
 
 from ab_line_classifier_tpu.train.wandb_sweep import (run_wandb_sweep,
                                                       wandb_sweep_config)
+from tests.conftest import REPO_ROOT
 
 
 def test_sweep_config_translation_matches_reference():
@@ -88,7 +89,6 @@ def test_run_wandb_sweep_drives_trials(tmp_path):
     from ab_line_classifier_tpu.config import Config, load_config
     import os
 
-    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
     d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
     d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 3, "METHOD": "bayes",
@@ -137,7 +137,6 @@ def test_run_wandb_sweep_attaches_to_existing_sweep():
     from ab_line_classifier_tpu.config import Config, load_config
     import os
 
-    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
     d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
     d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 2, "METHOD": "bayes",
@@ -167,7 +166,6 @@ def test_attach_warns_when_local_config_disagrees_with_service():
     from ab_line_classifier_tpu.config import Config, load_config
     import os
 
-    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
     d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
     d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 1, "METHOD": "bayes",
@@ -207,7 +205,6 @@ def test_run_wandb_sweep_missing_metric_logs_fallback_under_own_name():
     from ab_line_classifier_tpu.config import Config, load_config
     import os
 
-    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
     d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
     d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 1, "METHOD": "bayes",
@@ -265,7 +262,6 @@ def test_hparam_search_passes_sweep_id_to_wandb_backend(monkeypatch):
     fake.log = lambda payload: None
     monkeypatch.setitem(sys.modules, "wandb", fake)
 
-    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = load_config(os.path.join(REPO_ROOT, "config.yml")).to_dict()
     d["TRAIN"]["MODEL_DEF"] = "mobilenetv2"
     d["TRAIN"]["HPARAM_SEARCH"].update({"N_EVALS": 0, "METHOD": "bayes",

@@ -7,6 +7,7 @@ import pytest
 from ab_line_classifier_tpu.models import build_model
 from ab_line_classifier_tpu.models.weights import (export_h5_weights,
                                                    import_h5_weights)
+from tests.conftest import randomize_leaves
 
 HP = {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6, "DROPOUT": 0.45,
       "CUTOFF_LAYER": 10, "FINETUNE_LAYER": 7, "EXTRACT_EPOCHS": 6}
@@ -14,7 +15,10 @@ HP = {"LR_EXTRACT": 3e-4, "LR_FINETUNE": 9.3e-6, "DROPOUT": 0.45,
 
 def test_h5_roundtrip_cutoffvgg16(tmp_path):
     spec = build_model("cutoffvgg16", HP, (64, 64, 3), 2)
-    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    # EVERY leaf randomized: fresh inits have zero biases on both sides,
+    # which would hide a bias-skipping importer bit-exactly (CLAUDE.md;
+    # commit 2f1c997).
+    v1 = randomize_leaves(spec.init_variables(jax.random.PRNGKey(0)), seed=3)
     v2 = spec.init_variables(jax.random.PRNGKey(1))
 
     h5_path = str(tmp_path / "w.h5")
@@ -30,7 +34,7 @@ def test_h5_roundtrip_cutoffvgg16(tmp_path):
 
 def test_partial_match_skips_missing(tmp_path):
     spec = build_model("cutoffvgg16", HP, (64, 64, 3), 2)
-    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    v1 = randomize_leaves(spec.init_variables(jax.random.PRNGKey(0)), seed=4)
     h5_path = str(tmp_path / "w.h5")
     export_h5_weights(h5_path, v1)
 
@@ -84,19 +88,22 @@ def test_bn_stats_roundtrip(tmp_path):
           "KERNEL_SIZE": 3, "STRIDES": 1, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
           "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
     spec = build_model("cnn0", hp, (32, 32, 3), 2)
-    v1 = spec.init_variables(jax.random.PRNGKey(0))
-    # set distinctive bn stats
-    v1 = jax.tree.map(lambda x: x, v1)
-    v1["batch_stats"]["bn_block0"]["mean"] = (
-        np.full_like(np.asarray(v1["batch_stats"]["bn_block0"]["mean"]), 3.5))
+    # every leaf randomized (scale/bias/var included), so any skipped BN
+    # leaf shows up as a mismatch instead of comparing constants
+    v1 = randomize_leaves(spec.init_variables(jax.random.PRNGKey(0)), seed=5)
     h5_path = str(tmp_path / "w.h5")
     export_h5_weights(h5_path, v1)
 
     v2 = spec.init_variables(jax.random.PRNGKey(1))
     v2_imported, _ = import_h5_weights(h5_path, v2, verbose=False)
-    np.testing.assert_array_equal(
-        np.asarray(v2_imported["batch_stats"]["bn_block0"]["mean"]),
-        np.asarray(v1["batch_stats"]["bn_block0"]["mean"]))
+    for k in ("mean", "var"):
+        np.testing.assert_array_equal(
+            np.asarray(v2_imported["batch_stats"]["bn_block0"][k]),
+            np.asarray(v1["batch_stats"]["bn_block0"][k]))
+    for k in ("scale", "bias"):
+        np.testing.assert_array_equal(
+            np.asarray(v2_imported["params"]["bn_block0"][k]),
+            np.asarray(v1["params"]["bn_block0"][k]))
 
 
 def test_head_dense_alias_output(tmp_path):
@@ -106,7 +113,7 @@ def test_head_dense_alias_output(tmp_path):
     import h5py
 
     spec = build_model("cutoffvgg16", HP, (64, 64, 3), 2)
-    v1 = spec.init_variables(jax.random.PRNGKey(0))
+    v1 = randomize_leaves(spec.init_variables(jax.random.PRNGKey(0)), seed=6)
     h5_path = str(tmp_path / "ref.h5")
     export_h5_weights(h5_path, v1)
     # rename the exported 'logits' group to the reference's 'output'
@@ -117,9 +124,10 @@ def test_head_dense_alias_output(tmp_path):
     v2 = spec.init_variables(jax.random.PRNGKey(1))
     v2_imported, copied = import_h5_weights(h5_path, v2, verbose=False)
     assert copied == len(v1["params"])
-    np.testing.assert_array_equal(
-        np.asarray(v1["params"]["logits"]["kernel"]),
-        np.asarray(v2_imported["params"]["logits"]["kernel"]))
+    for k in ("kernel", "bias"):
+        np.testing.assert_array_equal(
+            np.asarray(v1["params"]["logits"][k]),
+            np.asarray(v2_imported["params"]["logits"][k]))
 
 
 def test_graphless_export_grayscale_conv_not_depthwise(tmp_path):
