@@ -96,6 +96,25 @@ class ArtifactStore:
             return json.load(f)
 
     def _write_meta(self, path: str, meta: Dict) -> None:
+        # Marker-last is only crash-consistent if the data it commits is
+        # durable FIRST: fsync every staged file (and every directory, so
+        # the entries themselves survive) before the marker rename, then
+        # fsync the version dir to persist the rename. Without this, a
+        # power loss can leave a committed metadata.json pointing at
+        # empty/torn CSVs that versions()/resolve() would trust.
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for fn in filenames:
+                fd = os.open(os.path.join(dirpath, fn), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+        for dirpath, _dirnames, _filenames in os.walk(path, topdown=False):
+            fd = os.open(dirpath, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         meta = dict(meta)
         meta["artifact_version"] = os.path.basename(path)
         tmp = os.path.join(path, "metadata.json.tmp")
@@ -104,6 +123,11 @@ class ArtifactStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(path, "metadata.json"))
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     # -- lineage stages ----------------------------------------------------
     def log_images(self, frames_csv: str, clips_csv: str,

@@ -56,11 +56,9 @@ class UnetSegmentation:
         self.variables = self.model.init(
             jax.random.PRNGKey(0),
             np.zeros((1,) + UNET_INPUT + (1,), np.float32))
+        self.loaded = False
         if model_path:
             self.load(model_path)
-        else:
-            logging.warning("no automask model given; using random init "
-                            "(masks will be meaningless until trained)")
         self._predict = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False))
 
@@ -83,6 +81,7 @@ class UnetSegmentation:
             raise FileNotFoundError(
                 f"automask model {model_path!r} is neither a checkpoint "
                 f"directory nor a .h5 file")
+        self.loaded = True
 
     def get_bounding_box(self, binary_mask: np.ndarray):
         """[min_i, max_i, min_j, max_j] (reference auto_masking.py:24-26)."""
@@ -170,6 +169,11 @@ class UnetSegmentation:
 
         if model_path:
             self.load(model_path)
+        if not self.loaded:
+            # Warned here, not at construction: the model legitimately
+            # arrives via this call's model_path (the reference API shape).
+            logging.warning("no automask model loaded; using random init "
+                            "(masks will be meaningless until trained)")
 
         video_files = glob.glob(input_paths + "/**/*.mp4", recursive=True)
         os.makedirs(output_path, exist_ok=True)
@@ -195,10 +199,17 @@ class UnetSegmentation:
                 ret, frame = cap.read()
                 if not ret:
                     break
+                if idx == 0:
+                    # Width/height metadata can be wrong just like the
+                    # frame count — trust the decoded pixels, or pass-2's
+                    # frame*mask broadcast dies mid-ETL on a corrupt clip.
+                    fh, fw = frame.shape[:2]
                 if idx % step == 0:
                     sampled.append(frame[..., ::-1].copy())
                 idx += 1
             cap.release()
+            if not np.isfinite(fps) or fps <= 0:
+                fps = 30.0  # corrupt FPS metadata would emit an unplayable mp4
             if not sampled:
                 logging.warning("no frames in %s", file)
                 continue
@@ -251,7 +262,9 @@ def main():  # argparse CLI parity (auto_masking.py:110-137)
     args = ap.parse_args()
     if not 0.0 <= args.edge_preserve <= 1.0:
         raise ValueError("edge_preserve has to be in [0 1]")
-    seg = UnetSegmentation(model_path=args.model_path)
+    # model_path goes to predict only (the reference's load site) — the
+    # constructor would import the same weights a second time.
+    seg = UnetSegmentation()
     seg.predict(args.input_path, args.output_path, args.model_path,
                 output_format=args.output_format,
                 edge_preserve=args.edge_preserve,

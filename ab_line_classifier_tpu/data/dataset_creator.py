@@ -72,10 +72,22 @@ class DatasetCreator(ABC):
         logging.info("Fetching clips...")
         warning_counts: Dict[str, int] = {}
         for link, clip_id in zip(links, clip_ids):
-            filename = f"{clip_id}.mp4"
+            # Fetch to a .part name and rename on success: urlretrieve
+            # (unlike the reference's wget, which stages to a tmp file)
+            # writes the destination in place, so a mid-transfer failure
+            # would otherwise leave a truncated {id}.mp4 that a later
+            # auto_mask/build run ingests as a valid clip. URLError covers
+            # HTTPError AND connection resets / ContentTooShortError —
+            # catching HTTPError alone aborts the whole pull on the first
+            # network blip instead of counting it as promised.
+            dest = os.path.join(output_folder, f"{clip_id}.mp4")
+            part = dest + ".part"
             try:
-                self.fetch_fn(link, os.path.join(output_folder, filename))
-            except urllib.error.HTTPError as e:
+                self.fetch_fn(link, part)
+                os.replace(part, dest)
+            except urllib.error.URLError as e:
+                if os.path.exists(part):
+                    os.remove(part)
                 key = str(e)
                 warning_counts[key] = warning_counts.get(key, 0) + 1
         logging.info("Fetched clips successfully!")
@@ -83,9 +95,10 @@ class DatasetCreator(ABC):
             logging.warning("%s occurred %d times", k, v)
 
     def auto_mask(self) -> None:
-        """Reference dataset_creator.py:86-95."""
-        unet_seg = UnetSegmentation(
-            model_path=self.cfg["PATHS"]["AUTOMASK_MODEL_PATH"])
+        """Reference dataset_creator.py:86-95. The model path goes to
+        ``predict`` only (the reference API's load site) — passing it to
+        the constructor too would import the h5/checkpoint twice."""
+        unet_seg = UnetSegmentation()
         unet_seg.predict(
             input_paths=self.cfg["PATHS"]["RAW_CLIPS"],
             output_path=self.cfg["PATHS"]["MASKED_CLIPS"],

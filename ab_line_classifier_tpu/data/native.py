@@ -93,7 +93,14 @@ def decode_jpeg_batch(paths: Sequence[str], out_hw: Tuple[int, int],
     h, w = out_hw
     if out is None:
         out = np.empty((n, h, w, 3), np.uint8)
-    assert out.flags["C_CONTIGUOUS"] and out.shape == (n, h, w, 3)
+    # Hard check, not assert: the C loader writes n*h*w*3 raw bytes through
+    # out.ctypes.data — under `python -O` a stripped assert would turn a
+    # wrong layout into silent memory corruption.
+    if not (out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
+            and out.shape == (n, h, w, 3)):
+        raise ValueError(
+            f"out must be C-contiguous uint8 [{n},{h},{w},3]; got "
+            f"{out.dtype} {out.shape} contiguous={out.flags['C_CONTIGUOUS']}")
     codes = np.zeros(n, np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     failures = lib.ablc_decode_jpeg_batch(

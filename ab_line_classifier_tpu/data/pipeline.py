@@ -102,12 +102,15 @@ class FrameDataset:
     def paths(self) -> Sequence[str]:
         # Cached: per-frame consumers (load_frame in the PIL decode path,
         # Grad-CAM) index this per call — rebuilding N joins per access
-        # would be O(N^2) per epoch on the 1-CPU host.
+        # would be O(N^2) per epoch on the 1-CPU host. Keyed on the df
+        # OBJECT, not its length: a same-length df swap must not serve the
+        # old table's paths under the new table's labels.
         cached = getattr(self, "_paths", None)
-        if cached is None or len(cached) != len(self.df):
+        if cached is None or getattr(self, "_paths_df", None) is not self.df:
             cached = [os.path.join(self.frames_dir, p)
                       for p in self.df[FRAME_PATH]]
             self._paths = cached
+            self._paths_df = self.df
         return cached
 
     def n_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
@@ -141,7 +144,6 @@ class FrameDataset:
             # the n_valid distinct rows are decoded; duplicates are
             # memcpy'd (re-decoding up to batch_size-1 wraparound JPEGs
             # per epoch would be pure host overhead on a small host).
-            b = len(idxs)
             h, w = self.img_dim
             images = np.zeros((batch_size, h, w, 3), np.uint8)
             labels = np.zeros((batch_size,), np.int32)
@@ -160,7 +162,7 @@ class FrameDataset:
                 for j, ri in enumerate(valid):
                     images[j] = self.load_frame(int(ri))
                     labels[j] = lab[ri]
-            for j in range(n_valid, b):
+            for j in range(n_valid, batch_size):
                 src = (j - n_valid) % n_valid
                 images[j] = images[src]
                 labels[j] = labels[src]
@@ -168,15 +170,10 @@ class FrameDataset:
             indices[:n_valid] = valid
             return Batch(images, labels, mask, indices)
 
-        chunks = []
-        for i in range(0, len(order), batch_size):
-            c = order[i:i + batch_size]
-            n_valid = len(c)
-            if 0 < n_valid < batch_size:
-                # Cycle the chunk's OWN rows (already decoded in-batch).
-                c = np.concatenate(
-                    [c, np.resize(c, batch_size - n_valid)])
-            chunks.append((np.asarray(c), n_valid))
+        # Wraparound duplication for the ragged tail happens in ONE place —
+        # make_batch's copy loop above; the chunks stay unpadded.
+        chunks = [(order[i:i + batch_size], len(order[i:i + batch_size]))
+                  for i in range(0, len(order), batch_size)]
         if prefetch <= 0:
             for c, nv in chunks:
                 yield make_batch(c, nv)

@@ -33,6 +33,12 @@ def get_rt_masked_clip_paths(cfg: Config) -> pd.DataFrame:
                                                    clips_dir)):
             for clip in files:
                 clip_id = clip.split(".")[0]
+                # Skip non-clip files: this repo's own auto-masking writes
+                # a mask.jpg beside every masked clip, and the reference's
+                # int() (real_time.py:32) would abort the whole table build
+                # on the first one.
+                if not clip_id.isdigit():
+                    continue
                 path_name = os.path.join(rootdir, dated_dir, clips_dir,
                                          clip_id)
                 data.append([int(clip_id), path_name])

@@ -64,7 +64,11 @@ class WandbArtifactFetcher:
         for v in reversed(self.store.versions(IMAGES)):
             meta = self.store.metadata(IMAGES, v)
             if meta.get("source") == want and meta.get("frames_dir"):
-                return self.store.resolve(IMAGES, v), meta["frames_dir"]
+                # The frame files live in the W&B download cache, which can
+                # be cleared independently of the store — a stale hit here
+                # would permanently skip the only re-download path.
+                if os.path.isdir(meta["frames_dir"]):
+                    return self.store.resolve(IMAGES, v), meta["frames_dir"]
         return None
 
     # ------------------------------------------------------------------

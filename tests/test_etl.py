@@ -62,10 +62,50 @@ def test_database_pull_with_stub_fetch(tmp_path):
         def build_dataset(self):
             pass
 
-    c = Creator(cfg, fetch_fn=lambda url, out: fetched.append((url, out)))
+    def fake_fetch(url, out):
+        fetched.append((url, out))
+        with open(out, "wb") as f:
+            f.write(b"clip")
+
+    c = Creator(cfg, fetch_fn=fake_fetch)
     c.database_pull()
     assert [u for u, _ in fetched] == ["u/a", "u/b"]
-    assert fetched[0][1].endswith("10.mp4")
+    # Fetches stage to a .part name; success renames to the final clip id.
+    assert fetched[0][1].endswith("10.mp4.part")
+    raw = sorted(os.listdir(str(tmp_path / "raw")))
+    assert raw == ["10.mp4", "11.mp4"]
+
+
+def test_database_pull_counts_failures_and_leaves_no_partials(tmp_path):
+    """A mid-transfer failure (URLError/ContentTooShortError, not just
+    HTTPError) is counted per the docstring contract and the truncated
+    staging file is removed — never left as a final-named mp4 for a later
+    auto_mask/build run to ingest."""
+    import urllib.error
+
+    clips_csv = tmp_path / "clips.csv"
+    pd.DataFrame({"id": [10, 11], "s3_path": ["u/a", "u/b"],
+                  "patient_id": ["p", "q"], "class": [0, 1]}).to_csv(
+        clips_csv, index=False)
+    cfg = _cfg(CLIPS_TABLE=str(clips_csv), RAW_CLIPS=str(tmp_path / "raw") + "/")
+
+    class Creator(ABLineDatasetCreator):
+        def query_to_df(self):
+            pass
+
+        def build_dataset(self):
+            pass
+
+    def flaky_fetch(url, out):
+        with open(out, "wb") as f:
+            f.write(b"trunc")
+        if url == "u/a":
+            raise urllib.error.ContentTooShortError("reset mid-body", b"")
+
+    c = Creator(cfg, fetch_fn=flaky_fetch)
+    c.database_pull()  # must not raise: failures are counted, not fatal
+    raw = sorted(os.listdir(str(tmp_path / "raw")))
+    assert raw == ["11.mp4"]  # no 10.mp4, no *.part leftovers
 
 
 def test_rt_label_mapping():
