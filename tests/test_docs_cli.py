@@ -25,14 +25,25 @@ pytestmark = pytest.mark.slow  # one subprocess (jax import) per CLI
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = ["README.md", os.path.join("docs", "MIGRATION.md")]
 
-#: console-script name -> module (pyproject [project.scripts]).
-SCRIPTS = {
-    "ablc-train": "ab_line_classifier_tpu.train",
-    "ablc-predict": "ab_line_classifier_tpu.predict",
-    "ablc-explain": "ab_line_classifier_tpu.explain",
-    "ablc-export": "ab_line_classifier_tpu.export",
-    "ablc-automask": "ab_line_classifier_tpu.data.auto_masking",
-}
+def _scripts():
+    """console-script name -> runnable module, read from pyproject's
+    [project.scripts] so the map can't drift from the real entry points
+    (``pkg.cli.__main__:main`` runs as ``python -m pkg.cli``)."""
+    scripts = {}
+    section = None
+    for line in open(os.path.join(REPO_ROOT, "pyproject.toml")):
+        line = line.strip()
+        if line.startswith("["):
+            section = line
+            continue
+        if section == "[project.scripts]" and "=" in line:
+            name, target = (s.strip().strip('"') for s in line.split("=", 1))
+            module = target.split(":")[0]
+            scripts[name] = re.sub(r"\.__main__$", "", module)
+    return scripts
+
+
+SCRIPTS = _scripts()
 
 CMD_RE = re.compile(
     r"(?:python(?:3)?(?: -u)? -m (ab_line_classifier_tpu[.\w]*)"
