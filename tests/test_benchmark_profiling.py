@@ -152,3 +152,30 @@ def test_trace_context_writes_profile(tmp_path):
         found += [f for f in files if f.endswith((".trace.json.gz", ".pb",
                                                   ".xplane.pb"))]
     assert found, f"no trace artifacts under {log_dir}"
+
+
+def test_bench_py_probe_timeout_emits_error_json():
+    """The driver contract under a dead backend: ``bench.py`` must print
+    ONE parseable JSON line carrying the standard keys plus ``error`` and
+    exit non-zero — never hang (the axon tunnel has been observed to block
+    ``jax.devices()`` indefinitely; the probe thread bounds that). A
+    near-zero probe timeout forces that path without needing a dead
+    tunnel."""
+    import json
+    import subprocess
+    import sys
+
+    from conftest import REPO_ROOT, cli_env
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "bench.py")],
+        capture_output=True, text=True, timeout=120, cwd=REPO_ROOT,
+        env=cli_env(extra={"ABLC_BENCH_PROBE_TIMEOUT": "0.0001"}))
+    assert r.returncode == 1, (r.returncode, r.stdout, r.stderr)
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "cutoffvgg16_clip_inference"
+    assert payload["value"] == 0 and payload["vs_baseline"] == 0.0
+    assert payload["unit"] == "frames/sec"
+    assert "unresponsive" in payload["error"]
