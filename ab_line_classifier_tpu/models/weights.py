@@ -59,7 +59,8 @@ def _keras3_class_of(node_kind: str, layer_params) -> str:
     }.get(node_kind, node_kind)
 
 
-def _import_keras3_h5(f, params, batch_stats, graph, verbose) -> int:
+def _import_keras3_h5(f, params, batch_stats, graph, verbose,
+                      copied_names=None) -> int:
     """Keras 3 ``.weights.h5`` layout: ``layers/<class>[_N]/vars/<i>``, named
     by per-class creation counters rather than layer names. Weighted graph
     nodes map onto the groups by (keras class, creation order) — valid
@@ -143,6 +144,8 @@ def _import_keras3_h5(f, params, batch_stats, graph, verbose) -> int:
             if new_bs is not None:
                 batch_stats[name] = new_bs
             copied += 1
+            if copied_names is not None:
+                copied_names.append(name)
         except Exception as e:
             if verbose:
                 print(f"could not copy {name}: {e}")
@@ -151,14 +154,23 @@ def _import_keras3_h5(f, params, batch_stats, graph, verbose) -> int:
 
 def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                       verbose: bool = True,
-                      graph=None) -> Tuple[Dict[str, Any], int]:
+                      graph=None,
+                      copied_names=None) -> Tuple[Dict[str, Any], int]:
     """Copy weights from a Keras h5 into a variables pytree
     ``{params, batch_stats}``. Returns (new_variables, n_layers_copied).
 
-    Two layouts are supported: the Keras 2.x / TF-2.9 layout the reference's
-    checkpoints use (name-addressable ``model_weights/<layer>/...``,
-    reference predict.py:50), and Keras 3 ``.weights.h5`` (class+order
-    addressed — requires ``graph`` to recover the layer order)."""
+    Three layouts are supported: the Keras 2.x / TF-2.9 full-model layout
+    the reference's checkpoints use (name-addressable
+    ``model_weights/<layer>/...``, reference predict.py:50), the
+    weights-only legacy layout ``keras.applications`` ImageNet files ship
+    (``*_notop.h5`` — layer groups at the file root, which is how the
+    reference's every transfer model bootstraps, reference
+    models.py:59,110,161,206,398), and Keras 3 ``.weights.h5`` (class+order
+    addressed — requires ``graph`` to recover the layer order).
+
+    ``copied_names``, if a list, collects the layer names actually copied —
+    callers that overlay a warm start onto an existing init (the
+    trial-parallel trainer) need to know which layers to overwrite."""
     import h5py
 
     params = {k: dict(v) for k, v in variables["params"].items()}
@@ -173,7 +185,7 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                     "this is a Keras 3 .weights.h5 (layer groups are not "
                     "name-addressable); pass graph= to map by layer order")
             copied = _import_keras3_h5(f, params, batch_stats, graph,
-                                       verbose)
+                                       verbose, copied_names=copied_names)
             out = dict(variables)
             out["params"] = params
             if batch_stats:
@@ -233,6 +245,8 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                 else:
                     raise ValueError(f"unrecognized weight set {list(w)}")
                 copied += 1
+                if copied_names is not None:
+                    copied_names.append(layer_name)
             except Exception as e:
                 if verbose:
                     print(f"could not copy {layer_name}: {e}")
@@ -248,6 +262,8 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                 batch_stats[layer_name]["variance"] = \
                     w["variance"].reshape(-1)
                 copied += 1
+                if copied_names is not None:
+                    copied_names.append(layer_name)
 
     out = dict(variables)
     out["params"] = params

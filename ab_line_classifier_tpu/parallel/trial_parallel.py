@@ -116,7 +116,17 @@ class ParallelFoldTrainer:
             images_u8, rng, train)
 
     # ------------------------------------------------------------------
-    def init_stacked(self, phase: TrainPhase):
+    def init_stacked(self, phase: TrainPhase, warm_start=None):
+        """Stacked per-fold init. ``warm_start`` is an optional
+        ``(variables, layer_names)`` pair from
+        ``train.experiment.load_pretrained_variables``: the named layers
+        (all, if names is None) are broadcast identically into every fold,
+        exactly like the reference handing the same ``pretrained_path`` to
+        each fold's ``train_classifier`` (reference train.py:236-238);
+        uncovered layers keep their per-fold fresh init. Applied AFTER the
+        output-bias init so a checkpointed head wins over the log-odds
+        prior, matching the reference's copy-after-build order
+        (train.py:233-238)."""
         tx = phase.make_tx()
 
         def init_one(key):
@@ -131,6 +141,24 @@ class ParallelFoldTrainer:
             bias = self.output_biases.astype(params[head]["bias"].dtype)
             params = {**params,
                       head: {**params[head], "bias": bias}}
+        if warm_start is not None:
+            wvars, names = warm_start
+            wp = wvars.get("params", {})
+            wbs = wvars.get("batch_stats", {})
+            if names is None:
+                names = sorted(set(wp) | set(wbs))
+
+            def bcast(w, stacked):
+                w = jnp.asarray(w).astype(stacked.dtype)
+                return jnp.broadcast_to(w[None], stacked.shape)
+
+            for name in names:
+                if name in wp and name in params:
+                    params = {**params, name: jax.tree.map(
+                        bcast, dict(wp[name]), dict(params[name]))}
+                if name in wbs and name in batch_stats:
+                    batch_stats = {**batch_stats, name: jax.tree.map(
+                        bcast, dict(wbs[name]), dict(batch_stats[name]))}
         sh = self._stacked_sharding(verbose=True)
         if sh is not None:
             params = jax.device_put(params, sh)
@@ -349,7 +377,7 @@ class ParallelFoldTrainer:
             batch_size: int, epochs: int, patience: int = 15,
             lr_factors=None, verbose: bool = True,
             checkpoint_dir: Optional[str] = None, resume: bool = False,
-            shard_dataset="auto"):
+            shard_dataset="auto", warm_start=None):
         """Train all folds. Returns (best stacked variables, history: list of
         per-epoch dicts of per-fold arrays). On resume the history includes
         the checkpointed pre-interruption epochs, so it always describes
@@ -370,6 +398,8 @@ class ParallelFoldTrainer:
             exceed one device's cache budget (the mesh then holds D× the
             dataset), ``True`` forces sharding, ``False`` replicates.
             Gathers are bit-identical either way (data/pipeline.sharded_gather).
+        :param warm_start: optional ``(variables, layer_names)`` pretrained
+            overlay broadcast into every fold's init (see ``init_stacked``).
         """
         F = self.n_folds
         labels_d = jnp.asarray(labels.astype(np.int32))
@@ -460,7 +490,8 @@ class ParallelFoldTrainer:
             self.module = self.spec.logits_module(
                 capture=tuple(self.spec.activity_regularizers),
                 inference_bn=self.spec.frozen_bn_layers(phase))
-            params, batch_stats, opt_state, tx = self.init_stacked(phase)
+            params, batch_stats, opt_state, tx = self.init_stacked(
+                phase, warm_start=warm_start)
             if carry_params is not None:
                 params = carry_params         # phase hand-off (cutoffvgg16)
                 if carry_bs is not None:

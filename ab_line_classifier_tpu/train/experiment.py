@@ -53,6 +53,61 @@ class RunResult:
     best_val: Dict[str, float]
 
 
+def load_pretrained_variables(path: str, spec, *, rng=None,
+                              verbose: bool = True
+                              ) -> Tuple[Dict[str, Any],
+                                         Optional[List[str]]]:
+    """Warm-start variables for training (``USE_PRETRAINED`` +
+    ``PATHS.PRETRAINED_WEIGHTS``).
+
+    The reference warm-starts by name-matched layer copy from a saved Keras
+    model (reference ``src/train.py:236-238`` ->
+    ``src/models/model_utils.py:6-23``) and, implicitly, every transfer
+    model bootstraps its backbone from the ImageNet ``keras.applications``
+    weights (reference ``src/models/models.py:59,110,161,206,398``). Both
+    workflows route through here:
+
+    * a native Orbax checkpoint directory (this framework's own format);
+    * a full-model Keras ``.h5`` (what the reference's ``save_model``
+      produces and ``USE_PRETRAINED`` consumes);
+    * a ``keras.applications`` weights-only ``*_notop.h5`` — the standard
+      ImageNet backbone file (download it once, point
+      ``PATHS.PRETRAINED_WEIGHTS`` at it; backbone layer names match the
+      graph IR, head layers keep their fresh init with a notice);
+    * a Keras 3 ``.weights.h5``.
+
+    Returns ``(variables, copied_layer_names)``; ``copied_layer_names`` is
+    None for native checkpoints (every layer restored). Layers present in
+    only one side are skipped with a notice, exactly like the reference's
+    try/except copy loop; a file that matches NO layer raises (silently
+    training from scratch after a config typo is a footgun), and a missing
+    path raises like the reference's assert (model_utils.py:13).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Could not find pretrained weights at: {path!r} "
+            f"(PATHS.PRETRAINED_WEIGHTS with TRAIN.USE_PRETRAINED set)")
+    if path.endswith(".h5"):
+        from ab_line_classifier_tpu.models.weights import import_h5_weights
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        variables = spec.init_variables(rng)
+        copied_names: List[str] = []
+        variables, copied = import_h5_weights(
+            path, variables, verbose=verbose, graph=spec.graph,
+            copied_names=copied_names)
+        if copied == 0:
+            raise ValueError(
+                f"no layers matched while importing pretrained weights "
+                f"{path!r} — wrong architecture for TRAIN.MODEL_DEF?")
+        if verbose:
+            print(f"warm start: {copied} layers from {path}")
+        return variables, copied_names
+    variables, _ = ckpt.load_model(path)
+    return variables, None
+
+
 def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
                      ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, str]:
     """Produce (train_df, val_df, test_df, frames_dir).
@@ -216,11 +271,14 @@ def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
 
     pretrained = None
     if cfg["TRAIN"].get("USE_PRETRAINED", False):
-        try:
-            pretrained, _ = ckpt.load_model(cfg["PATHS"]["PRETRAINED_WEIGHTS"])
-        except FileNotFoundError:
-            print("USE_PRETRAINED set but no checkpoint found; training "
-                  "from scratch")
+        # Same RNG stream the Trainer would use for a fresh init
+        # (loop.py:150-152): layers the h5 does not cover keep the exact
+        # init an unpretrained run would have started from.
+        pretrained, _ = load_pretrained_variables(
+            cfg["PATHS"]["PRETRAINED_WEIGHTS"], spec,
+            rng=jax.random.fold_in(
+                jax.random.PRNGKey(int(cfg["TRAIN"]["SEED"])), 0),
+            verbose=verbose)
 
     # Mesh from PARALLEL.MESH config (data-parallel batch sharding; no-op on
     # a single device).
@@ -613,12 +671,16 @@ def lr_search_parallel(cfg: Config, n_trials: Optional[int] = None,
         seed=int(cfg["TRAIN"]["SEED"]),
         compute_dtype=jnp.bfloat16 if mixed else jnp.float32,
         progress_label="trials")
+    warm = None
+    if cfg["TRAIN"].get("USE_PRETRAINED", False):
+        warm = load_pretrained_variables(
+            cfg["PATHS"]["PRETRAINED_WEIGHTS"], spec, verbose=verbose)
     best_vars, history = trainer.fit(
         frames, labels, train_idx, val_idx,
         batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
         patience=int(cfg["TRAIN"]["PATIENCE"]),
         lr_factors=lr_factors, verbose=verbose,
-        checkpoint_dir=checkpoint_dir, resume=resume)
+        checkpoint_dir=checkpoint_dir, resume=resume, warm_start=warm)
 
     if not history:
         raise RuntimeError(
@@ -723,11 +785,15 @@ def cross_validation_parallel(cfg: Config, mesh=None, verbose: bool = True,
         aug_config=dict(cfg["TRAIN"]["DATA_AUG"]), mesh=mesh,
         seed=int(cfg["TRAIN"]["SEED"]),
         compute_dtype=jnp.bfloat16 if mixed else jnp.float32)
+    warm = None
+    if cfg["TRAIN"].get("USE_PRETRAINED", False):
+        warm = load_pretrained_variables(
+            cfg["PATHS"]["PRETRAINED_WEIGHTS"], spec, verbose=verbose)
     best, history = trainer.fit(
         frames, labels, train_idx, val_idx,
         batch_size=cfg.batch_size, epochs=int(cfg["TRAIN"]["EPOCHS"]),
         patience=int(cfg["TRAIN"]["PATIENCE"]), verbose=verbose,
-        checkpoint_dir=checkpoint_dir, resume=resume)
+        checkpoint_dir=checkpoint_dir, resume=resume, warm_start=warm)
 
     # Per-fold test evaluation with each fold's best weights.
     rows = []

@@ -6,8 +6,12 @@ reads first (successor to the reference's README API walkthrough,
 doc still advertises is doc rot this test turns into a failure. Each
 table row's API cell is parsed for backticked tokens and every token must
 resolve against the real package — as a module, a dotted attribute chain,
-or (for bare names listed beside their module) an attribute / name prefix
-/ name substring in one of the row's or the doc's namespaces.
+or (for bare names listed beside their module) an EXACT attribute in one
+of the row's or the doc's namespaces. The only fuzzy form allowed is an
+explicit shorthand marker: a token ending in ``_`` resolves as a name
+prefix (``average_`` for ``average_clip_probs``); anything else must
+resolve exactly, so a renamed or deleted symbol cannot keep "resolving"
+through an accidental substring hit.
 """
 
 from __future__ import annotations
@@ -93,19 +97,19 @@ def _resolve_dotted(dotted, namespaces):
 
 
 def _resolve_bare(name, namespaces):
-    """Exact attribute anywhere, else documented-prefix (``average_`` for
-    ``average_clip_probs``) or shorthand-substring (``dilate`` for
-    ``binary_dilate``, ``Local`` for ``LocalTracker``) of a public name."""
+    """Exact attribute anywhere; a trailing ``_`` is the one explicit
+    prefix-shorthand marker (``average_`` resolves iff some public name
+    starts with it). No substring fallback — a stale documented ``load``
+    must not "resolve" via ``load_config``."""
     mods = list(namespaces.values())
     for mod in mods:
         if hasattr(mod, name):
             return True
-    for mod in mods:
-        for public in dir(mod):
-            if public.startswith("_"):
-                continue
-            if public.startswith(name) or (len(name) >= 4 and name in public):
-                return True
+    if name.endswith("_"):
+        for mod in mods:
+            for public in dir(mod):
+                if not public.startswith("_") and public.startswith(name):
+                    return True
     return False
 
 

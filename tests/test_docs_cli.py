@@ -47,7 +47,8 @@ SCRIPTS = _scripts()
 
 CMD_RE = re.compile(
     r"(?:python(?:3)?(?: -u)? -m (ab_line_classifier_tpu[.\w]*)"
-    r"|(ablc-[\w-]+))"
+    r"|(ablc-[\w-]+)"
+    r"|python(?:3)?(?: -u)? (bench\.py))"
     r"([^\n]*)")
 FLAG_RE = re.compile(r"(--[a-z][\w-]*)")
 
@@ -61,9 +62,9 @@ def documented_flags():
         # its flags attached to the right CLI.
         text = text.replace("\\\n", " ")
         for m in CMD_RE.finditer(text):
-            module = m.group(1) or SCRIPTS.get(m.group(2))
+            module = m.group(1) or SCRIPTS.get(m.group(2)) or m.group(3)
             assert module, f"{doc} mentions unknown script {m.group(2)!r}"
-            rest = m.group(3)
+            rest = m.group(4)
             flags.setdefault(module, set()).update(FLAG_RE.findall(rest))
     return flags
 
@@ -77,6 +78,14 @@ def test_documented_cli_flags_exist():
 
     problems = []
     for module, wanted in sorted(flags.items()):
+        if module == "bench.py":
+            # bench.py is env-var configured and parses no flags; any flag
+            # a doc shows on its command line is a doc bug (extend the
+            # guard if bench.py ever grows an argparser).
+            if wanted:
+                problems.append(f"bench.py: docs show flags {sorted(wanted)} "
+                                f"but bench.py parses none")
+            continue
         if not wanted:
             continue
         r = subprocess.run([sys.executable, "-m", module, "--help"],
@@ -87,6 +96,8 @@ def test_documented_cli_flags_exist():
             problems.append(f"{module} --help failed: {helptext[-300:]}")
             continue
         for flag in sorted(wanted):
-            if flag not in helptext:
+            # Word-boundary match: a documented --foo must not pass just
+            # because --help lists --foo-bar.
+            if not re.search(re.escape(flag) + r"(?![\w-])", helptext):
                 problems.append(f"{module}: documented {flag} not in --help")
     assert not problems, problems

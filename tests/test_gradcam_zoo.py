@@ -44,7 +44,15 @@ def test_fused_gradcam_runs_for_every_model(name):
     frames = np.random.RandomState(7).randint(
         0, 256, (2,) + IMG).astype(np.uint8)
 
-    cams_by_mode = {}
+    # Reference forward once; EVERY mode's fused probs must match it (the
+    # fused pass must not perturb the forward computation on any
+    # architecture — same invariant test_gradcam pins for cnn0).
+    from ab_line_classifier_tpu.ops.image import fused_preprocess
+
+    x = fused_preprocess(jnp.asarray(frames), out_hw=IMG[:2],
+                         preprocess_mode=spec.preprocess_mode)
+    plain = np.asarray(spec.module().apply(variables, x, train=False))
+
     for mode in ("normal", "plusplus"):
         ex = GradCAMExplainer(_cfg(name), spec=spec, variables=variables,
                               mode=mode)
@@ -54,13 +62,5 @@ def test_fused_gradcam_runs_for_every_model(name):
         assert cams.shape == (2, IMG[0], IMG[1])
         assert np.isfinite(cams).all()
         assert cams.min() >= 0.0 and cams.max() <= 1.0 + 1e-6
-        cams_by_mode[mode] = cams
-
-    # The fused pass must not perturb the forward computation on any
-    # architecture (same invariant test_gradcam pins for cnn0).
-    from ab_line_classifier_tpu.ops.image import fused_preprocess
-
-    x = fused_preprocess(jnp.asarray(frames), out_hw=IMG[:2],
-                         preprocess_mode=spec.preprocess_mode)
-    plain = np.asarray(spec.module().apply(variables, x, train=False))
-    np.testing.assert_allclose(probs, plain, atol=1e-5)
+        np.testing.assert_allclose(probs, plain, atol=1e-5,
+                                   err_msg=f"mode={mode}")
