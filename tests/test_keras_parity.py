@@ -213,6 +213,39 @@ def test_efficientnetb0_forward_parity():
     assert rel < 1e-3, rel
 
 
+def test_efficientnetb7_layer_names_and_forward_parity():
+    """The PRODUCTION variant (reference models.py:198-245) against real
+    ``keras.applications.EfficientNetB7`` — not the B0 proxy: B7-specific
+    compound scaling (round_filters at width 2.0, round_repeats at depth
+    3.1 -> 55 blocks, the stochastic-depth schedule) is what this checks.
+    813 layers name-for-name, 437 weighted layers copied, forward parity
+    at a CPU-testable 64x64 input."""
+    from tensorflow.keras.applications import EfficientNetB7
+
+    from ab_line_classifier_tpu.models.efficientnet import (
+        efficientnet_backbone)
+
+    km = EfficientNetB7(include_top=False, weights=None,
+                        input_shape=(64, 64, 3))
+    g = efficientnet_backbone("b7", (64, 64), imagenet_stem=False)
+    keras_names = [l.name for l in km.layers]
+    ours = g.layer_names
+    assert len(ours) == len(keras_names) == 813
+    assert ours[1:] == keras_names[1:]
+    weighted = [l.name for l in km.layers if l.get_weights()]
+
+    mod = G.GraphModule(graph=g)
+    v = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    p, bs, n = copy_keras_weights(km, v["params"], v["batch_stats"])
+    assert n == len(weighted), (n, len(weighted))
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32) * 255
+    got = np.asarray(mod.apply({"params": p, "batch_stats": bs},
+                               jnp.asarray(x), train=False))
+    want = km(x, training=False).numpy()
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 1e-3, rel
+
+
 def test_cutoffvgg16_equals_keras_reconstruction():
     """Rebuild the reference's CutoffVGG16 head in Keras (models.py:407-421)
     and compare against our ModelSpec with the same weights."""

@@ -46,8 +46,8 @@ IMG = (64, 64, 3)
 # backbone + 2 dense layers), BN+fused-relu convs (cnn0), depthwise+relu6+
 # residual adds (mobilenetv2), separable convs + maxpool residuals
 # (xception), pre-activation bottlenecks (custom_resnetv2); the
-# EfficientNet family (silu, squeeze-excite) is covered by the b0 test
-# below (b7 exports identically but is too large for the suite).
+# EfficientNet family (silu, squeeze-excite) round-trips via the b0 test
+# AND the full production b7 (test_export_efficientnetb7_roundtrip).
 ZOO = ["cutoffvgg16", "cnn0", "mobilenetv2", "xception", "custom_resnetv2",
        "vgg16"]
 
@@ -85,11 +85,29 @@ def test_export_matches_forward(name, tmp_path):
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
 
 
+def test_export_efficientnetb7_roundtrip(tmp_path):
+    """The full production efficientnetb7 (64M params, 55 blocks) exports
+    and matches the jitted forward through the independent evaluator —
+    B7's compound-scaled graph itself, not the B0 proxy (reference
+    models.py:198-245)."""
+    spec = build_model("efficientnetb7",
+                       {"LR": 0.1, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+                        "FREEZE_IDX": -1}, IMG, 2)
+    v = spec.init_variables(jax.random.PRNGKey(0))
+    path = str(tmp_path / "effb7.onnx")
+    export_onnx(spec, v, path, batch_size=2)
+    assert os.path.getsize(path) > 100 * 1024 * 1024  # 64M f32 params
+    x = np.random.RandomState(0).randn(2, *IMG).astype(np.float32)
+    ref = np.asarray(spec.module().apply(v, jnp.asarray(x), train=False))
+    got = evaluate(OP.load_model(path), {"input_1": x})[0]
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
 def test_export_efficientnet_family(tmp_path):
     """EfficientNet layer family (silu via custom_jvp, squeeze-excite
     global-pool multiplies, stem rescaling) exports and matches — exercised
-    on the b0 backbone; efficientnetb7 is the same graph family scaled up
-    (exports identically, verified out-of-suite: 258 MB / bit-exact)."""
+    on the b0 backbone at unit cost (the full b7 round-trips in
+    test_export_efficientnetb7_roundtrip)."""
     from ab_line_classifier_tpu.models import common as C
     from ab_line_classifier_tpu.models.efficientnet import (
         efficientnet_backbone)
