@@ -307,15 +307,50 @@ class Trainer:
                                    dataset.labels_dev, idx_tab, mask_tab)
         else:
             metrics = metrics_init
-            for batch in dataset.batches(batch_size, shuffle=train,
-                                         seed=shuffle_seed):
-                images, labels, mask = mesh_lib.shard_batch(
-                    self.mesh, batch.images, batch.labels, batch.mask)
-                if train:
-                    state, metrics = step_fn(state, metrics, images, labels,
-                                             mask)
-                else:
-                    metrics = step_fn(state, metrics, images, labels, mask)
+            # Streaming tier, double-buffered: batch k+1's host->device
+            # transfer is ISSUED (async device_put) before step k's results
+            # are needed, so the tunnel copy overlaps both the producer
+            # thread's decode and the device compute. Measured on the real
+            # chip (docs/PERFORMANCE.md "End-to-end training from JPEGs"):
+            # the explicit early put removes the dispatch-time transfer
+            # stall the jit call would otherwise pay per batch.
+            # ABLC_DEVICE_PREFETCH=0 restores the serial-transfer path
+            # (measurement/debug).
+            double_buffer = os.environ.get("ABLC_DEVICE_PREFETCH",
+                                           "1") != "0"
+
+            def to_device(b):
+                if self.mesh is not None:
+                    return mesh_lib.shard_batch(self.mesh, b.images,
+                                                b.labels, b.mask)
+                return (jax.device_put(b.images), jax.device_put(b.labels),
+                        jax.device_put(b.mask))
+
+            it = iter(dataset.batches(batch_size, shuffle=train,
+                                      seed=shuffle_seed))
+            if double_buffer:
+                b = next(it, None)
+                cur = to_device(b) if b is not None else None
+                while cur is not None:
+                    b = next(it, None)          # decode (producer thread)
+                    nxt = to_device(b) if b is not None else None
+                    images, labels, mask = cur
+                    if train:
+                        state, metrics = step_fn(state, metrics, images,
+                                                 labels, mask)
+                    else:
+                        metrics = step_fn(state, metrics, images, labels,
+                                          mask)
+                    cur = nxt
+            else:
+                for batch in it:
+                    images, labels, mask = to_device(batch)
+                    if train:
+                        state, metrics = step_fn(state, metrics, images,
+                                                 labels, mask)
+                    else:
+                        metrics = step_fn(state, metrics, images, labels,
+                                          mask)
         out = {k: float(v) for k, v in
                M.compute_metrics(metrics, self.class_names).items()}
         return state, out
