@@ -9,8 +9,8 @@ conv stacks (vgg16/cutoffvgg16) — not just the cnn0 the unit tests use.
 Per model, both modes run and the fused probabilities must equal a plain
 forward pass (capturing the conv tap cannot perturb the forward).
 
-Same zoo/hparams as the ONNX export suite (efficientnetb7 excluded for
-suite size there and here; its op set is silu/SE on the same graph IR).
+Same zoo/hparams as the ONNX export suite, PLUS the full efficientnetb7
+(55 compound-scaled blocks — silu/SE/stochastic-depth on the graph IR).
 """
 
 import numpy as np
@@ -37,7 +37,7 @@ def _cfg(name):
     return Config(d)
 
 
-@pytest.mark.parametrize("name", ZOO)
+@pytest.mark.parametrize("name", ZOO + ["efficientnetb7"])
 def test_fused_gradcam_runs_for_every_model(name):
     spec = build_model(name, HP[name], IMG, 2)
     variables = spec.init_variables(jax.random.PRNGKey(3))

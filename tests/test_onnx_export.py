@@ -39,6 +39,10 @@ HP = {
                  "NODES_DENSE0": 16},
     "vgg16": {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
               "NODES_DENSE0": 8, "FREEZE_IDX": -1},
+    # b7 is not in ZOO (its ONNX round trip is the dedicated full-size
+    # test below) but other whole-zoo suites (test_gradcam_zoo) use it.
+    "efficientnetb7": {"LR": 0.1, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+                       "FREEZE_IDX": -1},
 }
 IMG = (64, 64, 3)
 
@@ -90,9 +94,7 @@ def test_export_efficientnetb7_roundtrip(tmp_path):
     and matches the jitted forward through the independent evaluator —
     B7's compound-scaled graph itself, not the B0 proxy (reference
     models.py:198-245)."""
-    spec = build_model("efficientnetb7",
-                       {"LR": 0.1, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
-                        "FREEZE_IDX": -1}, IMG, 2)
+    spec = build_model("efficientnetb7", HP["efficientnetb7"], IMG, 2)
     v = spec.init_variables(jax.random.PRNGKey(0))
     path = str(tmp_path / "effb7.onnx")
     export_onnx(spec, v, path, batch_size=2)
