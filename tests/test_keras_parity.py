@@ -225,6 +225,12 @@ def test_efficientnetb7_layer_names_and_forward_parity():
     from ab_line_classifier_tpu.models.efficientnet import (
         efficientnet_backbone)
 
+    # EfficientNet's stem rescaling/normalization layers are unnamed, so
+    # Keras assigns process-global counter names (rescaling_N) — any
+    # earlier test that built one (the B0 test above) shifts them. Reset
+    # to fresh-process numbering, which is what the backbone emits (same
+    # fix as the Xception test).
+    tf.keras.backend.clear_session()
     km = EfficientNetB7(include_top=False, weights=None,
                         input_shape=(64, 64, 3))
     g = efficientnet_backbone("b7", (64, 64), imagenet_stem=False)
