@@ -162,6 +162,67 @@ def dryrun_multihost(process_id: int, num_processes: int,
     jax.distributed.shutdown()
 
 
+def spawn_dryrun_pair(out_path: str, *, local_device_count: int = 4,
+                      timeout: int = 600):
+    """Spawn the 2-process distributed dryrun (one subprocess per simulated
+    host) and return the loaded ``.npz`` result written by process 0.
+
+    One definition of the whole recipe — coordinator port pick, env setup
+    (PYTHONPATH PREPENDED, never overwritten: the default carries the TPU
+    plugin path), arg list, and failure handling — shared by
+    ``tests/test_multihost.py`` and the driver contract
+    (``__graft_entry__.dryrun_multichip``) so the two cannot drift.
+
+    Robust against a wedged pair: a stalled process (e.g. its peer died
+    mid-collective) is KILLED after ``timeout`` and both stderr tails are
+    raised, instead of leaking children and dying with a bare
+    TimeoutExpired."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu", "ABLC_PLATFORM": "cpu", "XLA_FLAGS": "",
+        "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    procs = [subprocess.Popen(
+        [sys.executable, "-m",
+         "ab_line_classifier_tpu.parallel.multihost",
+         "--process-id", str(pid), "--num-processes", "2",
+         "--coordinator", f"127.0.0.1:{port}", "--out", out_path,
+         "--local-devices", str(local_device_count)],
+        env=env, cwd=repo_root,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout))
+    except subprocess.TimeoutExpired:
+        tails = []
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+            _, se = p.communicate()
+            tails.append((se or b"").decode(errors="replace")[-2000:])
+        raise RuntimeError(
+            "multihost dryrun pair timed out after "
+            f"{timeout}s; stderr tails:\n" + "\n---\n".join(tails))
+    for p, (_, se) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost process {p.args[4]} failed (rc={p.returncode}):"
+                f"\n{se.decode(errors='replace')[-3000:]}")
+    return np.load(out_path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--process-id", type=int, required=True)

@@ -490,8 +490,14 @@ class ParallelFoldTrainer:
             self.module = self.spec.logits_module(
                 capture=tuple(self.spec.activity_regularizers),
                 inference_bn=self.spec.frozen_bn_layers(phase))
+            # The warm-start overlay only matters for the first live
+            # phase's fresh init — later phases take carry_params and a
+            # resume restore overwrites params, so skip the broadcast +
+            # device_put work it would immediately discard.
+            overlay = (warm_start if carry_params is None and not restoring
+                       else None)
             params, batch_stats, opt_state, tx = self.init_stacked(
-                phase, warm_start=warm_start)
+                phase, warm_start=overlay)
             if carry_params is not None:
                 params = carry_params         # phase hand-off (cutoffvgg16)
                 if carry_bs is not None:

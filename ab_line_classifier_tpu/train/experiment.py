@@ -81,14 +81,18 @@ def load_pretrained_variables(path: str, spec, *, rng=None,
     only one side are skipped with a notice, exactly like the reference's
     try/except copy loop; a file that matches NO layer raises (silently
     training from scratch after a config typo is a footgun), and a missing
-    path raises like the reference's assert (model_utils.py:13).
+    path raises like the reference's assert (model_utils.py:13). Native
+    paths go straight to ``ckpt.load_model`` so the ``.../latest`` alias
+    and dir-of-checkpoints forms keep working (utils/checkpoint.py:75-90,
+    which raises FileNotFoundError itself when nothing resolves).
     """
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"Could not find pretrained weights at: {path!r} "
-            f"(PATHS.PRETRAINED_WEIGHTS with TRAIN.USE_PRETRAINED set)")
     if path.endswith(".h5"):
         from ab_line_classifier_tpu.models.weights import import_h5_weights
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"Could not find pretrained weights at: {path!r} "
+                f"(PATHS.PRETRAINED_WEIGHTS with TRAIN.USE_PRETRAINED set)")
 
         if rng is None:
             rng = jax.random.PRNGKey(0)

@@ -326,6 +326,15 @@ class Trainer:
                 return (jax.device_put(b.images), jax.device_put(b.labels),
                         jax.device_put(b.mask))
 
+            def dispatch(dev_batch):
+                nonlocal state, metrics
+                images, labels, mask = dev_batch
+                if train:
+                    state, metrics = step_fn(state, metrics, images, labels,
+                                             mask)
+                else:
+                    metrics = step_fn(state, metrics, images, labels, mask)
+
             it = iter(dataset.batches(batch_size, shuffle=train,
                                       seed=shuffle_seed))
             if double_buffer:
@@ -334,23 +343,11 @@ class Trainer:
                 while cur is not None:
                     b = next(it, None)          # decode (producer thread)
                     nxt = to_device(b) if b is not None else None
-                    images, labels, mask = cur
-                    if train:
-                        state, metrics = step_fn(state, metrics, images,
-                                                 labels, mask)
-                    else:
-                        metrics = step_fn(state, metrics, images, labels,
-                                          mask)
+                    dispatch(cur)
                     cur = nxt
             else:
                 for batch in it:
-                    images, labels, mask = to_device(batch)
-                    if train:
-                        state, metrics = step_fn(state, metrics, images,
-                                                 labels, mask)
-                    else:
-                        metrics = step_fn(state, metrics, images, labels,
-                                          mask)
+                    dispatch(to_device(batch))
         out = {k: float(v) for k, v in
                M.compute_metrics(metrics, self.class_names).items()}
         return state, out

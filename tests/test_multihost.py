@@ -8,48 +8,25 @@ mesh build, ``host_local_batch`` stitching, the jitted step — is identical.
 """
 
 import os
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
 from ab_line_classifier_tpu.parallel import mesh as mesh_lib
 from ab_line_classifier_tpu.parallel.multihost import (
-    one_epoch_trial_parallel, one_step_params)
-from tests.conftest import REPO_ROOT, cli_env
+    one_epoch_trial_parallel, one_step_params, spawn_dryrun_pair)
 
 pytestmark = pytest.mark.slow
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 def test_two_process_step_matches_single_process(tmp_path):
-    port = _free_port()
+    # Shared spawn recipe (spawn_dryrun_pair): the parent test env forces
+    # 8 devices, each simulated host gets 4 (multihost.py rewrites the
+    # count). The same helper backs __graft_entry__.dryrun_multichip, so
+    # the driver contract and this test cannot drift.
     out = str(tmp_path / "mh_params.npz")
-    procs = []
-    for pid in range(2):
-        # Fresh flag set: the parent test env forces 8 devices, each
-        # simulated host gets 4 (multihost.py rewrites the count).
-        env = cli_env(extra={"JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""})
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m",
-             "ab_line_classifier_tpu.parallel.multihost",
-             "--process-id", str(pid), "--num-processes", "2",
-             "--coordinator", f"127.0.0.1:{port}", "--out", out],
-            env=env, cwd=REPO_ROOT,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    outs = [p.communicate(timeout=600) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, se.decode()[-4000:]
+    multi = spawn_dryrun_pair(out, local_device_count=4)
     assert os.path.isfile(out)
-
-    multi = np.load(out)
     trial_val_loss = multi["trial_val_loss"]
     multi_leaves = [multi[k] for k in multi.files
                     if k != "trial_val_loss"]

@@ -130,6 +130,30 @@ def test_full_model_h5_warm_start_cutoffvgg16(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_native_checkpoint_latest_alias(tmp_path):
+    """Native warm-start keeps checkpoint.resolve_model_dir semantics: a
+    '.../latest' alias (the form config.yml ships for MODEL_TO_LOAD) and a
+    dir-of-checkpoints both resolve to the newest model dir — the alias
+    is not a literal path, so no existence pre-check may run before the
+    resolver."""
+    from ab_line_classifier_tpu.utils import checkpoint as ckpt
+
+    spec = build_model("cnn0", _hparams("cnn0"), (32, 32, 3), 2)
+    donor = randomize_leaves(spec.init_variables(jax.random.PRNGKey(4)),
+                             seed=8)
+    models = tmp_path / "models"
+    ckpt.save_model(str(models / "model20260820-000000"), donor,
+                    meta={"model_name": "cnn0"})
+
+    for alias in (str(models / "latest"), str(models)):
+        variables, names = load_pretrained_variables(alias, spec,
+                                                     verbose=False)
+        assert names is None  # native restore: full tree
+        for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                        jax.tree_util.tree_leaves(donor["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_missing_path_raises(tmp_path):
     """Reference model_utils.py:13 asserts the file exists; silently
     training from scratch after a config typo is a footgun."""
