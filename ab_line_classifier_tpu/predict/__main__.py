@@ -17,14 +17,26 @@ def main():
     p.add_argument("--config", default=None, help="path to config.yml")
     p.add_argument("--no-metrics", action="store_true",
                    help="skip metrics (no ground-truth column)")
+    p.add_argument("--ext-val", action="store_true",
+                   help="predict on the external-validation dataset "
+                        "(PATHS.EXT_VAL_FRAME_TABLE / EXT_VAL_CLIPS_TABLE /"
+                        " EXT_VAL_FRAMES — the reference documents these "
+                        "keys but made users swap tables by hand, "
+                        "reference README.md:168-170)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace of both "
                         "inference passes to <PATHS.LOGS>/profiles")
     args = p.parse_args()
 
     cfg = load_config(args.config)
-    frames_path = cfg["PATHS"]["FRAME_TABLE"]
-    clips_path = cfg["PATHS"]["CLIPS_TABLE"]
+    if args.ext_val:
+        frames_path = cfg["PATHS"]["EXT_VAL_FRAME_TABLE"]
+        clips_path = cfg["PATHS"]["EXT_VAL_CLIPS_TABLE"]
+        frames_dir = cfg["PATHS"]["EXT_VAL_FRAMES"]
+    else:
+        frames_path = cfg["PATHS"]["FRAME_TABLE"]
+        clips_path = cfg["PATHS"]["CLIPS_TABLE"]
+        frames_dir = cfg["PATHS"]["FRAMES"]
 
     def run():
         # One restore + one jit compile + ONE frame sweep shared by both
@@ -38,8 +50,7 @@ def main():
         from ab_line_classifier_tpu.predict.predict import default_predictor
         predictor = default_predictor(cfg)
         frames_df = pd.read_csv(frames_path)
-        ds = FrameDataset(frames_df, cfg["PATHS"]["FRAMES"],
-                          img_dim=cfg.img_dim)
+        ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
         frame_probs = predictor.predict_dataset(ds)
         compute_clip_predictions(
             cfg, frames_path, clips_path,
@@ -47,10 +58,11 @@ def main():
                 cfg["CLIP_PREDICTION"]["CLASSIFICATION_THRESHOLD"]),
             clip_algorithm=cfg["CLIP_PREDICTION"]["ALGORITHM"],
             calculate_metrics=not args.no_metrics, predictor=predictor,
-            frame_probs=frame_probs)
+            frames_dir=frames_dir, frame_probs=frame_probs)
         compute_frame_predictions(cfg, frames_path, class_thresh=0.5,
                                   calculate_metrics=not args.no_metrics,
                                   predictor=predictor,
+                                  frames_dir=frames_dir,
                                   frame_probs=frame_probs)
 
     from ab_line_classifier_tpu.utils.profiling import run_maybe_traced

@@ -95,6 +95,48 @@ def test_cli_lifecycle(workspace):
     assert any("frame" in os.path.basename(p) for p in onnx_preds)
 
 
+def test_predict_ext_val(workspace):
+    """``predict --ext-val`` serves the external-validation dataset from
+    PATHS.EXT_VAL_* (the reference documents these keys,
+    README.md:168-170, but made users swap FRAME_TABLE/CLIPS_TABLE by
+    hand). A second synthetic dataset stands in for the external one;
+    outputs land in a distinct predictions dir."""
+    import pandas as pd
+
+    ws, cfg_path = workspace
+    # Self-sufficient: train if no checkpoint exists yet (test order
+    # independence, same pattern as test_profile_flags).
+    if not glob.glob(os.path.join(ws, "results", "models", "model*")):
+        _run_cli("train", cfg_path)
+    ext = os.path.join(ws, "ext")
+    e_fcsv, e_ccsv, e_fdir = generate_dataset(ext, n_patients=4,
+                                              clips_per_patient=1,
+                                              frames_per_clip=4, hw=(48, 64),
+                                              seed=21)
+    d = yaml.safe_load(open(cfg_path))
+    d["PATHS"].update({"EXT_VAL_FRAME_TABLE": e_fcsv,
+                       "EXT_VAL_CLIPS_TABLE": e_ccsv,
+                       "EXT_VAL_FRAMES": e_fdir,
+                       "BATCH_PREDS": os.path.join(ws, "ext_predictions")
+                       + os.sep})
+    ext_cfg = os.path.join(ws, "config_ext.yml")
+    yaml.safe_dump(d, open(ext_cfg, "w"), sort_keys=False)
+
+    _run_cli("predict", ext_cfg, "--ext-val")
+    preds = glob.glob(os.path.join(ws, "ext_predictions", "*.csv"))
+    assert preds, "no external-validation prediction CSVs"
+    # Frame preds file is named `_predictions<ts>.csv` (the reference's
+    # own naming, reference predict.py:220); clip preds carry the
+    # frames-table stem + `_clips_predictions<ts>.csv` (:186).
+    frame_preds = [p for p in preds
+                   if os.path.basename(p).startswith("_predictions")]
+    clip_preds = [p for p in preds if "_clips_predictions"
+                  in os.path.basename(p)]
+    assert frame_preds and clip_preds, [os.path.basename(p) for p in preds]
+    assert len(pd.read_csv(frame_preds[0])) == len(pd.read_csv(e_fcsv))
+    assert len(pd.read_csv(clip_preds[0])) == len(pd.read_csv(e_ccsv))
+
+
 def test_explain_frames_selection(workspace):
     """``explain --frames`` selects table rows by basename (full paths
     accepted) and exits with an error when nothing matches."""
