@@ -209,41 +209,56 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                 if verbose:
                     print(f"{layer_name} is not in the h5 file.")
                 continue
-            p = params[layer_name]
+            # Stage into copies and commit per layer only if every branch
+            # succeeds (same discipline as the Keras-3 path): a mid-branch
+            # failure must not leave the layer half-imported, and EVERY
+            # assignment is shape-checked so a wrong-shape h5 array fails
+            # here with the layer name instead of at trace time.
+            def put(d, key, arr):
+                arr = np.asarray(arr)
+                if tuple(np.shape(d[key])) != tuple(arr.shape):
+                    raise ValueError(
+                        f"{key} shape mismatch {tuple(np.shape(d[key]))} "
+                        f"vs {tuple(arr.shape)}")
+                d[key] = arr
+
             try:
-                if "depthwise" in p:  # SeparableConv2D
+                new_p = dict(params[layer_name])
+                new_bs = (dict(batch_stats[layer_name])
+                          if layer_name in batch_stats else None)
+                if "depthwise" in new_p:  # SeparableConv2D
                     dw = w["depthwise_kernel"]
-                    p["depthwise"] = dict(p["depthwise"])
-                    p["depthwise"]["kernel"] = dw.transpose(0, 1, 3, 2)
-                    p["pointwise"] = dict(p["pointwise"])
-                    p["pointwise"]["kernel"] = w["pointwise_kernel"]
-                    if "bias" in w and "bias" in p["pointwise"]:
-                        p["pointwise"]["bias"] = w["bias"]
+                    new_p["depthwise"] = dict(new_p["depthwise"])
+                    put(new_p["depthwise"], "kernel",
+                        dw.transpose(0, 1, 3, 2))
+                    new_p["pointwise"] = dict(new_p["pointwise"])
+                    put(new_p["pointwise"], "kernel", w["pointwise_kernel"])
+                    if "bias" in w and "bias" in new_p["pointwise"]:
+                        put(new_p["pointwise"], "bias", w["bias"])
                 elif "depthwise_kernel" in w:  # DepthwiseConv2D
-                    p["kernel"] = w["depthwise_kernel"].transpose(0, 1, 3, 2)
-                    if "bias" in w and "bias" in p:
-                        p["bias"] = w["bias"]
+                    put(new_p, "kernel",
+                        w["depthwise_kernel"].transpose(0, 1, 3, 2))
+                    if "bias" in w and "bias" in new_p:
+                        put(new_p, "bias", w["bias"])
                 elif "gamma" in w or "beta" in w:  # BatchNormalization
-                    if "gamma" in w and "scale" in p:
-                        p["scale"] = w["gamma"]
-                    if "beta" in w and "bias" in p:
-                        p["bias"] = w["beta"]
-                    if layer_name in batch_stats:
+                    if "gamma" in w and "scale" in new_p:
+                        put(new_p, "scale", w["gamma"])
+                    if "beta" in w and "bias" in new_p:
+                        put(new_p, "bias", w["beta"])
+                    if new_bs is not None:
                         if "moving_mean" in w:
-                            batch_stats[layer_name]["mean"] = w["moving_mean"]
+                            put(new_bs, "mean", w["moving_mean"])
                         if "moving_variance" in w:
-                            batch_stats[layer_name]["var"] = \
-                                w["moving_variance"]
+                            put(new_bs, "var", w["moving_variance"])
                 elif "kernel" in w:  # Conv2D / Dense
-                    if p["kernel"].shape != w["kernel"].shape:
-                        raise ValueError(
-                            f"shape mismatch {p['kernel'].shape} vs "
-                            f"{w['kernel'].shape}")
-                    p["kernel"] = w["kernel"]
-                    if "bias" in w and "bias" in p:
-                        p["bias"] = w["bias"]
+                    put(new_p, "kernel", w["kernel"])
+                    if "bias" in w and "bias" in new_p:
+                        put(new_p, "bias", w["bias"])
                 else:
                     raise ValueError(f"unrecognized weight set {list(w)}")
+                params[layer_name] = new_p
+                if new_bs is not None:
+                    batch_stats[layer_name] = new_bs
                 copied += 1
                 if copied_names is not None:
                     copied_names.append(layer_name)

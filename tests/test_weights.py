@@ -178,3 +178,45 @@ def test_graphless_export_grayscale_conv_not_depthwise(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(v2_imported["params"]["block_1_depthwise"]["kernel"]),
         variables["params"]["block_1_depthwise"]["kernel"])
+
+
+def test_partial_layer_failure_is_atomic(tmp_path):
+    """A layer whose h5 arrays are PARTIALLY wrong (one good array, one
+    wrong-shape) must be skipped WHOLE: no leaf of that layer may change
+    (stage-and-commit, same discipline as the Keras-3 import path), other
+    layers still import, and copied excludes it."""
+    import h5py
+
+    h5_path = str(tmp_path / "torn.h5")
+    good_kernel = np.arange(3 * 3 * 4 * 8, dtype=np.float32).reshape(
+        3, 3, 4, 8)
+    good_gamma = np.arange(8, dtype=np.float32) + 1.0
+    with h5py.File(h5_path, "w") as f:
+        root = f.create_group("model_weights")
+        g = root.create_group("conv_ok").create_group("conv_ok")
+        g.create_dataset("kernel:0", data=good_kernel)
+        b = root.create_group("bn_torn").create_group("bn_torn")
+        b.create_dataset("gamma:0", data=good_gamma)          # good shape
+        b.create_dataset("beta:0", data=np.zeros(5, np.float32))  # WRONG
+        root.attrs["layer_names"] = [b"conv_ok", b"bn_torn"]
+
+    fresh_scale = np.full(8, 7.0, np.float32)
+    variables = {
+        "params": {
+            "conv_ok": {"kernel": np.zeros((3, 3, 4, 8), np.float32)},
+            "bn_torn": {"scale": fresh_scale.copy(),
+                        "bias": np.full(8, 3.0, np.float32)},
+        },
+        "batch_stats": {"bn_torn": {"mean": np.zeros(8, np.float32),
+                                    "var": np.ones(8, np.float32)}},
+    }
+    out, copied = import_h5_weights(h5_path, variables, verbose=False)
+    assert copied == 1  # only conv_ok
+    np.testing.assert_array_equal(out["params"]["conv_ok"]["kernel"],
+                                  good_kernel)
+    # bn_torn untouched IN FULL — gamma was importable but the layer's
+    # beta was not, so nothing may have committed.
+    np.testing.assert_array_equal(out["params"]["bn_torn"]["scale"],
+                                  fresh_scale)
+    np.testing.assert_array_equal(out["params"]["bn_torn"]["bias"],
+                                  np.full(8, 3.0, np.float32))
