@@ -46,6 +46,20 @@ def _h5_layer_weights(h5_file, layer_name: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _put(d: Dict[str, Any], key: str, arr, ctx: str = "") -> None:
+    """Shape-checked assignment into a STAGED layer dict — the single
+    commit primitive both import layouts use: a wrong-shape h5 array must
+    fail here with the layer context instead of at jit trace time, and
+    callers commit the staged dict only after every ``_put`` succeeds so
+    a mid-layer failure cannot leave a half-imported layer."""
+    arr = np.asarray(arr)
+    if tuple(np.shape(d[key])) != tuple(arr.shape):
+        raise ValueError(
+            f"{key} shape mismatch {tuple(np.shape(d[key]))} vs "
+            f"{tuple(arr.shape)}" + (f" ({ctx})" if ctx else ""))
+    d[key] = arr
+
+
 def _keras3_class_of(node_kind: str, layer_params) -> str:
     """The keras class prefix keras 3 uses as the h5 group name."""
     if layer_params is not None and "depthwise" in layer_params:
@@ -96,19 +110,12 @@ def _import_keras3_h5(f, params, batch_stats, graph, verbose,
         p = params.get(name)
 
         def put(d, key, arr):
-            # EVERY assignment is shape-checked: class+order addressing
+            # Shape checks matter doubly here: class+order addressing
             # means a misaligned cursor binds the wrong group, and for
             # classes whose shapes often coincide across layers (BN in
             # Xception's 728-wide middle flow) a silent positional copy
-            # would commit wrong weights with no error. All assignments
-            # stage into copies and commit per layer only if every check
-            # passes — a mid-branch failure must not leave the layer
-            # half-imported.
-            if tuple(np.shape(d[key])) != tuple(arr.shape):
-                raise ValueError(
-                    f"{key} shape mismatch {tuple(np.shape(d[key]))} vs "
-                    f"{tuple(arr.shape)} (h5 group {gname})")
-            d[key] = arr
+            # would commit wrong weights with no error.
+            _put(d, key, arr, ctx=f"h5 group {gname}")
 
         try:
             new_p = dict(p) if p is not None else None
@@ -210,17 +217,10 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                     print(f"{layer_name} is not in the h5 file.")
                 continue
             # Stage into copies and commit per layer only if every branch
-            # succeeds (same discipline as the Keras-3 path): a mid-branch
-            # failure must not leave the layer half-imported, and EVERY
-            # assignment is shape-checked so a wrong-shape h5 array fails
-            # here with the layer name instead of at trace time.
+            # succeeds (the shared ``_put`` primitive, same discipline as
+            # the Keras-3 path).
             def put(d, key, arr):
-                arr = np.asarray(arr)
-                if tuple(np.shape(d[key])) != tuple(arr.shape):
-                    raise ValueError(
-                        f"{key} shape mismatch {tuple(np.shape(d[key]))} "
-                        f"vs {tuple(arr.shape)}")
-                d[key] = arr
+                _put(d, key, arr, ctx=layer_name)
 
             try:
                 new_p = dict(params[layer_name])
@@ -267,18 +267,26 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
                     print(f"could not copy {layer_name}: {e}")
 
         # Stats-only layers (keras Normalization: mean/variance/count live in
-        # batch_stats with no trainable params, e.g. EfficientNet's stem).
+        # batch_stats with no trainable params, e.g. EfficientNet's stem) —
+        # staged + shape-checked like every other assignment.
         for layer_name in list(batch_stats):
             if layer_name in params:
                 continue
             w = _h5_layer_weights(f, layer_name)
             if "mean" in w and "variance" in w:
-                batch_stats[layer_name]["mean"] = w["mean"].reshape(-1)
-                batch_stats[layer_name]["variance"] = \
-                    w["variance"].reshape(-1)
-                copied += 1
-                if copied_names is not None:
-                    copied_names.append(layer_name)
+                try:
+                    new_bs = dict(batch_stats[layer_name])
+                    _put(new_bs, "mean", w["mean"].reshape(-1),
+                         ctx=layer_name)
+                    _put(new_bs, "variance", w["variance"].reshape(-1),
+                         ctx=layer_name)
+                    batch_stats[layer_name] = new_bs
+                    copied += 1
+                    if copied_names is not None:
+                        copied_names.append(layer_name)
+                except Exception as e:
+                    if verbose:
+                        print(f"could not copy {layer_name}: {e}")
 
     out = dict(variables)
     out["params"] = params

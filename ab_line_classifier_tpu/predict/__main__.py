@@ -30,6 +30,13 @@ def main():
 
     cfg = load_config(args.config)
     if args.ext_val:
+        needed = ("EXT_VAL_FRAME_TABLE", "EXT_VAL_CLIPS_TABLE",
+                  "EXT_VAL_FRAMES")
+        missing = [k for k in needed if not cfg["PATHS"].get(k)]
+        if missing:
+            raise SystemExit(
+                f"--ext-val needs PATHS.{'/'.join(missing)} in the config "
+                f"(external-validation tables, reference README.md:168-170)")
         frames_path = cfg["PATHS"]["EXT_VAL_FRAME_TABLE"]
         clips_path = cfg["PATHS"]["EXT_VAL_CLIPS_TABLE"]
         frames_dir = cfg["PATHS"]["EXT_VAL_FRAMES"]

@@ -387,8 +387,14 @@ def compute_frame_predictions(cfg: Config, dataset_files_path: str,
         metrics = compute_metrics(cfg.classes, frame_labels,
                                   np.asarray(pred_classes), pred_probs,
                                   load_class_idx_map(cfg))
+        # set_name carries the frames-table stem so runs over different
+        # tables (e.g. predict --ext-val) write distinguishable files —
+        # the reference omits the stem from the frame pass
+        # (predict.py:204,220), making an ext-val run's outputs
+        # indistinguishable from the in-distribution run's except by
+        # mtime (fixed latent quirk; symmetric with the clip pass).
         out = os.path.join(cfg["PATHS"]["METRICS"],
-                           f"frames_{_timestamp()}.json")
+                           f"frames_{set_name}{_timestamp()}.json")
         os.makedirs(os.path.dirname(out), exist_ok=True)
         with open(out, "w") as f:
             json.dump(metrics, f)
@@ -399,5 +405,6 @@ def compute_frame_predictions(cfg: Config, dataset_files_path: str,
         pred_probs_df.insert(1, "Class", files_df["Class"])
     os.makedirs(cfg["PATHS"]["BATCH_PREDS"], exist_ok=True)
     pred_probs_df.to_csv(os.path.join(
-        cfg["PATHS"]["BATCH_PREDS"], f"_predictions{_timestamp()}.csv"))
+        cfg["PATHS"]["BATCH_PREDS"],
+        f"{set_name}_predictions{_timestamp()}.csv"))
     return pred_probs_df

@@ -125,11 +125,11 @@ def test_predict_ext_val(workspace):
     _run_cli("predict", ext_cfg, "--ext-val")
     preds = glob.glob(os.path.join(ws, "ext_predictions", "*.csv"))
     assert preds, "no external-validation prediction CSVs"
-    # Frame preds file is named `_predictions<ts>.csv` (the reference's
-    # own naming, reference predict.py:220); clip preds carry the
-    # frames-table stem + `_clips_predictions<ts>.csv` (:186).
-    frame_preds = [p for p in preds
-                   if os.path.basename(p).startswith("_predictions")]
+    # Both passes carry the frames-table stem (README divergence list —
+    # the reference's frame pass was stem-less, predict.py:220, so
+    # ext-val outputs could not be told apart from in-distribution ones).
+    frame_preds = [p for p in preds if "_frames_predictions"
+                   in os.path.basename(p)]
     clip_preds = [p for p in preds if "_clips_predictions"
                   in os.path.basename(p)]
     assert frame_preds and clip_preds, [os.path.basename(p) for p in preds]

@@ -153,7 +153,7 @@ def test_threshold_experiment(trained):
     # independent: do not rely on a sibling test having written one).
     compute_frame_predictions(cfg, cfg["PATHS"]["FRAME_TABLE"],
                               class_thresh=0.5)
-    preds_csv = sorted(glob.glob(ws + "/results/predictions/_predictions*.csv"))[-1]
+    preds_csv = sorted(glob.glob(ws + "/results/predictions/*_frames_predictions*.csv"))[-1]
     m = b_line_threshold_experiment(cfg, preds_csv, 0, 3, class_thresh=0.5,
                                     contiguous=True)
     assert len(m) == 4
@@ -174,7 +174,7 @@ def test_sliding_window_variation_experiment(trained):
     compute_frame_predictions(cfg, cfg["PATHS"]["FRAME_TABLE"],
                               class_thresh=0.5)
     preds_csv = sorted(
-        glob.glob(ws + "/results/predictions/_predictions*.csv"))[-1]
+        glob.glob(ws + "/results/predictions/*_frames_predictions*.csv"))[-1]
     m = sliding_window_variation_experiment(cfg, preds_csv, 1, 4,
                                             class_thresh=0.5, document=True)
     assert list(m["Sliding Window Length"]) == [1, 2, 3, 4]

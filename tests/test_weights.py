@@ -197,26 +197,38 @@ def test_partial_layer_failure_is_atomic(tmp_path):
         g.create_dataset("kernel:0", data=good_kernel)
         b = root.create_group("bn_torn").create_group("bn_torn")
         b.create_dataset("gamma:0", data=good_gamma)          # good shape
+        b.create_dataset("moving_mean:0",                     # good shape
+                         data=np.arange(8, dtype=np.float32) + 10.0)
         b.create_dataset("beta:0", data=np.zeros(5, np.float32))  # WRONG
         root.attrs["layer_names"] = [b"conv_ok", b"bn_torn"]
 
+    # Pre-import values deliberately NOT fresh-init constants (mean!=0,
+    # var!=1, scale!=1): constant inits would hide an early-commit
+    # regression bit-exactly (the 2f1c997 lesson, see CLAUDE.md).
     fresh_scale = np.full(8, 7.0, np.float32)
+    fresh_mean = np.full(8, 5.5, np.float32)
+    fresh_var = np.full(8, 2.25, np.float32)
     variables = {
         "params": {
             "conv_ok": {"kernel": np.zeros((3, 3, 4, 8), np.float32)},
             "bn_torn": {"scale": fresh_scale.copy(),
                         "bias": np.full(8, 3.0, np.float32)},
         },
-        "batch_stats": {"bn_torn": {"mean": np.zeros(8, np.float32),
-                                    "var": np.ones(8, np.float32)}},
+        "batch_stats": {"bn_torn": {"mean": fresh_mean.copy(),
+                                    "var": fresh_var.copy()}},
     }
     out, copied = import_h5_weights(h5_path, variables, verbose=False)
     assert copied == 1  # only conv_ok
     np.testing.assert_array_equal(out["params"]["conv_ok"]["kernel"],
                                   good_kernel)
-    # bn_torn untouched IN FULL — gamma was importable but the layer's
-    # beta was not, so nothing may have committed.
+    # bn_torn untouched IN FULL — gamma AND moving_mean were importable
+    # but the layer's beta was not, so nothing may have committed: not
+    # the params half, not the batch_stats half.
     np.testing.assert_array_equal(out["params"]["bn_torn"]["scale"],
                                   fresh_scale)
     np.testing.assert_array_equal(out["params"]["bn_torn"]["bias"],
                                   np.full(8, 3.0, np.float32))
+    np.testing.assert_array_equal(out["batch_stats"]["bn_torn"]["mean"],
+                                  fresh_mean)
+    np.testing.assert_array_equal(out["batch_stats"]["bn_torn"]["var"],
+                                  fresh_var)
