@@ -136,3 +136,53 @@ def test_mesh_from_config():
     # invalid shape degrades to single-device, not an exception
     bad = Config({"PARALLEL": {"MESH": {"DATA": 5, "TRIAL": 3}}})
     assert mesh_lib.mesh_from_config(bad) is None
+
+
+def test_double_buffered_streaming_matches_serial_under_mesh(tmp_path):
+    """The streaming tier's double-buffered transfer (batch k+1's
+    device_put issued before step k dispatches, train/loop._run_epoch)
+    must be a pure scheduling change: one epoch under the mesh with
+    ABLC_DEVICE_PREFETCH=1 produces bit-identical params to the serial
+    path (=0). Measured on the real chip too (docs/PERFORMANCE.md #4)."""
+    import os
+
+    import pandas as pd
+    from PIL import Image
+
+    from ab_line_classifier_tpu.data.pipeline import FrameDataset
+    from ab_line_classifier_tpu.models import build_model
+    from ab_line_classifier_tpu.train.loop import Trainer
+
+    fdir = str(tmp_path / "frames")
+    os.makedirs(fdir)
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(32):
+        name = f"c{i % 4}_{i // 4}.jpg"
+        Image.fromarray(rng.randint(0, 256, (32, 32, 3), np.uint8)).save(
+            os.path.join(fdir, name), quality=95)
+        rows.append({"Frame Path": name, "Class": i % 2,
+                     "patient_id": f"p{i % 4}", "id": f"c{i % 4}"})
+    df = pd.DataFrame(rows)
+    tds = FrameDataset(df.iloc[:24], fdir, img_dim=(32, 32))
+    vds = FrameDataset(df.iloc[24:], fdir, img_dim=(32, 32))
+
+    hp = {"LR": 1e-3, "DROPOUT": 0.0, "L2_LAMBDA": 0.0, "NODES_DENSE0": 8,
+          "KERNEL_SIZE": 3, "STRIDES": 1, "MAXPOOL_SIZE": 2, "BLOCKS": 1,
+          "INIT_FILTERS": 4, "FILTER_EXP_BASE": 2}
+    spec = build_model("cnn0", hp, (32, 32, 3), 2)
+    mesh = mesh_lib.make_mesh(n_data=8, n_trial=1)
+
+    results = {}
+    for mode in ("0", "1"):
+        os.environ["ABLC_DEVICE_PREFETCH"] = mode
+        try:
+            best, _ = Trainer(spec, seed=3, mesh=mesh).fit(
+                tds, vds, batch_size=8, epochs=2, patience=10,
+                verbose=False)
+        finally:
+            os.environ.pop("ABLC_DEVICE_PREFETCH", None)
+        results[mode] = jax.tree.map(np.asarray, best["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(results["0"]),
+                    jax.tree_util.tree_leaves(results["1"])):
+        np.testing.assert_array_equal(a, b)
