@@ -201,29 +201,59 @@ class Predictor:
     # ------------------------------------------------------------------
     def predict_probs(self, frames_u8: np.ndarray) -> np.ndarray:
         """Probabilities for a uint8 [N, H, W, 3] frame array, swept in
-        static-shape chunks."""
+        static-shape chunks, pipelined one chunk deep: chunk k+1's
+        host->device transfer and dispatch are issued BEFORE chunk k's
+        probabilities are materialized (np.asarray blocks until the
+        forward finishes — materializing eagerly would serialize
+        transfer, compute, and readback per chunk; same double-buffer
+        design as the training streaming tier, docs/PERFORMANCE.md #4)."""
         n = len(frames_u8)
         bs = self.batch_size
         out = np.zeros((n, self.spec.n_classes), np.float32)
-        for i in range(0, n, bs):
+
+        def launch(i):
             chunk = frames_u8[i:i + bs]
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            probs = self._forward(self.variables, self._put_chunk(chunk))
-            out[i:i + bs] = np.asarray(probs)[: bs - pad]
+            return self._forward(self.variables, self._put_chunk(chunk)), pad
+
+        pending = None  # (start_row, device_probs, pad)
+        for i in range(0, n, bs):
+            dev, pad = launch(i)
+            if pending is not None:
+                j, prev, ppad = pending
+                out[j:j + bs] = np.asarray(prev)[: bs - ppad]
+            pending = (i, dev, pad)
+        if pending is not None:
+            j, prev, ppad = pending
+            out[j:j + bs] = np.asarray(prev)[: bs - ppad]
         return out
 
     def predict_dataset(self, ds: FrameDataset) -> np.ndarray:
-        """Decode + predict a frames table (one device sweep, pipelined with
-        host decode)."""
+        """Decode + predict a frames table: host decode (producer thread),
+        host->device transfer, device forward, and host readback all
+        pipeline — the next batch is transferred and dispatched before the
+        previous batch's probabilities are materialized (see
+        predict_probs)."""
         out = np.zeros((len(ds), self.spec.n_classes), np.float32)
+
+        def drain(pending):
+            dev, indices, mask = pending
+            probs = np.asarray(dev)
+            valid = mask > 0
+            out[indices[valid]] = probs[valid]
+
+        pending = None
         for batch in ds.batches(self.batch_size):
-            probs = np.asarray(self._forward(self.variables,
-                                             self._put_chunk(batch.images)))
-            valid = batch.mask > 0
-            out[batch.indices[valid]] = probs[valid]
+            dev = self._forward(self.variables,
+                                self._put_chunk(batch.images))
+            if pending is not None:
+                drain(pending)
+            pending = (dev, batch.indices, batch.mask)
+        if pending is not None:
+            drain(pending)
         return out
 
 
