@@ -201,12 +201,15 @@ class Predictor:
     # ------------------------------------------------------------------
     def predict_probs(self, frames_u8: np.ndarray) -> np.ndarray:
         """Probabilities for a uint8 [N, H, W, 3] frame array, swept in
-        static-shape chunks, pipelined one chunk deep: chunk k+1's
-        host->device transfer and dispatch are issued BEFORE chunk k's
-        probabilities are materialized (np.asarray blocks until the
-        forward finishes — materializing eagerly would serialize
-        transfer, compute, and readback per chunk; same double-buffer
-        design as the training streaming tier, docs/PERFORMANCE.md #4)."""
+        static-shape chunks, pipelined one chunk deep
+        (``pipeline.drain_behind``): chunk k+1's host->device transfer and
+        dispatch are issued BEFORE chunk k's probabilities are
+        materialized (np.asarray blocks until the forward finishes —
+        materializing eagerly would serialize transfer, compute, and
+        readback per chunk; measured +12% on the real chip,
+        docs/PERFORMANCE.md #4)."""
+        from ab_line_classifier_tpu.data.pipeline import drain_behind
+
         n = len(frames_u8)
         bs = self.batch_size
         out = np.zeros((n, self.spec.n_classes), np.float32)
@@ -217,27 +220,28 @@ class Predictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            return self._forward(self.variables, self._put_chunk(chunk)), pad
+            return (i, self._forward(self.variables,
+                                     self._put_chunk(chunk)), pad)
 
-        pending = None  # (start_row, device_probs, pad)
-        for i in range(0, n, bs):
-            dev, pad = launch(i)
-            if pending is not None:
-                j, prev, ppad = pending
-                out[j:j + bs] = np.asarray(prev)[: bs - ppad]
-            pending = (i, dev, pad)
-        if pending is not None:
-            j, prev, ppad = pending
-            out[j:j + bs] = np.asarray(prev)[: bs - ppad]
+        def drain(pending):
+            j, dev, pad = pending
+            out[j:j + bs] = np.asarray(dev)[: bs - pad]
+
+        drain_behind((launch(i) for i in range(0, n, bs)), drain)
         return out
 
     def predict_dataset(self, ds: FrameDataset) -> np.ndarray:
         """Decode + predict a frames table: host decode (producer thread),
         host->device transfer, device forward, and host readback all
-        pipeline — the next batch is transferred and dispatched before the
-        previous batch's probabilities are materialized (see
-        predict_probs)."""
+        pipeline via ``pipeline.drain_behind`` (see predict_probs)."""
+        from ab_line_classifier_tpu.data.pipeline import drain_behind
+
         out = np.zeros((len(ds), self.spec.n_classes), np.float32)
+
+        def launch(batch):
+            return (self._forward(self.variables,
+                                  self._put_chunk(batch.images)),
+                    batch.indices, batch.mask)
 
         def drain(pending):
             dev, indices, mask = pending
@@ -245,15 +249,8 @@ class Predictor:
             valid = mask > 0
             out[indices[valid]] = probs[valid]
 
-        pending = None
-        for batch in ds.batches(self.batch_size):
-            dev = self._forward(self.variables,
-                                self._put_chunk(batch.images))
-            if pending is not None:
-                drain(pending)
-            pending = (dev, batch.indices, batch.mask)
-        if pending is not None:
-            drain(pending)
+        drain_behind((launch(b) for b in ds.batches(self.batch_size)),
+                     drain)
         return out
 
 

@@ -25,7 +25,6 @@ XLA inserts the gradient psum; the step code is identical.
 from __future__ import annotations
 
 import dataclasses
-import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -307,17 +306,14 @@ class Trainer:
                                    dataset.labels_dev, idx_tab, mask_tab)
         else:
             metrics = metrics_init
-            # Streaming tier, double-buffered: batch k+1's host->device
-            # transfer is ISSUED (async device_put) before step k's results
-            # are needed, so the tunnel copy overlaps both the producer
-            # thread's decode and the device compute. Measured on the real
-            # chip (docs/PERFORMANCE.md "End-to-end training from JPEGs"):
-            # the explicit early put removes the dispatch-time transfer
-            # stall the jit call would otherwise pay per batch.
-            # ABLC_DEVICE_PREFETCH=0 restores the serial-transfer path
-            # (measurement/debug).
-            double_buffer = os.environ.get("ABLC_DEVICE_PREFETCH",
-                                           "1") != "0"
+            # Streaming tier, double-buffered via pipeline.drain_behind:
+            # batch k+1's host->device transfer is ISSUED (async
+            # device_put) before step k dispatches, so the tunnel copy
+            # overlaps both the producer thread's decode and the device
+            # compute — measured 3.56→3.20 s/epoch on the real chip
+            # (docs/PERFORMANCE.md "End-to-end training from JPEGs";
+            # ABLC_DEVICE_PREFETCH=0 is the serial kill-switch).
+            from ab_line_classifier_tpu.data.pipeline import drain_behind
 
             def to_device(b):
                 if self.mesh is not None:
@@ -335,19 +331,10 @@ class Trainer:
                 else:
                     metrics = step_fn(state, metrics, images, labels, mask)
 
-            it = iter(dataset.batches(batch_size, shuffle=train,
-                                      seed=shuffle_seed))
-            if double_buffer:
-                b = next(it, None)
-                cur = to_device(b) if b is not None else None
-                while cur is not None:
-                    b = next(it, None)          # decode (producer thread)
-                    nxt = to_device(b) if b is not None else None
-                    dispatch(cur)
-                    cur = nxt
-            else:
-                for batch in it:
-                    dispatch(to_device(batch))
+            drain_behind(
+                (to_device(b) for b in dataset.batches(
+                    batch_size, shuffle=train, seed=shuffle_seed)),
+                dispatch)
         out = {k: float(v) for k, v in
                M.compute_metrics(metrics, self.class_names).items()}
         return state, out

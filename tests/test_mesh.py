@@ -174,6 +174,7 @@ def test_double_buffered_streaming_matches_serial_under_mesh(tmp_path):
     mesh = mesh_lib.make_mesh(n_data=8, n_trial=1)
 
     results = {}
+    prev = os.environ.get("ABLC_DEVICE_PREFETCH")
     for mode in ("0", "1"):
         os.environ["ABLC_DEVICE_PREFETCH"] = mode
         try:
@@ -181,7 +182,12 @@ def test_double_buffered_streaming_matches_serial_under_mesh(tmp_path):
                 tds, vds, batch_size=8, epochs=2, patience=10,
                 verbose=False)
         finally:
-            os.environ.pop("ABLC_DEVICE_PREFETCH", None)
+            # Restore, don't delete: a developer's exported =0 (the
+            # documented serial-debug mode) must survive this test.
+            if prev is None:
+                os.environ.pop("ABLC_DEVICE_PREFETCH", None)
+            else:
+                os.environ["ABLC_DEVICE_PREFETCH"] = prev
         results[mode] = jax.tree.map(np.asarray, best["params"])
     for a, b in zip(jax.tree_util.tree_leaves(results["0"]),
                     jax.tree_util.tree_leaves(results["1"])):

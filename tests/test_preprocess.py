@@ -202,3 +202,45 @@ def test_pallas_vmem_guard():
     assert not pallas_fits_vmem((1080, 1920))
     # Larger outputs shrink the admitted source size.
     assert not pallas_fits_vmem((1080, 1440), out_hw=(256, 256))
+
+
+def test_drain_behind_scheduling_invariant():
+    """pipeline.drain_behind: item k+1 is launched before item k is
+    consumed, the tail always flushes, and the ABLC_DEVICE_PREFETCH=0
+    kill-switch degrades to strict launch->consume alternation — the one
+    audited copy of the transfer-pipelining recipe the training streaming
+    tier and the serving sweeps share."""
+    import os
+
+    from ab_line_classifier_tpu.data.pipeline import drain_behind
+
+    def run(enabled):
+        events = []
+
+        def launches():
+            for i in range(3):
+                events.append(("launch", i))
+                yield i
+
+        drain_behind(launches(), lambda i: events.append(("consume", i)),
+                     enabled=enabled)
+        return events
+
+    assert run(True) == [("launch", 0), ("launch", 1), ("consume", 0),
+                         ("launch", 2), ("consume", 1), ("consume", 2)]
+    assert run(False) == [("launch", 0), ("consume", 0), ("launch", 1),
+                          ("consume", 1), ("launch", 2), ("consume", 2)]
+    # Empty input: no consume calls, no error.
+    drain_behind(iter(()), lambda i: (_ for _ in ()).throw(
+        AssertionError("consume on empty input")))
+
+    # enabled=None reads the env kill-switch.
+    prev = os.environ.get("ABLC_DEVICE_PREFETCH")
+    try:
+        os.environ["ABLC_DEVICE_PREFETCH"] = "0"
+        assert run(None) == run(False)
+    finally:
+        if prev is None:
+            os.environ.pop("ABLC_DEVICE_PREFETCH", None)
+        else:
+            os.environ["ABLC_DEVICE_PREFETCH"] = prev
