@@ -211,3 +211,45 @@ def test_restore_and_predict_consistency(trained):
     probs2 = p.predict_probs(frames)
     np.testing.assert_array_equal(probs1, probs2)
     np.testing.assert_allclose(probs1.sum(-1), 1.0, atol=1e-5)
+
+
+def test_mixed_precision_train_predict_lifecycle(tmp_path):
+    """The shipped config DEFAULTS to MIXED_PRECISION: true (bf16 compute,
+    MXU-native); this pins the config-driven bf16 wiring end to end on its
+    own workspace: train -> checkpoint meta records mixed_precision ->
+    restore serves from the meta -> finite float32 probabilities."""
+    import numpy as np
+
+    from ab_line_classifier_tpu.config import Config
+    from ab_line_classifier_tpu.data.synthetic import generate_dataset
+    from ab_line_classifier_tpu.predict.predict import Predictor
+    from ab_line_classifier_tpu.train.experiment import perform_single_run
+    from conftest import derive_workspace_config
+
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=12,
+                                        clips_per_patient=2,
+                                        frames_per_clip=4, hw=(32, 32),
+                                        seed=9)
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
+    d["TRAIN"].update({"MODEL_DEF": "cnn0", "EPOCHS": 2, "BATCH_SIZE": 16,
+                       "PATIENCE": 5, "MIXED_PRECISION": True})
+    d["HPARAMS"]["CNN0"].update({"BLOCKS": 1, "INIT_FILTERS": 4,
+                                 "NODES_DENSE0": 8})
+    cfg = Config(d)
+
+    result = perform_single_run(cfg, save_weights=True, verbose=False)
+    assert result.model_dir is not None
+    assert np.isfinite(result.test_metrics["macro_mean_auc"])
+
+    import json
+    meta = json.load(open(os.path.join(result.model_dir, "meta.json")))
+    assert meta["mixed_precision"] is True
+
+    pred = Predictor.restore(result.model_dir)
+    frames = np.random.RandomState(0).randint(
+        0, 256, (4, 32, 32, 3), np.uint8)
+    probs = pred.predict_probs(frames)
+    assert probs.dtype == np.float32
+    assert np.isfinite(probs).all()
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-2)  # bf16 fwd
