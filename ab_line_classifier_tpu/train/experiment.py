@@ -112,19 +112,81 @@ def load_pretrained_variables(path: str, spec, *, rng=None,
     return variables, None
 
 
+def configured_cache_budget(cfg: Config) -> int:
+    """Device pixel-cache budget, capped by the config's memory limit.
+
+    The reference's ``TRAIN.USE_MEMORY_LIMIT`` + ``MEMORY_LIMIT`` (MB) cap
+    its GPU's virtual-device memory (reference ``train.py:184-189``). The
+    TPU-native analogue caps the one device-memory consumer this framework
+    sizes itself — the HBM frame cache (``TRAIN.CACHE_DATASET``): datasets
+    that would exceed the limit fall to the sharded or streaming tiers
+    instead of committing HBM past it. Without the flag, the measured
+    free-HBM budget applies unchanged (data/pipeline.device_cache_budget).
+    """
+    from ab_line_classifier_tpu.data.pipeline import device_cache_budget
+
+    budget = device_cache_budget()
+    if cfg["TRAIN"].get("USE_MEMORY_LIMIT", False):
+        cap = int(cfg["TRAIN"]["MEMORY_LIMIT"]) << 20  # MB, like the ref
+        budget = min(budget, cap)
+    return budget
+
+
 def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
                      ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, str]:
     """Produce (train_df, val_df, test_df, frames_dir).
 
-    Resolution order mirrors the reference's artifact lineage with a local
-    backend: pre-materialized partition CSVs under ``PATHS.PARTITIONS`` win
-    (the TrainValTest artifact contract, reference artifact_logging.py:240-246);
-    otherwise the frames table is split on the fly with ``ARTIFACT_SEED`` —
-    same split function, same seed, same folds.
+    Resolution order (first match wins), mirroring the reference where the
+    artifact IS training's source of truth (reference train.py:217-225 →
+    train_utils.py:18-46,192-235):
+
+    1. a PINNED W&B artifact version
+       (``WANDB.TRAIN_VAL_TEST_ARTIFACT_VERSION`` /
+       ``K_FOLD_CROSS_VAL_ARTIFACT_VERSION``) — fetched into the local
+       store via ``data/wandb_artifacts``; pinning a version with wandb
+       missing raises instead of silently training on something else;
+    2. pre-materialized partition CSVs under ``PATHS.PARTITIONS`` /
+       ``PATHS.K_FOLDS_SPLIT_PATH`` (the on-disk TrainValTest / KFold
+       contract, reference artifact_logging.py:240-246);
+    3. the local artifact store's TrainValTest / KFold artifact
+       (``data/artifacts.ArtifactStore``, latest committed version);
+    4. an on-the-fly split of ``PATHS.FRAME_TABLE`` with ``ARTIFACT_SEED``
+       — same split function, same seed, same folds.
     """
     paths = cfg["PATHS"]
     frames_dir = paths["FRAMES"]
     seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
+
+    # --- 1. pinned W&B artifact version -------------------------------
+    ver_key = ("K_FOLD_CROSS_VAL_ARTIFACT_VERSION" if fold_id is not None
+               else "TRAIN_VAL_TEST_ARTIFACT_VERSION")
+    ver = str(cfg["WANDB"].get(ver_key, "") or "")
+    from ab_line_classifier_tpu.data.artifacts import store_from_config
+    store = store_from_config(cfg)
+    if ver:
+        from ab_line_classifier_tpu.data.wandb_artifacts import (
+            WandbArtifactFetcher)
+        entity = str(cfg["WANDB"].get("ENTITY", "") or "")
+        project = str(cfg["WANDB"].get("PROJECT_NAME", "") or "")
+        prefix = f"{entity}/{project}" if entity and project else ""
+        try:
+            fetcher = WandbArtifactFetcher(store, project=prefix)
+            if fold_id is None:
+                fetcher.fetch_train_val_test(ver)
+            else:
+                fetcher.fetch_k_fold(
+                    ver,
+                    val_split=float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"]),
+                    random_seed=seed)
+        except ImportError as e:
+            raise ImportError(
+                f"WANDB.{ver_key} pins artifact version {ver!r} but wandb "
+                f"is not importable — install wandb or clear the pin "
+                f"(training on a different split than the one pinned "
+                f"would be silent data corruption)") from e
+        return _datasets_from_store(store, cfg, fold_id, frames_dir)
+
+    # --- 2. pre-materialized partition CSVs / 3. local store ----------
 
     if fold_id is not None:
         folds_root = paths.get("K_FOLDS_SPLIT_PATH", "")
@@ -152,6 +214,10 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
                 p = os.path.join(folds_root, f"fold_{i}", "frames.csv")
                 folds.append(pd.read_csv(p))
         else:
+            got = _datasets_from_store(store, cfg, fold_id, frames_dir,
+                                       missing_ok=True)
+            if got is not None:
+                return got
             frames_df = pd.read_csv(paths["FRAME_TABLE"])
             folds = S.k_fold_splits(frames_df, int(cfg["TRAIN"]["N_FOLDS"]),
                                     random_seed=seed)
@@ -167,11 +233,34 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
                 pd.read_csv(os.path.join(part_frames, "test.csv")),
                 frames_dir)
 
+    got = _datasets_from_store(store, cfg, fold_id, frames_dir,
+                               missing_ok=True)
+    if got is not None:
+        return got
+
     frames_df = pd.read_csv(paths["FRAME_TABLE"])
     train_df, val_df, test_df = S.train_val_test_split(
         frames_df, float(cfg["DATA"]["VAL_SPLIT"]),
         float(cfg["DATA"]["TEST_SPLIT"]), random_seed=seed)
     return train_df, val_df, test_df, frames_dir
+
+
+def _datasets_from_store(store, cfg: Config, fold_id: Optional[int],
+                         default_frames_dir: str, missing_ok: bool = False):
+    """Serve (train, val, test, frames_dir) from the local artifact store's
+    latest committed TrainValTest / KFold artifact; None when absent and
+    ``missing_ok``. The artifact's own ``frames_dir`` metadata wins (its
+    frame files may live in the W&B download cache, data/wandb_artifacts)."""
+    try:
+        if fold_id is None:
+            tr, va, te, fdir = store.get_train_val_test_artifact()
+        else:
+            tr, va, te, fdir = store.get_fold_artifact(fold_id)
+    except FileNotFoundError:
+        if missing_ok:
+            return None
+        raise
+    return tr, va, te, (fdir or default_frames_dir)
 
 
 def generate_classification_test_results(predictor: Predictor,
@@ -299,8 +388,7 @@ def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
     # decode once, keep uint8 frames in HBM, gather batches on device — the
     # host decode + tunnel transfer disappear after the first epoch. The
     # auto budget is shared across train+val so the pair cannot commit 2x.
-    from ab_line_classifier_tpu.data.pipeline import (device_cache_budget,
-                                                      maybe_device_cache)
+    from ab_line_classifier_tpu.data.pipeline import maybe_device_cache
     cache_mode = cfg["TRAIN"].get("CACHE_DATASET", "auto")
     if isinstance(cache_mode, str):
         lowered = cache_mode.lower()
@@ -312,7 +400,7 @@ def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
                 f"auto/true/false")
         cache_mode = valid[lowered]
     frac = len(train_ds) / max(len(train_ds) + len(val_ds), 1)
-    budget = device_cache_budget()
+    budget = configured_cache_budget(cfg)
     train_ds = maybe_device_cache(train_ds, cache_mode, mesh=mesh,
                                   budget=int(budget * frac))
     val_ds = maybe_device_cache(val_ds, cache_mode, mesh=mesh,

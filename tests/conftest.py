@@ -73,6 +73,10 @@ def derive_workspace_config(ws, fcsv, ccsv, fdir):
         "CLASS_NAME_MAP": ws + "/class_map.json",
     })
     d["TRACKER"]["DIR"] = ws + "/results/runs/"
+    # Workspace-local artifact store: resolve_datasets consults it
+    # (resolution step 3), so a shared repo-root store would let
+    # tests cross-contaminate.
+    d["TRACKER"]["ARTIFACTS_DIR"] = ws + "/results/artifacts/"
     d["DATA"]["IMG_DIM"] = [32, 32]
     return d
 

@@ -253,3 +253,43 @@ def test_mixed_precision_train_predict_lifecycle(tmp_path):
     assert probs.dtype == np.float32
     assert np.isfinite(probs).all()
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-2)  # bf16 fwd
+
+
+def test_memory_limit_caps_device_cache(tmp_path):
+    """TRAIN.USE_MEMORY_LIMIT + MEMORY_LIMIT (MB) cap the HBM frame cache
+    (the TPU-native reading of the reference's GPU virtual-device cap,
+    reference train.py:184-189): under a 1 MB limit an auto-cache dataset
+    stays on the host streaming tier; without the flag it caches."""
+    import numpy as np
+
+    from ab_line_classifier_tpu.config import Config
+    from ab_line_classifier_tpu.data.pipeline import (DeviceCachedDataset,
+                                                      FrameDataset,
+                                                      maybe_device_cache)
+    from ab_line_classifier_tpu.data.synthetic import generate_dataset
+    from ab_line_classifier_tpu.train.experiment import (
+        configured_cache_budget)
+    from conftest import derive_workspace_config
+
+    ws = str(tmp_path)
+    fcsv, ccsv, fdir = generate_dataset(ws, n_patients=4,
+                                        clips_per_patient=1,
+                                        frames_per_clip=4, hw=(32, 32),
+                                        seed=13)
+    d = derive_workspace_config(ws, fcsv, ccsv, fdir)
+
+    d["TRAIN"].update({"USE_MEMORY_LIMIT": True, "MEMORY_LIMIT": 1})
+    capped = configured_cache_budget(Config(d))
+    assert capped == 1 << 20
+
+    d["TRAIN"]["USE_MEMORY_LIMIT"] = False
+    uncapped = configured_cache_budget(Config(d))
+    assert uncapped > capped
+
+    import pandas as pd
+    ds = FrameDataset(pd.read_csv(fcsv), fdir, img_dim=(256, 256))
+    assert len(ds) * 256 * 256 * 3 > capped  # 3.1 MB of pixels vs 1 MB cap
+    cached = maybe_device_cache(ds, "auto", budget=uncapped)
+    streamed = maybe_device_cache(ds, "auto", budget=capped)
+    assert isinstance(cached, DeviceCachedDataset)
+    assert not isinstance(streamed, DeviceCachedDataset)
