@@ -157,74 +157,30 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
     frames_dir = paths["FRAMES"]
     seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
 
-    # --- 1. pinned W&B artifact version -------------------------------
-    ver_key = ("K_FOLD_CROSS_VAL_ARTIFACT_VERSION" if fold_id is not None
-               else "TRAIN_VAL_TEST_ARTIFACT_VERSION")
-    ver = str(cfg["WANDB"].get(ver_key, "") or "")
-    from ab_line_classifier_tpu.data.artifacts import store_from_config
-    store = store_from_config(cfg)
-    if ver:
-        from ab_line_classifier_tpu.data.wandb_artifacts import (
-            WandbArtifactFetcher)
-        entity = str(cfg["WANDB"].get("ENTITY", "") or "")
-        project = str(cfg["WANDB"].get("PROJECT_NAME", "") or "")
-        prefix = f"{entity}/{project}" if entity and project else ""
-        try:
-            fetcher = WandbArtifactFetcher(store, project=prefix)
-            if fold_id is None:
-                fetcher.fetch_train_val_test(ver)
-            else:
-                fetcher.fetch_k_fold(
-                    ver,
-                    val_split=float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"]),
-                    random_seed=seed)
-        except ImportError as e:
-            raise ImportError(
-                f"WANDB.{ver_key} pins artifact version {ver!r} but wandb "
-                f"is not importable — install wandb or clear the pin "
-                f"(training on a different split than the one pinned "
-                f"would be silent data corruption)") from e
-        return _datasets_from_store(store, cfg, fold_id, frames_dir)
-
-    # --- 2. pre-materialized partition CSVs / 3. local store ----------
-
     if fold_id is not None:
-        folds_root = paths.get("K_FOLDS_SPLIT_PATH", "")
-        fold_csv = os.path.join(folds_root, f"fold_{fold_id}", "frames.csv")
-        val_split = float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"])
-        if os.path.isfile(fold_csv):
-            # Pre-materialized fold artifact: its OWN metadata (n_folds,
-            # val_split, random_seed — written by log_k_fold_cross_val,
-            # same as the reference's artifact metadata at
-            # artifact_logging.py:312-318) wins over the current config.
-            # Trusting config TRAIN.N_FOLDS here would silently drop folds
-            # when the artifact was logged with a different count, and a
-            # changed config seed would re-derive a val split the artifact
-            # lineage never recorded.
-            n_folds = int(cfg["TRAIN"]["N_FOLDS"])
-            meta_path = os.path.join(folds_root, "metadata.json")
-            if os.path.isfile(meta_path):
-                with open(meta_path) as f:
-                    meta = json.load(f)
-                n_folds = int(meta.get("n_folds", n_folds))
-                val_split = float(meta.get("val_split", val_split))
-                seed = int(meta.get("random_seed", seed))
-            folds = []
-            for i in range(n_folds):
-                p = os.path.join(folds_root, f"fold_{i}", "frames.csv")
-                folds.append(pd.read_csv(p))
-        else:
-            got = _datasets_from_store(store, cfg, fold_id, frames_dir,
-                                       missing_ok=True)
-            if got is not None:
-                return got
-            frames_df = pd.read_csv(paths["FRAME_TABLE"])
-            folds = S.k_fold_splits(frames_df, int(cfg["TRAIN"]["N_FOLDS"]),
-                                    random_seed=seed)
+        folds, val_split, kf_seed, kf_dir = resolve_kfold_tables(cfg)
+        if fold_id >= len(folds):
+            raise ValueError(
+                f"fold_id {fold_id} out of range: the resolved fold source "
+                f"has {len(folds)} folds (an artifact's own n_folds is the "
+                f"authority, not TRAIN.N_FOLDS)")
         train_df, val_df, test_df = S.fold_train_val_test(
-            folds, fold_id, val_split, random_seed=seed)
-        return train_df, val_df, test_df, frames_dir
+            folds, fold_id, val_split, random_seed=kf_seed)
+        return train_df, val_df, test_df, kf_dir
 
+    from ab_line_classifier_tpu.data.artifacts import (TRAIN_VAL_TEST,
+                                                       store_from_config)
+    store = store_from_config(cfg)
+
+    # --- 1. pinned W&B artifact version -------------------------------
+    ver = str(cfg["WANDB"].get("TRAIN_VAL_TEST_ARTIFACT_VERSION", "") or "")
+    if ver:
+        v = _fetch_pinned(cfg, store, TRAIN_VAL_TEST, ver,
+                          "TRAIN_VAL_TEST_ARTIFACT_VERSION")
+        tr, va, te, fdir = store.get_train_val_test_artifact(version=v)
+        return tr, va, te, _live_dir(fdir, frames_dir)
+
+    # --- 2. pre-materialized partition CSVs ---------------------------
     part_frames = os.path.join(paths.get("PARTITIONS", ""), "frames")
     train_csv = os.path.join(part_frames, "train.csv")
     if os.path.isfile(train_csv):
@@ -233,11 +189,14 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
                 pd.read_csv(os.path.join(part_frames, "test.csv")),
                 frames_dir)
 
-    got = _datasets_from_store(store, cfg, fold_id, frames_dir,
-                               missing_ok=True)
-    if got is not None:
-        return got
+    # --- 3. local artifact store --------------------------------------
+    try:
+        tr, va, te, fdir = store.get_train_val_test_artifact()
+        return tr, va, te, _live_dir(fdir, frames_dir)
+    except FileNotFoundError:
+        pass
 
+    # --- 4. on-the-fly split ------------------------------------------
     frames_df = pd.read_csv(paths["FRAME_TABLE"])
     train_df, val_df, test_df = S.train_val_test_split(
         frames_df, float(cfg["DATA"]["VAL_SPLIT"]),
@@ -245,22 +204,124 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
     return train_df, val_df, test_df, frames_dir
 
 
-def _datasets_from_store(store, cfg: Config, fold_id: Optional[int],
-                         default_frames_dir: str, missing_ok: bool = False):
-    """Serve (train, val, test, frames_dir) from the local artifact store's
-    latest committed TrainValTest / KFold artifact; None when absent and
-    ``missing_ok``. The artifact's own ``frames_dir`` metadata wins (its
-    frame files may live in the W&B download cache, data/wandb_artifacts)."""
+def resolve_kfold_tables(cfg: Config) -> Tuple[List[pd.DataFrame], float,
+                                               int, str]:
+    """Fold tables for k-fold runs via the same resolution chain as
+    :func:`resolve_datasets` (pinned W&B version → ``K_FOLDS_SPLIT_PATH``
+    CSVs → local store KFold artifact → on-the-fly split). Returns
+    ``(folds, val_split, random_seed, frames_dir)`` — the fold COUNT is
+    always ``len(folds)`` from the source: an artifact's own metadata is
+    the authority (reference train_utils.py:162-235), trusting config
+    ``TRAIN.N_FOLDS`` against it would silently drop or overrun folds."""
+    from ab_line_classifier_tpu.data.artifacts import (K_FOLD,
+                                                       store_from_config)
+
+    paths = cfg["PATHS"]
+    frames_dir = paths["FRAMES"]
+    seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
+    val_split = float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"])
+    store = store_from_config(cfg)
+
+    ver = str(cfg["WANDB"].get("K_FOLD_CROSS_VAL_ARTIFACT_VERSION", "")
+              or "")
+    if ver:
+        # val_split/random_seed stay None: the ARTIFACT's recorded values
+        # win, exactly like the reference's get_fold_artifact
+        # (train_utils.py:218-219 reads both from artifact metadata).
+        v = _fetch_pinned(cfg, store, K_FOLD, ver,
+                          "K_FOLD_CROSS_VAL_ARTIFACT_VERSION")
+        return _kfold_from_store(store, v, val_split, seed, frames_dir)
+
+    folds_root = paths.get("K_FOLDS_SPLIT_PATH", "")
+    if os.path.isfile(os.path.join(folds_root, "fold_0", "frames.csv")):
+        # Pre-materialized fold CSVs: their OWN metadata (n_folds,
+        # val_split, random_seed — written by log_k_fold_cross_val, same
+        # as the reference's artifact metadata, artifact_logging.py:
+        # 312-318) wins over the current config.
+        n_folds = int(cfg["TRAIN"]["N_FOLDS"])
+        meta_path = os.path.join(folds_root, "metadata.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            n_folds = int(meta.get("n_folds", n_folds))
+            val_split = float(meta.get("val_split", val_split))
+            seed = int(meta.get("random_seed", seed))
+        folds = [pd.read_csv(os.path.join(folds_root, f"fold_{i}",
+                                          "frames.csv"))
+                 for i in range(n_folds)]
+        return folds, val_split, seed, frames_dir
+
     try:
-        if fold_id is None:
-            tr, va, te, fdir = store.get_train_val_test_artifact()
-        else:
-            tr, va, te, fdir = store.get_fold_artifact(fold_id)
+        store.resolve(K_FOLD)
     except FileNotFoundError:
-        if missing_ok:
-            return None
-        raise
-    return tr, va, te, (fdir or default_frames_dir)
+        pass
+    else:
+        return _kfold_from_store(store, "latest", val_split, seed,
+                                 frames_dir)
+
+    frames_df = pd.read_csv(paths["FRAME_TABLE"])
+    folds = S.k_fold_splits(frames_df, int(cfg["TRAIN"]["N_FOLDS"]),
+                            random_seed=seed)
+    return folds, val_split, seed, frames_dir
+
+
+def _kfold_from_store(store, version, default_val_split: float,
+                      default_seed: int, default_frames_dir: str):
+    """Read a store KFold artifact's fold tables + split metadata."""
+    path = store.resolve("KFoldCrossValidation", version)
+    meta = store.metadata("KFoldCrossValidation", version)
+    n_folds = int(meta["n_folds"])
+    folds = [pd.read_csv(os.path.join(path, f"fold_{i}", "frames.csv"))
+             for i in range(n_folds)]
+    return (folds, float(meta.get("val_split", default_val_split)),
+            int(meta.get("random_seed", default_seed)),
+            _live_dir(meta.get("frames_dir"), default_frames_dir))
+
+
+def _live_dir(fdir: Optional[str], default: str) -> str:
+    """An artifact's frames_dir metadata wins only while it still exists —
+    the W&B download cache it may point into can be cleared independently
+    of the store (same staleness guard as wandb_artifacts.py:68-71)."""
+    return fdir if fdir and os.path.isdir(fdir) else default
+
+
+def _wandb_prefix(cfg: Config) -> str:
+    """``entity/project``, ``project`` alone when ENTITY is blank (the
+    shipped config shape — the api default entity then applies), or empty
+    when neither is set."""
+    entity = str(cfg["WANDB"].get("ENTITY", "") or "")
+    project = str(cfg["WANDB"].get("PROJECT_NAME", "") or "")
+    if entity and project:
+        return f"{entity}/{project}"
+    return project
+
+
+def _fetch_pinned(cfg: Config, store, name: str, ver: str,
+                  ver_key: str) -> str:
+    """Materialize the pinned W&B artifact version locally; returns the
+    local store version id. A pinned non-latest version already in the
+    store (``source == wandb:{name}:{ver}``) is served without touching
+    wandb — sweeps/serial CV would otherwise re-download per run."""
+    if ver not in ("latest",):  # 'latest' can move upstream; always fetch
+        want = f"wandb:{name}:{ver}"
+        for v in reversed(store.versions(name)):
+            if store.metadata(name, v).get("source") == want:
+                return v
+    from ab_line_classifier_tpu.data.wandb_artifacts import (
+        WandbArtifactFetcher)
+    try:
+        fetcher = WandbArtifactFetcher(store, project=_wandb_prefix(cfg))
+        if name == "KFoldCrossValidation":
+            path = fetcher.fetch_k_fold(ver)
+        else:
+            path = fetcher.fetch_train_val_test(ver)
+    except ImportError as e:
+        raise ImportError(
+            f"WANDB.{ver_key} pins artifact version {ver!r} but wandb "
+            f"is not importable — install wandb or clear the pin "
+            f"(training on a different split than the one pinned "
+            f"would be silent data corruption)") from e
+    return os.path.basename(path.rstrip(os.sep))
 
 
 def generate_classification_test_results(predictor: Predictor,
@@ -843,20 +904,24 @@ def cross_validation_parallel(cfg: Config, mesh=None, verbose: bool = True,
         ParallelFoldTrainer)
 
     ensure_output_dirs(cfg)
-    n_folds = int(cfg["TRAIN"]["N_FOLDS"])
-    seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
-    frames_df = pd.read_csv(cfg["PATHS"]["FRAME_TABLE"])
-    frames_dir = cfg["PATHS"]["FRAMES"]
+    # Same resolution chain as the serial path (pinned W&B version /
+    # fold CSVs / local store / on-the-fly): fold tables re-indexed onto
+    # one concatenated frames table so per-fold row indexes address the
+    # device-resident frame store.
+    folds, val_split, seed, frames_dir = resolve_kfold_tables(cfg)
+    n_folds = len(folds)
+    frames_df = pd.concat(folds, ignore_index=True)
+    bounds = np.cumsum([0] + [len(f) for f in folds])
+    folds = [frames_df.iloc[bounds[i]:bounds[i + 1]]
+             for i in range(n_folds)]
 
     ds = FrameDataset(frames_df, frames_dir, img_dim=cfg.img_dim)
     frames, labels = ds.load_all()
 
-    folds = S.k_fold_splits(frames_df, n_folds, random_seed=seed)
     train_idx, val_idx, test_idx, cls_w, biases = [], [], [], [], []
     for f in range(n_folds):
         tr, va, te = S.fold_train_val_test(
-            folds, f, float(cfg["DATA"]["K_FOLD_VALIDATION_SPLIT"]),
-            random_seed=seed)
+            folds, f, val_split, random_seed=seed)
         train_idx.append(tr.index.to_numpy())
         val_idx.append(va.index.to_numpy())
         test_idx.append(te.index.to_numpy())
@@ -922,7 +987,10 @@ def cross_validation(cfg: Config, save_weights: bool = False,
     Fold results persist to ``EXPERIMENTS/{group}.jsonl`` as they complete;
     ``resume=True`` picks up the most recent interrupted run (or the named
     ``group``) and skips the folds already done."""
-    n_folds = int(cfg["TRAIN"]["N_FOLDS"])
+    # Fold count from the resolved source (pinned/materialized artifacts'
+    # n_folds is the authority) — config TRAIN.N_FOLDS only governs the
+    # on-the-fly split inside resolve_kfold_tables.
+    n_folds = len(resolve_kfold_tables(cfg)[0])
     if group is None and resume:
         group = _latest_trials_file(cfg, "kfold")
         if group is None:
