@@ -1,26 +1,42 @@
-"""Read-only W&B artifact fetch into the local :class:`ArtifactStore`.
+"""W&B artifact adapters for the local :class:`ArtifactStore` — both ways.
 
-The reference pulls its dataset splits from the W&B artifact service at
-training time (reference ``src/train_utils.py:18-46``: walk
-TrainValTest -> ModelDev -> Images lineage, download, read the split CSVs;
-``:162-235`` for the k-fold artifact). This framework's lineage is
-local-first (``data/artifacts.py``), so for users with an *existing* W&B
-lineage this adapter fetches those artifacts once into the local layout —
-after which every trainer/fetcher works unchanged and no W&B dependency
-remains on the hot path.
+The reference keeps its dataset lineage IN W&B: ``src/data/
+artifact_logging.py`` *publishes* Images -> ModelDev/Holdout ->
+TrainValTest / KFoldCrossValidation artifacts (``:15-84`` the generic +
+Images loggers, ``:394-412`` the flag-gated ``__main__``), and
+``src/train_utils.py:18-46,162-235`` *fetches* them at training time.
+This framework's lineage is local-first (``data/artifacts.py``), so the
+adapters here bridge both directions for teams keeping a W&B artifact hub:
 
-``wandb`` is not a dependency: it is imported lazily and the W&B Api object
-can be injected (which is also how the tests mock it).
+- :class:`WandbArtifactFetcher` — consume: download reference-logged
+  artifacts once into the local layout; afterwards every trainer/fetcher
+  works unchanged with no W&B dependency on the hot path.
+- :class:`WandbArtifactLogger` — produce: publish the local store's
+  committed lineage to W&B with the reference's artifact names, types,
+  descriptions, metadata keys, and lineage edges (``use_artifact`` on the
+  parent inside the logging run, exactly how the reference records
+  provenance), so reference-side consumers — including *this* module's
+  fetcher — can walk it.
+
+``python -m ab_line_classifier_tpu.data.wandb_artifacts`` mirrors the
+reference's ``python src/data/artifact_logging.py`` entry: it publishes
+whichever stages the ``WANDB.LOGGING`` config flags enable.
+
+``wandb`` is not a dependency: it is imported lazily and both the Api
+object (fetch) and the wandb module (publish) can be injected — which is
+also how the tests mock them (``tests/test_wandb_logger.py`` closes the
+produce/consume loop offline: what the logger publishes is byte-for-byte
+what the fetcher materializes back).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 from ab_line_classifier_tpu.data.artifacts import (
-    ArtifactStore, IMAGES, K_FOLD, MODEL_DEV, TRAIN_VAL_TEST)
+    ArtifactStore, HOLDOUT, IMAGES, K_FOLD, MODEL_DEV, TRAIN_VAL_TEST)
 
 
 def _default_api():
@@ -31,6 +47,16 @@ def _default_api():
             "wandb is not installed; pass an api= object or use the "
             "local-first ArtifactStore lineage instead") from e
     return wandb.Api()
+
+
+def _default_wandb_module():
+    try:
+        import wandb
+    except ImportError as e:  # pragma: no cover - wandb not installed here
+        raise ImportError(
+            "wandb is not installed; pass wandb_module= (a module-like "
+            "object with init() and Artifact) to publish artifacts") from e
+    return wandb
 
 
 class WandbArtifactFetcher:
@@ -168,3 +194,252 @@ class WandbArtifactFetcher:
             "frames_dir": os.path.abspath(frames_dir)
             if os.path.isdir(frames_dir) else None})
         return path
+
+
+# ---------------------------------------------------------------------------
+# Publish side: local ArtifactStore lineage -> W&B
+# ---------------------------------------------------------------------------
+
+#: W&B artifact descriptions, verbatim from the reference UI surface
+#: (artifact_logging.py:69, 133, 142, 251, 295) — part of the artifact-hub
+#: contract a migrating team sees in the W&B app.
+_DESCRIPTIONS = {
+    IMAGES: "Holds images, frames table, clips table, and sql query.",
+    MODEL_DEV: "Frames table and clips table for model research and "
+               "development.",
+    HOLDOUT: "Frames table and clips table held out for final model "
+             "validation.",
+    TRAIN_VAL_TEST: "Derivative of ModelDev artifact. Artifact used to "
+                    "directly run model training.",
+    K_FOLD: "Derivative of ModelDev artifact. Used to validate model "
+            "performance with k-folds.",
+}
+
+
+class WandbArtifactLogger:
+    """Publish the local store's committed lineage to W&B.
+
+    Counterpart to the reference's ``log_images`` / ``log_dev_and_holdout``
+    / ``log_train_val_test`` / ``log_k_fold_cross_val``
+    (``src/data/artifact_logging.py:54-332``), with one structural
+    difference: the reference *derives* each child artifact inside the
+    logging run (download parent from W&B, split, upload), whereas here the
+    derivation already happened locally and crash-consistently
+    (``ArtifactStore.log_*``) — the logger publishes those committed
+    versions. The W&B surface is identical: same artifact names, ``type=
+    'dataset'``, descriptions, metadata keys, file layout, and a
+    ``use_artifact`` call on the parent inside each logging run so W&B
+    records the same lineage edges.
+
+    :param store: the local store whose versions are published.
+    :param project: W&B project name (``WANDB.PROJECT_NAME``).
+    :param entity: W&B entity (``WANDB.ENTITY``; empty uses the default).
+    :param wandb_module: a ``wandb``-module-like object exposing
+        ``init(project=, entity=, job_type=) -> run`` (context manager with
+        ``use_artifact``/``log_artifact``) and ``Artifact(name, type=,
+        description=, metadata=)`` with ``add_file``/``add_dir``. Injected
+        in tests; defaults to the real ``wandb``.
+    """
+
+    def __init__(self, store: ArtifactStore, *, project: str,
+                 entity: str = "", wandb_module=None):
+        self.store = store
+        self.project = project
+        self.entity = entity
+        self.wandb = (wandb_module if wandb_module is not None
+                      else _default_wandb_module())
+        # local version -> W&B-assigned version, per artifact name; lets a
+        # chain published in one session pin exact parent versions in
+        # child metadata (the reference reads parent.version the same way,
+        # artifact_logging.py:131,253,297).
+        self._published: Dict[Tuple[str, str], str] = {}
+
+    # -- plumbing ----------------------------------------------------------
+    def _run(self):
+        return self.wandb.init(project=self.project, entity=self.entity,
+                               job_type="log-artifact")
+
+    def _record(self, name: str, local_version: str, logged) -> str:
+        """Remember the W&B version assigned to a just-published artifact.
+
+        Real wandb assigns the version server-side: ``log_artifact``
+        returns an artifact whose ``.version`` is populated after
+        ``.wait()``. Both are optional on injected fakes."""
+        wait = getattr(logged, "wait", None)
+        if callable(wait):
+            wait()
+        version = getattr(logged, "version", None) or "latest"
+        self._published[(name, local_version)] = version
+        return version
+
+    def _parent_wandb_version(self, run, name: str,
+                              local_version: Optional[str]) -> str:
+        """Resolve + lineage-mark the parent artifact inside ``run``.
+
+        If the parent local version was published in this session, use its
+        recorded W&B version; otherwise fall back to ``latest`` (publishing
+        a child whose parent was uploaded by an earlier session). The
+        ``use_artifact`` call is what makes W&B draw the lineage edge —
+        same mechanism as the reference (artifact_logging.py:105,201,282).
+        """
+        pinned = self._published.get((name, local_version or ""), "latest")
+        parent = run.use_artifact(f"{name}:{pinned}")
+        return getattr(parent, "version", None) or pinned
+
+    # -- lineage stages ----------------------------------------------------
+    def log_images(self, version: str = "latest",
+                   query_sql: Optional[str] = None,
+                   extra_metadata: Optional[Dict] = None) -> str:
+        """Publish a local Images version (artifact_logging.py:54-84).
+
+        ``extra_metadata`` carries run-context keys the reference stores on
+        the Images artifact (the automask settings, :71-75) — the store's
+        own metadata doesn't record them, the config does, so
+        :func:`publish_all` threads them through. ``query_sql`` is the
+        clips SQL query file (added as ``clips_query.sql`` when present).
+        Returns the W&B-assigned version."""
+        path = self.store.resolve(IMAGES, version)
+        local_v = os.path.basename(path)
+        meta = dict(extra_metadata or {})
+        with self._run() as run:
+            art = self.wandb.Artifact(IMAGES, type="dataset",
+                                      description=_DESCRIPTIONS[IMAGES],
+                                      metadata=meta)
+            frames_dir = self.store.metadata(IMAGES, version).get(
+                "frames_dir")
+            if frames_dir and os.path.isdir(frames_dir):
+                art.add_dir(frames_dir, name="frames/")
+            art.add_file(os.path.join(path, "clips_table.csv"),
+                         name="clips_table.csv")
+            art.add_file(os.path.join(path, "frames.csv"), name="frames.csv")
+            if query_sql and os.path.isfile(query_sql):
+                art.add_file(query_sql, name="clips_query.sql")
+            logged = run.log_artifact(art)
+        return self._record(IMAGES, local_v, logged)
+
+    def log_model_dev_holdout(self, version: str = "latest"
+                              ) -> Tuple[str, str]:
+        """Publish the ModelDev + Holdout pair (artifact_logging.py:87-148,
+        335-370): one run, both artifacts, shared Images provenance.
+        Returns their W&B-assigned versions."""
+        out = []
+        with self._run() as run:
+            # both committed by one split run; ModelDev's meta is the pair's
+            dev_meta = self.store.metadata(MODEL_DEV, version)
+            images_v = self._parent_wandb_version(
+                run, IMAGES, dev_meta.get("images_artifact_version"))
+            for name in (MODEL_DEV, HOLDOUT):
+                path = self.store.resolve(name, version)
+                meta = self.store.metadata(name, version)
+                art = self.wandb.Artifact(
+                    name, type="dataset", description=_DESCRIPTIONS[name],
+                    metadata={
+                        "images_artifact_version": images_v,
+                        "holdout_split": meta.get("holdout_split"),
+                        "random_seed": meta.get("random_seed"),
+                    })
+                art.add_file(os.path.join(path, "frames.csv"),
+                             name="frames.csv")
+                art.add_file(os.path.join(path, "clips_table.csv"),
+                             name="clips_table.csv")
+                logged = run.log_artifact(art)
+                out.append((name, os.path.basename(path), logged))
+        return tuple(self._record(*rec) for rec in out)
+
+    def log_train_val_test(self, version: str = "latest") -> str:
+        """Publish a local TrainValTest version (artifact_logging.py:
+        186-263): ``frames/`` + ``clips/`` split dirs, ModelDev provenance.
+        Returns the W&B-assigned version."""
+        path = self.store.resolve(TRAIN_VAL_TEST, version)
+        meta = self.store.metadata(TRAIN_VAL_TEST, version)
+        with self._run() as run:
+            dev_v = self._parent_wandb_version(
+                run, MODEL_DEV, meta.get("model_dev_artifact_version"))
+            art = self.wandb.Artifact(
+                TRAIN_VAL_TEST, type="dataset",
+                description=_DESCRIPTIONS[TRAIN_VAL_TEST],
+                metadata={
+                    "model_dev_artifact_version": dev_v,
+                    "random_seed": meta.get("random_seed"),
+                    "val_split": meta.get("val_split"),
+                    "test_split": meta.get("test_split"),
+                })
+            art.add_dir(os.path.join(path, "frames"), name="frames")
+            clips = os.path.join(path, "clips")
+            if os.path.isdir(clips):
+                art.add_dir(clips, name="clips")
+            logged = run.log_artifact(art)
+        return self._record(TRAIN_VAL_TEST, os.path.basename(path), logged)
+
+    def log_k_fold_cross_val(self, version: str = "latest") -> str:
+        """Publish a local KFoldCrossValidation version
+        (artifact_logging.py:266-332): per-fold dirs, n_folds/seed/val_split
+        metadata, ModelDev provenance. Returns the W&B-assigned version."""
+        path = self.store.resolve(K_FOLD, version)
+        meta = self.store.metadata(K_FOLD, version)
+        n_folds = int(meta["n_folds"])
+        with self._run() as run:
+            dev_v = self._parent_wandb_version(
+                run, MODEL_DEV, meta.get("model_dev_artifact_version"))
+            art = self.wandb.Artifact(
+                K_FOLD, type="dataset", description=_DESCRIPTIONS[K_FOLD],
+                metadata={
+                    "model_dev_artifact_version": dev_v,
+                    "n_folds": n_folds,
+                    "random_seed": meta.get("random_seed"),
+                    "val_split": meta.get("val_split"),
+                })
+            for i in range(n_folds):
+                art.add_dir(os.path.join(path, f"fold_{i}"),
+                            name=f"fold_{i}")
+            logged = run.log_artifact(art)
+        return self._record(K_FOLD, os.path.basename(path), logged)
+
+
+def publish_all(cfg, store: Optional[ArtifactStore] = None,
+                wandb_module=None) -> Dict[str, str]:
+    """Flag-gated publish of the local lineage, mirroring the reference's
+    ``__main__`` (artifact_logging.py:394-412): each ``WANDB.LOGGING``
+    flag publishes its stage, in the reference's order. Returns
+    ``{artifact name: published W&B version}``."""
+    from ab_line_classifier_tpu.data.artifacts import store_from_config
+
+    if store is None:
+        store = store_from_config(cfg)
+    flags = cfg["WANDB"]["LOGGING"]
+    published: Dict[str, str] = {}
+    if not any(flags.get(k) for k in ("IMAGES", "MODEL_DEV_HOLDOUT",
+                                      "K_FOLD_CROSS_VAL", "TRAIN_VAL_TEST")):
+        # stay local-first: no flags -> no wandb import (wandb is optional;
+        # the reference's __main__ would still import it, this one doesn't)
+        return published
+    logger = WandbArtifactLogger(
+        store, project=cfg["WANDB"]["PROJECT_NAME"],
+        entity=cfg["WANDB"].get("ENTITY", ""), wandb_module=wandb_module)
+    if flags.get("IMAGES"):
+        automask = cfg.get("DATA", {}).get("AUTOMASK", {}) or {}
+        published[IMAGES] = logger.log_images(
+            query_sql=cfg.get("PATHS", {}).get("DATABASE_QUERY"),
+            extra_metadata={
+                # reference artifact_logging.py:71-75
+                "automask_version": automask.get("VERSION"),
+                "automask_output_format": automask.get("OUTPUT_FORMAT"),
+                "automask_edge_preserve": automask.get("EDGE_PRESERVE"),
+                "automask_save_cropped_roi":
+                    automask.get("SAVE_CROPPED_ROI"),
+            })
+    if flags.get("MODEL_DEV_HOLDOUT"):
+        dev_v, holdout_v = logger.log_model_dev_holdout()
+        published[MODEL_DEV] = dev_v
+        published[HOLDOUT] = holdout_v
+    if flags.get("K_FOLD_CROSS_VAL"):
+        published[K_FOLD] = logger.log_k_fold_cross_val()
+    if flags.get("TRAIN_VAL_TEST"):
+        published[TRAIN_VAL_TEST] = logger.log_train_val_test()
+    return published
+
+
+if __name__ == "__main__":
+    from ab_line_classifier_tpu.config import load_config
+
+    publish_all(load_config())
