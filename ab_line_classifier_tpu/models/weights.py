@@ -20,12 +20,19 @@ reference's try/except copy loop.
 
 from __future__ import annotations
 
+import re
 import warnings
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
 from ..graph import KIND_DEPTHWISE
+
+
+def _h5_layer_names(h5_file) -> List[str]:
+    """Top-level layer group names in a name-addressable Keras h5."""
+    root = h5_file["model_weights"] if "model_weights" in h5_file else h5_file
+    return [k for k in root.keys() if k != "top_level_model_weights"]
 
 
 def _h5_layer_weights(h5_file, layer_name: str) -> Dict[str, np.ndarray]:
@@ -203,9 +210,23 @@ def import_h5_weights(h5_path: str, variables: Dict[str, Any],
             if not w and layer_name == "logits":
                 # The head Dense carries different names in the reference:
                 # cutoffvgg16/custom_resnetv2 call it 'output'
-                # (models.py:418,376), cnn0's is Keras-auto-named 'dense'
-                # (models.py:287). Alias by name + kernel-shape match.
-                for alias in ("output", "logits_dense", "dense", "dense_1"):
+                # (models.py:418,376), cnn0's is Keras-AUTO-named
+                # (models.py:287 — the only unnamed Dense, so 'dense';
+                # donors with more unnamed Denses get 'dense_1',
+                # 'dense_2', ...). Resolution is deterministic: explicit
+                # head names first, then every auto-named dense group in
+                # the file in DESCENDING suffix order — Keras numbers
+                # layers in creation order and the reference heads are
+                # always created last, so when a hidden 'dense' and a
+                # head 'dense_1' BOTH shape-match (e.g. NODES_DENSE0 ==
+                # n_classes), the true head wins, not whichever the
+                # alias list happened to try first.
+                auto = sorted(
+                    (n for n in _h5_layer_names(f)
+                     if re.fullmatch(r"dense(_\d+)?", n)),
+                    key=lambda n: int(n.split("_")[1]) if "_" in n else 0,
+                    reverse=True)
+                for alias in ("output", "logits_dense", *auto):
                     cand = _h5_layer_weights(f, alias)
                     if ("kernel" in cand
                             and cand["kernel"].shape

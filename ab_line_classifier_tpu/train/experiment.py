@@ -541,6 +541,12 @@ def _sweep_objective(result: RunResult, metric_name: str, goal: str) -> float:
         # (applying a 'minimize' sign-flip here would make the sweep
         # select the worst trial; the trial-parallel twin
         # lr_search_parallel forces maximize on this same substitution).
+        # Say so: a typo'd METRIC_NAME would otherwise silently optimize
+        # a different objective for the whole sweep.
+        print(f"sweep: metric {metric_name!r} absent from run results "
+              f"(val metrics: {sorted(result.best_val)}; test metrics: "
+              f"{sorted(result.test_metrics)}); scoring this trial by "
+              f"val_auc (maximize) instead")
         return float(result.best_val.get("val_auc", 0.0))
     return float(value) if goal == "maximize" else -float(value)
 

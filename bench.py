@@ -11,6 +11,7 @@ Prints ONE JSON line:
 incl. fused matmul augmentation) so rounds track training perf too.
 """
 
+import glob
 import json
 import os
 import shutil
@@ -91,6 +92,74 @@ def _run(fn, **kw):
               file=sys.stderr)
         _purge_compile_cache()
         return fn(**kw, verbose=False)
+
+
+def _channels(rec):
+    """Extract the comparable perf channels from one bench record.
+
+    Returns ``{channel: (value, higher_is_better)}``; channels a record
+    doesn't carry are omitted (older rounds lack per-phase training)."""
+    out = {}
+
+    def put(name, value, higher=True):
+        if isinstance(value, (int, float)) and value > 0:
+            out[name] = (float(value), higher)
+
+    put("serve", rec.get("value"))
+    put("train", rec.get("train_frames_per_sec"))
+    for phase, d in (rec.get("train_phases") or {}).items():
+        put(f"train_{phase}", (d or {}).get("frames_per_sec"))
+    put("gradcam", rec.get("gradcam_frames_per_sec"))
+    put("latency_batch1", rec.get("latency_ms_batch1"), higher=False)
+    return out
+
+
+def _regressions(report, bench_dir=None):
+    """Compare ``report`` against the best prior ``BENCH_r*.json``.
+
+    The driver records each round's bench output; rounds used to detect
+    drift by eyeball — this makes the artifact self-reporting. A channel
+    regresses when it is worse than the best prior round by more than the
+    tolerance band (default 5%: the documented n-vs-2n variance of
+    tunnel-attached runs, docs/PERFORMANCE.md; override with
+    ABLC_BENCH_REGRESSION_TOL). A channel every prior round reported that
+    is now missing/zero is also flagged. Returns a list, empty when clean.
+    """
+    tol = float(os.environ.get("ABLC_BENCH_REGRESSION_TOL", "0.05"))
+    if bench_dir is None:
+        bench_dir = os.path.dirname(os.path.abspath(__file__))
+    best = {}  # channel -> (value, higher, round_file)
+    for path in sorted(glob.glob(os.path.join(bench_dir, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rec = data.get("parsed", data) if isinstance(data, dict) else None
+        if not isinstance(rec, dict) or rec.get("error"):
+            continue
+        for name, (value, higher) in _channels(rec).items():
+            prev = best.get(name)
+            if (prev is None or (higher and value > prev[0])
+                    or (not higher and value < prev[0])):
+                best[name] = (value, higher, os.path.basename(path))
+
+    now = _channels(report)
+    out = []
+    for name, (prior, higher, rnd) in sorted(best.items()):
+        cur = now.get(name)
+        if cur is None:
+            out.append({"channel": name, "value": None,
+                        "best_prior": prior, "round": rnd,
+                        "note": "channel missing from this run"})
+            continue
+        value = cur[0]
+        bad = (value < prior * (1 - tol) if higher
+               else value > prior * (1 + tol))
+        if bad:
+            out.append({"channel": name, "value": value,
+                        "best_prior": prior, "round": rnd})
+    return out
 
 
 def main() -> int:
@@ -185,7 +254,7 @@ def main() -> int:
                 print(f"gradcam benchmark (batch {batch}) failed: {e}",
                       file=sys.stderr)
 
-    print(json.dumps({
+    report = {
         "metric": "cutoffvgg16_clip_inference",
         "value": round(best, 1),
         "unit": "frames/sec",
@@ -201,7 +270,9 @@ def main() -> int:
         "gradcam_frames_per_sec": round(gradcam_fps, 1),
         "gradcam_batch_size": gradcam_batch,
         "latency_ms_batch1": latency_ms,
-    }))
+    }
+    report["regressions"] = _regressions(report)
+    print(json.dumps(report))
     return 0
 
 

@@ -170,6 +170,26 @@ def test_sweep_objective_fallback_ignores_minimize_sign():
     assert _sweep_objective(r, "test/loss", "maximize") == 0.9
 
 
+def test_sweep_objective_substitution_is_loud(capsys):
+    """The val_auc substitution must announce itself (matching the
+    trial-parallel twin's notice, experiment.py lr_search_parallel): a
+    typo'd METRIC_NAME otherwise silently optimizes a different objective
+    for the whole serial sweep."""
+    from ab_line_classifier_tpu.train.experiment import (RunResult,
+                                                         _sweep_objective)
+
+    r = RunResult(test_metrics={"auc": 0.8}, history=[], model_dir=None,
+                  best_val={"val_auc": 0.9, "val_loss": 0.3})
+    _sweep_objective(r, "epoch/val_acu", "maximize")  # typo'd metric
+    out = capsys.readouterr().out
+    assert "'epoch/val_acu'" in out and "val_auc" in out
+    assert "maximize" in out
+
+    # a present metric stays silent
+    _sweep_objective(r, "epoch/val_loss", "minimize")
+    assert capsys.readouterr().out == ""
+
+
 def test_read_trial_records_tolerates_torn_tail(tmp_path, capsys):
     """A hard kill can tear the FINAL appended record mid-write; resume
     must drop it (rerunning that trial) rather than crash. Corruption

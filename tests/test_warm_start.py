@@ -302,3 +302,58 @@ def test_warm_start_beats_random_cutoffvgg16(tmp_path_factory):
     # converged donor weights must dominate a 1-epoch scratch head.
     assert warm.history[0].val["loss"] < cold.history[0].val["loss"], (
         warm.history[0].val, cold.history[0].val)
+
+
+# ---------------------------------------------------------------------------
+# Opt-in real-ImageNet parity (VERDICT r4 #6): activates only where the
+# standard keras.applications VGG16 backbone file exists locally — no
+# network is used. Drop the file in ~/.keras/models/ (Keras's own cache
+# location) or point ABLC_IMAGENET_VGG16_H5 at it; see docs/OPTIONAL_DEPS.md.
+# ---------------------------------------------------------------------------
+
+_IMAGENET_VGG16 = "vgg16_weights_tf_dim_ordering_tf_kernels_notop.h5"
+
+
+def _find_imagenet_vgg16():
+    cand = os.environ.get("ABLC_IMAGENET_VGG16_H5")
+    if cand and os.path.isfile(cand):
+        return cand
+    cached = os.path.expanduser(os.path.join("~", ".keras", "models",
+                                             _IMAGENET_VGG16))
+    return cached if os.path.isfile(cached) else None
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(_find_imagenet_vgg16() is None,
+                    reason="real ImageNet VGG16 notop.h5 not present "
+                           "locally (set ABLC_IMAGENET_VGG16_H5 or place "
+                           "it in ~/.keras/models/); synthetic-fixture "
+                           "coverage in test_notop_warm_start_backbone_only")
+def test_real_imagenet_vgg16_warm_start_parity():
+    """The published ImageNet backbone file (the exact file the reference
+    downloads at models.py:59,398) imports through the warm-start path
+    bit-identically to Keras's own loading of the same file."""
+    path = _find_imagenet_vgg16()
+    spec = build_model("cutoffvgg16", _hparams("cutoffvgg16"),
+                       (128, 128, 3), 2)
+    rng = jax.random.PRNGKey(0)
+    variables, names = load_pretrained_variables(path, spec, rng=rng,
+                                                 verbose=False)
+    assert "block1_conv1" in names
+
+    # golden: Keras's own loading of the very same file (TF is test-only)
+    import tensorflow as tf
+
+    keras_model = tf.keras.applications.VGG16(weights=path,
+                                              include_top=False,
+                                              input_shape=(128, 128, 3))
+    for layer in keras_model.layers:
+        if not layer.weights or layer.name not in names:
+            continue
+        kernel, bias = layer.get_weights()
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"][layer.name]["kernel"]), kernel,
+            err_msg=layer.name)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"][layer.name]["bias"]), bias,
+            err_msg=layer.name)

@@ -130,6 +130,49 @@ def test_head_dense_alias_output(tmp_path):
             np.asarray(v2_imported["params"]["logits"][k]))
 
 
+def test_head_dense_alias_collision_picks_true_head(tmp_path):
+    """A donor carrying BOTH an auto-named hidden 'dense' and head
+    'dense_1' whose kernel shapes collide (NODES_DENSE0 == n_classes with
+    matching input dims) must resolve 'logits' to the TRUE head — Keras
+    numbers auto-named layers in creation order and the reference always
+    creates the head last (models.py:287), so the highest-suffix dense
+    wins, deterministically, not whichever an alias list tried first."""
+    import h5py
+
+    hidden_kernel = np.arange(16, dtype=np.float32).reshape(4, 4)
+    head_kernel = -np.arange(16, dtype=np.float32).reshape(4, 4) - 100.0
+    head_bias = np.array([1.0, -2.0, 3.0, -4.0], np.float32)
+    h5_path = str(tmp_path / "collide.h5")
+    with h5py.File(h5_path, "w") as f:
+        root = f.create_group("model_weights")
+        for name, kernel, bias in (
+                ("dense", hidden_kernel, np.zeros(4, np.float32)),
+                ("dense_1", head_kernel, head_bias)):
+            g = root.create_group(name).create_group(name)
+            g.create_dataset("kernel:0", data=kernel)
+            g.create_dataset("bias:0", data=bias)
+        root.attrs["layer_names"] = [b"dense", b"dense_1"]
+
+    variables = {"params": {"logits": {
+        "kernel": np.zeros((4, 4), np.float32),
+        "bias": np.full(4, 9.0, np.float32)}}}
+    out, copied = import_h5_weights(h5_path, variables, verbose=False)
+    assert copied == 1
+    np.testing.assert_array_equal(out["params"]["logits"]["kernel"],
+                                  head_kernel)
+    np.testing.assert_array_equal(out["params"]["logits"]["bias"],
+                                  head_bias)
+
+    # explicit reference head names ('output') still outrank auto names
+    with h5py.File(h5_path, "r+") as f:
+        f["model_weights"].move("dense_1", "output")
+        f["model_weights"]["output"].move("dense_1", "output")
+    out, copied = import_h5_weights(h5_path, variables, verbose=False)
+    assert copied == 1
+    np.testing.assert_array_equal(out["params"]["logits"]["kernel"],
+                                  head_kernel)
+
+
 def test_graphless_export_grayscale_conv_not_depthwise(tmp_path):
     """A (h, w, 1, C) kernel is AMBIGUOUS without a graph — a plain conv on
     a 1-channel (grayscale) input has the same shape as a depthwise kernel
