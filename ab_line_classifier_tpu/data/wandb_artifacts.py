@@ -39,6 +39,26 @@ from ab_line_classifier_tpu.data.artifacts import (
     ArtifactStore, HOLDOUT, IMAGES, K_FOLD, MODEL_DEV, TRAIN_VAL_TEST)
 
 
+def _same_tree(a: str, b: str) -> bool:
+    """Byte-identical file trees (metadata.json excluded)?"""
+    import filecmp
+
+    def rel_files(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn == "metadata.json":
+                    continue
+                full = os.path.join(dirpath, fn)
+                out[os.path.relpath(full, root)] = full
+        return out
+
+    fa, fb = rel_files(a), rel_files(b)
+    if fa.keys() != fb.keys():
+        return False
+    return all(filecmp.cmp(fa[r], fb[r], shallow=False) for r in fa)
+
+
 def _default_api():
     try:
         import wandb
@@ -80,6 +100,28 @@ class WandbArtifactFetcher:
         v = version if version else "latest"
         return self.api.artifact(f"{self.prefix}{name}:{v}")
 
+    def _commit(self, name: str, path: str, meta: dict) -> str:
+        """Commit a staged version dir — unless it duplicates the newest
+        committed version (same metadata, identical file content), in
+        which case the staged dir is dropped and the existing version is
+        returned. Unpinned ``'latest'`` fetches must always re-check wandb
+        (the alias can move), but repeated sweeps/CV runs against an
+        unmoved upstream would otherwise grow the store unboundedly with
+        identical copies."""
+        for v in reversed(self.store.versions(name)):
+            prev_meta = {k: w for k, w
+                         in self.store.metadata(name, v).items()
+                         if k != "artifact_version"}
+            if prev_meta.get("source") != meta.get("source"):
+                continue  # only the newest version of the SAME source
+            prev = self.store.resolve(name, v)
+            if prev_meta == meta and _same_tree(prev, path):
+                shutil.rmtree(path)
+                return prev
+            break
+        self.store._write_meta(path, meta)
+        return path
+
     def _materialized_images(self, version: str) -> Optional[Tuple[str, str]]:
         """Local Images version already fetched for this wandb version, if
         any — so lineage walks (TrainValTest then KFold, or a re-run) don't
@@ -116,7 +158,7 @@ class WandbArtifactFetcher:
             if os.path.isfile(os.path.join(src, fname)):
                 shutil.copy(os.path.join(src, fname),
                             os.path.join(path, fname))
-        self.store._write_meta(path, {
+        path = self._commit(IMAGES, path, {
             "type": "dataset", "source": f"wandb:{IMAGES}:{version}",
             "frames_dir": os.path.abspath(frames_dir)
             if os.path.isdir(frames_dir) else None})
@@ -142,12 +184,11 @@ class WandbArtifactFetcher:
         for split in ("train", "val", "test"):
             shutil.copy(os.path.join(src, f"{split}.csv"),
                         os.path.join(path, "frames", f"{split}.csv"))
-        self.store._write_meta(path, {
+        return self._commit(TRAIN_VAL_TEST, path, {
             "type": "dataset",
             "source": f"wandb:{TRAIN_VAL_TEST}:{version}",
             "frames_dir": os.path.abspath(frames_dir)
             if os.path.isdir(frames_dir) else None})
-        return path
 
     def fetch_k_fold(self, version: str = "latest",
                      val_split: Optional[float] = None,
@@ -182,7 +223,7 @@ class WandbArtifactFetcher:
             os.makedirs(os.path.join(path, f"fold_{i}"), exist_ok=True)
             shutil.copy(os.path.join(src, f"fold_{i}", "frames.csv"),
                         os.path.join(path, f"fold_{i}", "frames.csv"))
-        self.store._write_meta(path, {
+        return self._commit(K_FOLD, path, {
             "type": "dataset", "source": f"wandb:{K_FOLD}:{version}",
             "n_folds": n_folds,
             "val_split": float(val_split
@@ -193,7 +234,6 @@ class WandbArtifactFetcher:
                                else art.metadata.get("random_seed", 42)),
             "frames_dir": os.path.abspath(frames_dir)
             if os.path.isdir(frames_dir) else None})
-        return path
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,7 @@ def spawn_dryrun_pair(out_path: str, *, local_device_count: int = 4,
     import socket
     import subprocess
     import sys
+    import time
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -202,9 +203,15 @@ def spawn_dryrun_pair(out_path: str, *, local_device_count: int = 4,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in range(2)]
     outs = []
+    # One shared deadline for the PAIR: sequential communicate(timeout=)
+    # calls would let a process-0 that finishes just under the limit grant
+    # process 1 a fresh budget — up to ~2x the documented timeout before
+    # the kill path runs.
+    deadline = time.monotonic() + timeout
     try:
         for p in procs:
-            outs.append(p.communicate(timeout=timeout))
+            outs.append(p.communicate(
+                timeout=max(0.0, deadline - time.monotonic())))
     except subprocess.TimeoutExpired:
         tails = []
         for p in procs:

@@ -132,9 +132,17 @@ def configured_cache_budget(cfg: Config) -> int:
     return budget
 
 
-def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
+def resolve_datasets(cfg: Config, fold_id: Optional[int] = None,
+                     kfold_tables=None
                      ) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, str]:
     """Produce (train_df, val_df, test_df, frames_dir).
+
+    ``kfold_tables`` (a :func:`resolve_kfold_tables` result) lets serial
+    cross-validation resolve the fold source ONCE and thread it through
+    every fold's run — without it, each fold re-resolves, and a pinned
+    ``'latest'`` W&B version re-fetches per fold AND can move upstream
+    mid-run, sourcing the fold count and per-fold tables from different
+    artifact versions.
 
     Resolution order (first match wins), mirroring the reference where the
     artifact IS training's source of truth (reference train.py:217-225 →
@@ -158,7 +166,9 @@ def resolve_datasets(cfg: Config, fold_id: Optional[int] = None
     seed = int(cfg["WANDB"]["ARTIFACT_SEED"])
 
     if fold_id is not None:
-        folds, val_split, kf_seed, kf_dir = resolve_kfold_tables(cfg)
+        folds, val_split, kf_seed, kf_dir = (
+            kfold_tables if kfold_tables is not None
+            else resolve_kfold_tables(cfg))
         if fold_id >= len(folds):
             raise ValueError(
                 f"fold_id {fold_id} out of range: the resolved fold source "
@@ -225,9 +235,11 @@ def resolve_kfold_tables(cfg: Config) -> Tuple[List[pd.DataFrame], float,
     ver = str(cfg["WANDB"].get("K_FOLD_CROSS_VAL_ARTIFACT_VERSION", "")
               or "")
     if ver:
-        # val_split/random_seed stay None: the ARTIFACT's recorded values
-        # win, exactly like the reference's get_fold_artifact
-        # (train_utils.py:218-219 reads both from artifact metadata).
+        # The config val_split/seed are passed only as FALLBACKS: the
+        # ARTIFACT's recorded values take precedence (meta.get in
+        # _kfold_from_store), exactly like the reference's
+        # get_fold_artifact (train_utils.py:218-219 reads both from
+        # artifact metadata).
         v = _fetch_pinned(cfg, store, K_FOLD, ver,
                           "K_FOLD_CROSS_VAL_ARTIFACT_VERSION")
         return _kfold_from_store(store, v, val_split, seed, frames_dir)
@@ -359,6 +371,7 @@ def generate_classification_test_results(predictor: Predictor,
 
 def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
                        fold_id: Optional[int] = None,
+                       kfold_tables=None,
                        save_weights: bool = False, tracker=None,
                        group: Optional[str] = None,
                        verbose: bool = True,
@@ -376,7 +389,8 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
         try:
             return _perform_single_run_body(
                 cfg, tracker, hparam_overrides=hparam_overrides,
-                fold_id=fold_id, save_weights=save_weights,
+                fold_id=fold_id, kfold_tables=kfold_tables,
+                save_weights=save_weights,
                 verbose=verbose, checkpoint_dir=checkpoint_dir,
                 resume=resume, finish_tracker=True)
         except BaseException as e:
@@ -394,11 +408,13 @@ def perform_single_run(cfg: Config, *, hparam_overrides: Optional[Dict] = None,
             raise
     return _perform_single_run_body(
         cfg, tracker, hparam_overrides=hparam_overrides, fold_id=fold_id,
+        kfold_tables=kfold_tables,
         save_weights=save_weights, verbose=verbose,
         checkpoint_dir=checkpoint_dir, resume=resume, finish_tracker=False)
 
 
 def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
+                             kfold_tables=None,
                              save_weights, verbose, checkpoint_dir, resume,
                              finish_tracker) -> "RunResult":
     model_name = cfg.model_name
@@ -411,7 +427,8 @@ def _perform_single_run_body(cfg, tracker, *, hparam_overrides, fold_id,
                         "DATA": {"IMG_DIM": list(cfg.img_dim)},
                         "FOLD_ID": fold_id})
 
-    train_df, val_df, test_df, frames_dir = resolve_datasets(cfg, fold_id)
+    train_df, val_df, test_df, frames_dir = resolve_datasets(
+        cfg, fold_id, kfold_tables=kfold_tables)
     class_weight = compute_class_weight(train_df)
     output_bias = compute_output_bias(train_df)
 
@@ -993,10 +1010,14 @@ def cross_validation(cfg: Config, save_weights: bool = False,
     Fold results persist to ``EXPERIMENTS/{group}.jsonl`` as they complete;
     ``resume=True`` picks up the most recent interrupted run (or the named
     ``group``) and skips the folds already done."""
-    # Fold count from the resolved source (pinned/materialized artifacts'
-    # n_folds is the authority) — config TRAIN.N_FOLDS only governs the
-    # on-the-fly split inside resolve_kfold_tables.
-    n_folds = len(resolve_kfold_tables(cfg)[0])
+    # Resolve the fold source ONCE and thread the tables through every
+    # fold's run: the artifact's n_folds is the authority (config
+    # TRAIN.N_FOLDS only governs the on-the-fly split inside
+    # resolve_kfold_tables), and a per-fold re-resolve of a 'latest' W&B
+    # pin would re-fetch n_folds times and could source different folds
+    # from different artifact versions if 'latest' moved mid-run.
+    kfold_tables = resolve_kfold_tables(cfg)
+    n_folds = len(kfold_tables[0])
     if group is None and resume:
         group = _latest_trials_file(cfg, "kfold")
         if group is None:
@@ -1012,6 +1033,7 @@ def cross_validation(cfg: Config, save_weights: bool = False,
         if verbose:
             print(f"=== fold {fold_id}/{n_folds}")
         result = perform_single_run(cfg, fold_id=fold_id,
+                                    kfold_tables=kfold_tables,
                                     save_weights=save_weights, group=group,
                                     verbose=verbose)
         row = {"fold": fold_id}

@@ -125,3 +125,40 @@ def test_cross_validation_resume_skips_done_folds(sweep_cfg, monkeypatch):
     folds = summary[summary["fold"].isin([0, 1, 2])]
     assert len(folds) == 3
     assert pd.notna(folds["accuracy"]).all()
+
+
+def test_serial_cross_validation_resolves_fold_source_once(sweep_cfg,
+                                                           monkeypatch):
+    """The fold source is resolved ONCE per cross_validation run and
+    threaded into every fold (kfold_tables): per-fold re-resolution of a
+    'latest' W&B pin would re-fetch n_folds+1 times and could source the
+    fold count and the per-fold tables from different artifact versions
+    if 'latest' moved upstream mid-run."""
+    from ab_line_classifier_tpu.train import experiment as E
+
+    ws, cfg = sweep_cfg
+    d = cfg.to_dict()
+    d["TRAIN"]["N_FOLDS"] = 3
+    cfg3 = Config(d)
+
+    resolve_calls = []
+    real_resolve = E.resolve_kfold_tables
+
+    def counting_resolve(cfg_):
+        resolve_calls.append(1)
+        return real_resolve(cfg_)
+
+    monkeypatch.setattr(E, "resolve_kfold_tables", counting_resolve)
+    run_tables = []
+
+    def fake_run(cfg_, fold_id=None, kfold_tables=None, **kw):
+        run_tables.append(kfold_tables)
+        return E.RunResult(test_metrics={"accuracy": 0.5}, history=[],
+                           model_dir=None, best_val={})
+
+    monkeypatch.setattr(E, "perform_single_run", fake_run)
+    E.cross_validation(cfg3, verbose=False, group="kfold-once-test")
+    assert len(resolve_calls) == 1
+    # every fold received the SAME resolved tables object
+    assert len(run_tables) == 3
+    assert all(t is run_tables[0] and t is not None for t in run_tables)

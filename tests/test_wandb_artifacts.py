@@ -167,6 +167,42 @@ def test_pinned_images_fetch_is_memoized(tmp_path, wandb_world):
     assert api.requested.count("Images:latest") == 2
 
 
+def test_latest_refetch_dedupes_identical_content(tmp_path, wandb_world):
+    """'latest' always re-checks wandb (the alias can move upstream), but
+    an unmoved upstream must not grow the store with identical copies —
+    repeated sweeps/CV runs would otherwise accumulate one duplicate
+    version per run. Changed upstream content still lands a NEW version."""
+    api, df = wandb_world
+    store = ArtifactStore(str(tmp_path / "store"))
+    fetcher = WandbArtifactFetcher(store, api=api)
+
+    p1, _ = fetcher.fetch_images("latest")
+    p2, _ = fetcher.fetch_images("latest")
+    assert api.requested.count("Images:latest") == 2  # re-checked upstream
+    assert p2 == p1                                   # served the same version
+    assert store.versions("Images") == ["v0"]         # no duplicate commit
+
+    fetcher.fetch_train_val_test()
+    fetcher.fetch_train_val_test()
+    assert store.versions("TrainValTest") == ["v0"]
+    # the lineage walk pinned Images:v3 — a DIFFERENT source, so it gets
+    # its own version (pin materialization is not a duplicate of 'latest')
+    assert store.versions("Images") == ["v0", "v1"]
+
+    # upstream content moved: the next 'latest' fetch commits a new version
+    # (compared against the newest version of the SAME source, not against
+    # the interleaved v3 pin)
+    images_dir = api._artifacts["Images:latest"].download()
+    df.iloc[: len(df) - 1].to_csv(os.path.join(images_dir, "frames.csv"),
+                                  index=False)
+    p3, _ = fetcher.fetch_images("latest")
+    assert p3 != p1
+    assert store.versions("Images") == ["v0", "v1", "v2"]
+    # and the moved content, re-fetched unchanged, dedupes again
+    fetcher.fetch_images("latest")
+    assert store.versions("Images") == ["v0", "v1", "v2"]
+
+
 def test_project_prefix_and_missing_wandb(tmp_path, wandb_world):
     api, _ = wandb_world
 
