@@ -98,21 +98,47 @@ def main():
         lambda v, x: mod_cap.apply(v, x, train=False), bf16_vars, x0)
     rng = np.random.RandomState(0)
 
-    def timed(fn, *a):
-        # n-vs-2n guard (CLAUDE.md): per-iter times must agree or the
-        # measurement is dispatch/cache pollution, not device time.
-        def per_iter(iters):
-            out = fn(*a)
-            jax.block_until_ready(out)
+    L = args.iters
+
+    def chain_seconds(chained_jit, feed):
+        """Wall seconds for ONE dispatched chain (tiny ys output — no big
+        transfers), min over 3 repeats after a warmup."""
+        np.asarray(chained_jit(bf16_vars, feed))  # warm + materialize
+        best = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn(*a)
-            jax.block_until_ready(out)
-            np.asarray(jax.tree.leaves(out)[0])  # materialize (tiny slice)
-            return (time.perf_counter() - t0) / iters
-        t_n = per_iter(args.iters)
-        t_2n = per_iter(2 * args.iters)
-        return min(t_n, t_2n), abs(t_n - t_2n) / max(t_n, t_2n)
+            np.asarray(chained_jit(bf16_vars, feed))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def timed(seg_body, feed, null_body):
+        """Per-iteration device seconds for seg_body.
+
+        The tunnel's per-dispatch and transfer overheads swamp direct
+        loops (a first cut measured a 711 ms 'stem' against a 64 ms full
+        model), so: run the segment inside a dependency-CHAINED lax.scan
+        (the single_frame_latency_benchmark recipe — a runtime-zero bump
+        keeps iterations serial and un-hoistable), time chains of length
+        L and 2L, and difference them — fixed dispatch cost cancels
+        exactly. A 'null' chain (same carry update, no segment) is
+        differenced the same way and subtracted, removing the carry-add
+        overhead (which scales with the boundary activation size).
+        """
+        def make(body_fn, length):
+            def chained(v, a):
+                def body(x, _):
+                    out = body_fn(v, x)
+                    o0 = out.ravel()[0]
+                    bump = (o0 * 1e-30).astype(a.dtype)
+                    return x + bump, o0
+                _, ys = jax.lax.scan(body, a, None, length=length)
+                return ys
+            return jax.jit(chained)
+        t_seg = (chain_seconds(make(seg_body, 2 * L), feed)
+                 - chain_seconds(make(seg_body, L), feed)) / L
+        t_null = (chain_seconds(make(null_body, 2 * L), feed)
+                  - chain_seconds(make(null_body, L), feed)) / L
+        return max(t_seg - t_null, 1e-9), t_seg, t_null
 
     rows = []
     prev_boundary = None
@@ -122,12 +148,10 @@ def main():
         mod = GraphModule(graph=g)
         if prev_boundary is None:
             feed = x0
-            over = {}
         else:
             shp = cap_shapes[prev_boundary]
             feed = jnp.asarray(
                 rng.standard_normal(shp.shape) * 0.1, jnp.bfloat16)
-            over = {prev_boundary: feed}
 
         def seg(v, a, _prev=prev_boundary, _mod=mod):
             if _prev is None:
@@ -136,26 +160,26 @@ def main():
             # the real segment input and XLA DCEs everything upstream.
             return _mod.apply(v, x0, train=False, overrides={_prev: a})
 
+        def null(v, a):
+            return a.ravel()[:1]
+
         t0 = time.time()
-        jitted = jax.jit(seg)
-        lowered = jitted.lower(bf16_vars, feed)
-        compiled = lowered.compile()
-        cost = compiled.cost_analysis()
+        cost = jax.jit(seg).lower(bf16_vars, feed).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, list) else (cost or {})
-        t_iter, spread = timed(jitted, bf16_vars, feed)
+        t_iter, t_seg, t_null = timed(seg, feed, null)
+        spread = t_null / max(t_seg, 1e-12)  # carry-overhead share removed
         flops = float(cost.get("flops", 0.0))
         hbm = float(cost.get("bytes accessed", 0.0))
         rows.append({
             "stage": stage_name, "boundary": boundary,
             "ms": round(t_iter * 1e3, 3),
-            "nvs2n_spread": round(spread, 3),
+            "chain_overhead_share": round(spread, 3),
             "gflops": round(flops / 1e9, 2),
             "tflops_per_sec": round(flops / t_iter / 1e12, 2),
             "gb_accessed": round(hbm / 1e9, 3),
             "gb_per_sec": round(hbm / t_iter / 1e9, 1),
             "flops_per_byte": round(flops / hbm, 2) if hbm else None,
-            "compile_s": round(time.time() - t0 - t_iter * args.iters * 3,
-                               1),
+            "wall_s": round(time.time() - t0, 1),
         })
         print(f"[stage] {json.dumps(rows[-1])}", flush=True)
         prev_boundary = boundary if boundary != spec.graph.output else None
