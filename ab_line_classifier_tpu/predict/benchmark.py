@@ -41,6 +41,17 @@ def _build_flagship(model_name: str = "cutoffvgg16",
                  "NODES_DENSE0": 64, "KERNEL_SIZE": 3, "STRIDES": 1,
                  "MAXPOOL_SIZE": 2, "BLOCKS": 4, "INIT_FILTERS": 32,
                  "FILTER_EXP_BASE": 2},
+        # remaining zoo rows, config.yml HPARAMS defaults (= the
+        # reference's, models.py) — so every zoo model benchmarks by name
+        "vgg16": {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+                  "NODES_DENSE0": 64, "FREEZE_IDX": -1},
+        "xception": {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+                     "FREEZE_IDX": -1},
+        "efficientnetb7": {"LR": 0.1, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+                           "FREEZE_IDX": -1},
+        "custom_resnetv2": {"LR": 4.6e-5, "DROPOUT0": 0.45,
+                            "DROPOUT1": 0.40, "STRIDES": 1, "BLOCKS": 2,
+                            "INIT_FILTERS": 16},
     }
     hp = hparams or defaults.get(model_name)
     if hp is None:
