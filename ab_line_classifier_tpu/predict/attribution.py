@@ -190,7 +190,11 @@ def attribute_stages(spec, variables=None, *, batch: int = 512,
         rows.append({
             "stage": label, "boundary": boundary,
             "ms": round(t * 1e3, 3),
-            "chain_overhead_share": round(t_null / max(t_seg, 1e-12), 3),
+            # share of the raw chain body spent in the carry update (it is
+            # subtracted out of ms); meaningless when the segment itself
+            # is at measurement noise, so clamp to ±1
+            "chain_overhead_share": round(
+                max(-1.0, min(1.0, t_null / max(t_seg, 1e-12))), 3),
             "gflops": round(flops / 1e9, 2),
             "tflops_per_sec": round(flops / t / 1e12, 2),
             "gb_accessed": round(hbm / 1e9, 3),
