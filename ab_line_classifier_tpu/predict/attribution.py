@@ -33,48 +33,89 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ab_line_classifier_tpu.graph import GraphError, GraphModule
+from ab_line_classifier_tpu.graph import GraphModule
 
-_STAGE_RE = re.compile(r"^(?:conv2d_)?block_?(\d+)")
+_STAGE_RE = re.compile(r"^(?:conv2d_)?(?:block_?|stage)(\d+)")
+
+
+def _dominator_indices(graph) -> List[bool]:
+    """``dom[i]`` — does layer ``i`` dominate the rest of the graph?
+
+    True iff every later layer's inputs all sit at index ≥ i, i.e. the
+    whole downstream computation flows through layer i alone. Only such
+    layers are valid segment boundaries: overriding a NON-dominator
+    leaves a residual/skip edge reading real upstream layers, so XLA
+    cannot DCE the prefix and the "segment" silently recomputes the whole
+    model up to its boundary (caught on Xception, whose cross-block adds
+    are the stage outputs but carry untagged ``add_N`` names).
+    """
+    index_of = {s.name: i for i, s in enumerate(graph.layers)}
+    n = len(graph.layers)
+    # min input index of any layer strictly after i, computed by a
+    # reverse sweep; dom[i] <=> that minimum is >= i.
+    dom = [False] * n
+    min_inp = n
+    for i in range(n - 1, 0, -1):
+        dom[i] = min_inp >= i
+        for inp in graph.layers[i].inputs:
+            min_inp = min(min_inp, index_of[inp])
+    return dom
 
 
 def auto_boundaries(graph) -> List[Tuple[str, str]]:
     """``[(stage label, boundary layer name), ...]`` in topological order.
 
-    Layers whose names carry a ``block{N}`` stage tag group by N; the last
-    layer of each group is the stage boundary. Leading untagged layers
-    (stem/rescaling) fold into the first stage's segment start; everything
-    after the last tagged layer (top conv, pooling, head) is the final
-    ``head`` stage, bounded by the graph output. Candidate boundaries that
-    would sever a cross-stage edge (checked via ``graph.cut``) merge into
-    the following stage instead of producing an invalid program.
+    Layers whose names carry a stage tag (``block{N}``/``block_{N}``/
+    ``stage{N}`` — the whole zoo's convention) group by N. Each stage's
+    boundary is the LAST graph dominator between its final tagged layer
+    and the next stage's first tagged layer — which lands on the tagged
+    layer itself when stages are sequential (EfficientNet's
+    ``block3g_add``) and on the untagged residual join when the stage
+    output is one (Xception's ``add_2``). Stages with no dominator in
+    their window merge into the following stage. Leading untagged layers
+    (stem) fold into the first stage; everything after the last tag is
+    the final ``head`` stage, bounded by the graph output.
     """
-    names = graph.layer_names
-    last_of_stage: Dict[str, str] = {}
+    layers = graph.layers
+    first_idx: Dict[str, int] = {}
+    last_idx: Dict[str, int] = {}
     order: List[str] = []
-    for n in names:
-        m = _STAGE_RE.match(n)
+    for i, s in enumerate(layers):
+        m = _STAGE_RE.match(s.name)
         if not m:
             continue
         key = m.group(1)
-        if key not in last_of_stage:
+        if key not in first_idx:
+            first_idx[key] = i
             order.append(key)
-        last_of_stage[key] = n
+        last_idx[key] = i
+    if not order:
+        raise ValueError(
+            "no stage-tagged layers found; pass explicit boundaries")
 
+    dom = _dominator_indices(graph)
     out: List[Tuple[str, str]] = []
-    for key in order:
-        boundary = last_of_stage[key]
-        if boundary == graph.output:
-            continue  # the head stage below covers it
-        try:
-            graph.cut(boundary)
-        except GraphError:
-            continue  # severs a residual/skip edge -> merge into next stage
+    for pos, key in enumerate(order):
+        last = pos + 1 == len(order)
+        window_end = len(layers) if last else first_idx[order[pos + 1]]
+        # Between two stages, take the LAST dominator before the next
+        # stage begins (the residual join / pool glue belongs to the
+        # earlier stage). The FINAL tagged stage instead takes the FIRST
+        # dominator at/after its last tagged layer — the last-dominator
+        # rule would swallow the whole head (pool/dense) into it.
+        idxs = (range(last_idx[key], window_end) if last
+                else range(window_end - 1, last_idx[key] - 1, -1))
+        boundary = next((layers[i].name for i in idxs
+                         if dom[i] and layers[i].name != graph.output),
+                        None)
+        if boundary is None:
+            continue  # no clean cut point -> merge into the next stage
         out.append((f"block{key}", boundary))
     out.append(("head", graph.output))
     if len(out) < 2:
         raise ValueError(
-            "no stage-tagged layers found; pass explicit boundaries")
+            "stage tags found but no dominating boundaries; pass explicit "
+            "boundaries")
     return out
 
 
@@ -90,6 +131,19 @@ def stage_segments(spec, boundaries: Optional[List[Tuple[str, str]]] = None):
 
     if boundaries is None:
         boundaries = auto_boundaries(spec.graph)
+    else:
+        # explicit boundaries get the same safety net that auto ones have
+        # by construction: a non-dominating boundary cannot be overridden
+        # cleanly — the segment would silently recompute the whole prefix.
+        dom = _dominator_indices(spec.graph)
+        index_of = {s.name: i for i, s in enumerate(spec.graph.layers)}
+        for _label, b in boundaries:
+            if b != spec.graph.output and not dom[index_of[b]]:
+                raise ValueError(
+                    f"boundary {b!r} does not dominate the graph: a later "
+                    f"layer reads an earlier activation across it, so its "
+                    f"segment would re-run the prefix; pick a residual "
+                    f"join / pooling layer instead")
     segs = []
     prev = None
     for label, boundary in boundaries:

@@ -47,8 +47,56 @@ def test_auto_boundaries_mobilenetv2_skips_severing_cuts():
         spec.graph.cut(b)  # raises GraphError if attribution lied
 
 
+def test_auto_boundaries_xception_lands_on_residual_joins():
+    """Xception's stage outputs are UNTAGGED ``add_N`` residual joins (the
+    block-tagged sepconvs feed them); boundaries must land on the joins —
+    a boundary on the tagged sepconv is not a dominator, its override
+    cannot be DCE'd, and the segment silently re-runs the whole prefix
+    (the bug this test pins: per-stage FLOPs came out cumulative)."""
+    spec = build_model("xception", {"LR": 0.01, "DROPOUT": 0.5,
+                                    "L2_LAMBDA": 0.01, "FREEZE_IDX": -1},
+                       (32, 32, 3), 2)
+    bounds = dict(auto_boundaries(spec.graph))
+    # middle-flow stages must resolve to their add_N join
+    assert bounds["block5"].startswith("add")
+    assert bounds["block10"].startswith("add")
+    # entry/exit stages without residuals keep their tagged layer
+    assert bounds["block14"] == "block14_sepconv2_act"
+
+
+def test_auto_boundaries_custom_resnetv2_stage_tags():
+    """custom_resnetv2 tags by ``stage{N}_unit{M}``; boundaries are the
+    stage-final residual adds (the only dominators — every unit's add
+    reads across its unit body)."""
+    spec = build_model("custom_resnetv2",
+                       {"LR": 4.6e-5, "DROPOUT0": 0.45, "DROPOUT1": 0.40,
+                        "STRIDES": 1, "BLOCKS": 2, "INIT_FILTERS": 16},
+                       (32, 32, 3), 2)
+    bounds = auto_boundaries(spec.graph)
+    assert len(bounds) >= 3
+    dom_labels = [l for l, _ in bounds]
+    assert dom_labels[-1] == "head"
+
+
+def test_explicit_non_dominating_boundary_raises():
+    """stage_segments must refuse a boundary a later layer reads across —
+    the override could not be DCE'd and the segment would silently
+    recompute the prefix."""
+    spec = build_model("mobilenetv2", HP_MNV2, (32, 32, 3), 2)
+    # block_2_depthwise feeds block_2_add only via the conv path; the add
+    # also reads block_1_project_BN from before it -> not a dominator
+    with pytest.raises(ValueError, match="does not dominate"):
+        stage_segments(spec, [("bad", "block_2_expand"),
+                              ("head", spec.graph.output)])
+
+
+HP_XCEPTION = {"LR": 0.01, "DROPOUT": 0.5, "L2_LAMBDA": 0.01,
+               "FREEZE_IDX": -1}
+
+
 @pytest.mark.parametrize("model_name,hp", [("cnn0", HP_CNN0),
-                                           ("mobilenetv2", HP_MNV2)])
+                                           ("mobilenetv2", HP_MNV2),
+                                           ("xception", HP_XCEPTION)])
 def test_segments_reproduce_full_forward(model_name, hp):
     """Chaining the stage segments == the full serving forward, bit for
     bit: proves the cut+override programs compute exactly their stage
@@ -65,11 +113,15 @@ def test_segments_reproduce_full_forward(model_name, hp):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
 
 
-def test_segment_flops_sum_to_full_program():
+@pytest.mark.parametrize("model_name,hp", [("cnn0", HP_CNN0),
+                                           ("xception", HP_XCEPTION)])
+def test_segment_flops_sum_to_full_program(model_name, hp):
     """XLA cost-analysis FLOPs of the segments sum to the full program's
     (boundary handoffs add bytes, not FLOPs) — the attribution accounts
-    for the whole model rather than a subset."""
-    spec = build_model("cnn0", HP_CNN0, (32, 32, 3), 2)
+    for the whole model ONCE: cumulative per-segment FLOPs (a segment
+    recomputing its prefix because its input boundary didn't dominate)
+    fail here, which is exactly how the Xception bug surfaced on-chip."""
+    spec = build_model(model_name, hp, (32, 32, 3), 2)
     variables = spec.init_variables(jax.random.PRNGKey(0))
     x = jnp.zeros((4, 32, 32, 3), jnp.float32)
 
