@@ -35,7 +35,7 @@ import numpy as np
 
 from ab_line_classifier_tpu.graph import GraphModule
 
-_STAGE_RE = re.compile(r"^(?:conv2d_)?(?:block_?|stage)(\d+)")
+_STAGE_RE = re.compile(r"^(?:conv2d_)?(block_?|stage)(\d+)")
 
 
 def _dominator_indices(graph) -> List[bool]:
@@ -79,15 +79,18 @@ def auto_boundaries(graph) -> List[Tuple[str, str]]:
     layers = graph.layers
     first_idx: Dict[str, int] = {}
     last_idx: Dict[str, int] = {}
+    labels: Dict[str, str] = {}
     order: List[str] = []
     for i, s in enumerate(layers):
         m = _STAGE_RE.match(s.name)
         if not m:
             continue
-        key = m.group(1)
+        key = m.group(2)
         if key not in first_idx:
             first_idx[key] = i
             order.append(key)
+            # label keeps the model's own tag family (block3 vs stage3)
+            labels[key] = m.group(1).rstrip("_") + key
         last_idx[key] = i
     if not order:
         raise ValueError(
@@ -110,7 +113,7 @@ def auto_boundaries(graph) -> List[Tuple[str, str]]:
                         None)
         if boundary is None:
             continue  # no clean cut point -> merge into the next stage
-        out.append((f"block{key}", boundary))
+        out.append((labels[key], boundary))
     out.append(("head", graph.output))
     if len(out) < 2:
         raise ValueError(
@@ -207,7 +210,7 @@ def attribute_stages(spec, variables=None, *, batch: int = 512,
         lambda v, x: mod_cap.apply(v, x, train=False), variables, x0)
     rng = np.random.RandomState(0)
 
-    def make_chain(body_fn, feed, length):
+    def make_chain(body_fn, length):
         def chained(v, a):
             def body(x, _):
                 out = body_fn(v, x)
@@ -230,13 +233,13 @@ def attribute_stages(spec, variables=None, *, batch: int = 512,
         def null(v, a):
             return a.ravel()[:1]
 
-        t_seg = (_chain_seconds(make_chain(seg, feed, 2 * iters),
+        t_seg = (_chain_seconds(make_chain(seg, 2 * iters),
                                 variables, feed)
-                 - _chain_seconds(make_chain(seg, feed, iters),
+                 - _chain_seconds(make_chain(seg, iters),
                                   variables, feed)) / iters
-        t_null = (_chain_seconds(make_chain(null, feed, 2 * iters),
+        t_null = (_chain_seconds(make_chain(null, 2 * iters),
                                  variables, feed)
-                  - _chain_seconds(make_chain(null, feed, iters),
+                  - _chain_seconds(make_chain(null, iters),
                                    variables, feed)) / iters
         t = max(t_seg - t_null, 1e-9)
         flops = float(cost.get("flops", 0.0))

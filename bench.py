@@ -122,23 +122,31 @@ def _regressions(report, bench_dir=None):
     regresses when it is worse than the best prior round by more than the
     tolerance band (default 5%: the documented n-vs-2n variance of
     tunnel-attached runs, docs/PERFORMANCE.md; override with
-    ABLC_BENCH_REGRESSION_TOL). A channel every prior round reported that
-    is now missing/zero is also flagged. Returns a list, empty when clean.
+    ABLC_BENCH_REGRESSION_TOL). A channel the most recent successful
+    round reported that is now missing/zero is also flagged (channels a
+    long-gone round experimented with once don't haunt every future run).
+    Returns a list, empty when clean.
     """
     tol = float(os.environ.get("ABLC_BENCH_REGRESSION_TOL", "0.05"))
     if bench_dir is None:
         bench_dir = os.path.dirname(os.path.abspath(__file__))
     best = {}  # channel -> (value, higher, round_file)
+    latest_channels = set()  # channels of the newest valid round
     for path in sorted(glob.glob(os.path.join(bench_dir, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
-        except (OSError, ValueError):
+            rec = (data.get("parsed", data)
+                   if isinstance(data, dict) else None)
+            if not isinstance(rec, dict) or rec.get("error"):
+                continue
+            channels = _channels(rec)
+        except (OSError, ValueError, TypeError, AttributeError):
+            # a malformed historic artifact must not cost this run its
+            # report (everything above ran before this is reached)
             continue
-        rec = data.get("parsed", data) if isinstance(data, dict) else None
-        if not isinstance(rec, dict) or rec.get("error"):
-            continue
-        for name, (value, higher) in _channels(rec).items():
+        latest_channels = set(channels)
+        for name, (value, higher) in channels.items():
             prev = best.get(name)
             if (prev is None or (higher and value > prev[0])
                     or (not higher and value < prev[0])):
@@ -149,9 +157,10 @@ def _regressions(report, bench_dir=None):
     for name, (prior, higher, rnd) in sorted(best.items()):
         cur = now.get(name)
         if cur is None:
-            out.append({"channel": name, "value": None,
-                        "best_prior": prior, "round": rnd,
-                        "note": "channel missing from this run"})
+            if name in latest_channels:
+                out.append({"channel": name, "value": None,
+                            "best_prior": prior, "round": rnd,
+                            "note": "channel missing from this run"})
             continue
         value = cur[0]
         bad = (value < prior * (1 - tol) if higher

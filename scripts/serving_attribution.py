@@ -34,6 +34,18 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
+    # Probe the tunnel before touching the backend (CLAUDE.md: jax.devices()
+    # has blocked forever on a wedged axon tunnel) — reuse bench.py's
+    # bounded probe so a dead tunnel yields an error line, not a hang.
+    import bench as _bench
+
+    probe_err = _bench._backend_error(
+        float(os.environ.get("ABLC_BENCH_PROBE_TIMEOUT", "900")))
+    if probe_err:
+        print(json.dumps({"model": args.model, "error": probe_err}),
+              flush=True)
+        return 1
+
     import jax
 
     from ab_line_classifier_tpu.predict.benchmark import (
@@ -88,4 +100,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

@@ -75,6 +75,8 @@ def test_auto_boundaries_custom_resnetv2_stage_tags():
     bounds = auto_boundaries(spec.graph)
     assert len(bounds) >= 3
     dom_labels = [l for l, _ in bounds]
+    # labels keep the model's own tag family (stageN, not blockN)
+    assert dom_labels[0] == "stage0"
     assert dom_labels[-1] == "head"
 
 
