@@ -353,3 +353,130 @@ def test_publish_unpublished_parent_falls_back_to_latest(tmp_path,
     dev = wandb.artifacts[MODEL_DEV][-1]
     assert dev.metadata["images_artifact_version"] == \
         wandb.artifacts[IMAGES][-1].version
+
+
+# ---------------------------------------------------------------------------
+# Module entry (reference artifact_logging.py __main__, :394-412): the real
+# `python -m ab_line_classifier_tpu.data.wandb_artifacts` subprocess, with a
+# stub wandb module injected on PYTHONPATH and a file-materializing server.
+# ---------------------------------------------------------------------------
+
+_STUB_WANDB = '''
+import json, os, shutil
+
+_ROOT = os.environ["FAKE_WANDB_ROOT"]
+_ARTS = {}
+
+class Artifact:
+    def __init__(self, name, type=None, description=None, metadata=None):
+        self.name, self.type, self.description = name, type, description
+        self.metadata = dict(metadata or {}); self.adds = []
+    def add_file(self, p, name=None):
+        assert os.path.isfile(p), p
+        self.adds.append(("file", p, name or os.path.basename(p)))
+    def add_dir(self, p, name=None):
+        assert os.path.isdir(p), p
+        self.adds.append(("dir", p, name or ""))
+
+class _Run:
+    def __enter__(self): return self
+    def __exit__(self, *e): return False
+    def use_artifact(self, spec):
+        name, _, v = spec.partition(":")
+        vs = _ARTS[name]
+        return (vs[-1] if v in ("", "latest")
+                else next(a for a in vs if a.version == v))
+    def log_artifact(self, art):
+        vs = _ARTS.setdefault(art.name, [])
+        art.version = "v%d" % len(vs)
+        d = os.path.join(_ROOT, art.name, art.version)
+        os.makedirs(d, exist_ok=True)
+        for kind, local, ap in art.adds:
+            dest = os.path.join(d, ap.rstrip("/"))
+            if kind == "file":
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.copy(local, dest)
+            else:
+                shutil.copytree(local, dest, dirs_exist_ok=True)
+        vs.append(art)
+        with open(os.path.join(d, "_published.json"), "w") as f:
+            json.dump({"type": art.type, "metadata": art.metadata}, f)
+        return art
+
+def init(**kw):
+    return _Run()
+'''
+
+
+@pytest.mark.slow
+def test_module_entry_publishes_flagged_stages(tmp_path, local_lineage):
+    import json
+    import subprocess
+    import sys
+
+    from tests.conftest import cli_env
+
+    store, cfg = local_lineage
+    stub_dir = tmp_path / "stublib"
+    stub_dir.mkdir()
+    (stub_dir / "wandb.py").write_text(_STUB_WANDB)
+    server = tmp_path / "server"
+
+    d = cfg.to_dict()
+    d["TRACKER"]["ARTIFACTS_DIR"] = store.root
+    d["WANDB"]["LOGGING"] = {"IMAGES": True, "MODEL_DEV_HOLDOUT": True,
+                             "K_FOLD_CROSS_VAL": True,
+                             "TRAIN_VAL_TEST": False}
+    cfg_path = str(tmp_path / "config.yml")
+    import yaml
+
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(d, f)
+
+    env = cli_env(cfg_path)
+    env["PYTHONPATH"] = str(stub_dir) + os.pathsep + env["PYTHONPATH"]
+    env["FAKE_WANDB_ROOT"] = str(server)
+    r = subprocess.run(
+        [sys.executable, "-m", "ab_line_classifier_tpu.data.wandb_artifacts"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    published = sorted(os.listdir(server))
+    assert published == ["Holdout", "Images", "KFoldCrossValidation",
+                         "ModelDev"]  # TRAIN_VAL_TEST flag was off
+    # lineage edge recorded against the just-published parent version
+    with open(server / "ModelDev" / "v0" / "_published.json") as f:
+        meta = json.load(f)["metadata"]
+    assert meta["images_artifact_version"] == "v0"
+    # k-fold payload has every fold dir
+    n_folds = store.get_n_folds()
+    for i in range(n_folds):
+        assert (server / "KFoldCrossValidation" / "v0" / f"fold_{i}"
+                / "frames.csv").is_file()
+
+
+@pytest.mark.slow
+def test_module_entry_no_flags_without_wandb(tmp_path, local_lineage):
+    """With every WANDB.LOGGING flag off the entry is a no-op that never
+    imports wandb (local-first rule) — no stub on PYTHONPATH here."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    from tests.conftest import cli_env
+
+    store, cfg = local_lineage
+    d = cfg.to_dict()
+    d["TRACKER"]["ARTIFACTS_DIR"] = store.root
+    d["WANDB"]["LOGGING"] = {k: False for k in d["WANDB"]["LOGGING"]}
+    cfg_path = str(tmp_path / "config.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(d, f)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "ab_line_classifier_tpu.data.wandb_artifacts"],
+        capture_output=True, text=True, timeout=300,
+        env=cli_env(cfg_path), cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
